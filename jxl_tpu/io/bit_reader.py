@@ -61,6 +61,17 @@ class BitReader:
 
         return unpack_signed(self.read(n))
 
+    def read_opt(self, n: int) -> int:
+        """Optimistic read: zero-padded past the end; overrun is recorded in
+        `pos` and detected later by check_no_overrun() (hot entropy paths)."""
+        v = self.peek(n)
+        self.pos += n
+        return v
+
+    def check_no_overrun(self) -> None:
+        if self.pos > self.len_bits:
+            raise OutOfBounds((self.pos - self.len_bits + 7) >> 3)
+
     # -- bookkeeping ----------------------------------------------------------
 
     def total_bits_read(self) -> int:
