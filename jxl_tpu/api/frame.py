@@ -1,0 +1,275 @@
+"""Frame decoding orchestration (host planner).
+
+Capability reference: jxl/src/frame/{mod,decode}.rs. Parses LfGlobal →
+LF groups → HfGlobal → HF groups, dispatching modular/VarDCT section
+decoding and producing channel planes for the render pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from ..errors import InvalidBitstream, NotSupported
+from ..io.bit_reader import BitReader
+from ..io.bundle import F16
+from ..io.headers import ColorSpace, FileHeader
+from ..io.headers.frame import Encoding, FrameHeader, FrameType, Toc
+from ..modular.image import FullModularImage
+from ..modular.tree import Tree
+
+# LF quantization defaults (ref quant_weights.rs LF_QUANT)
+LF_QUANT = (4096.0, 512.0, 256.0)
+
+
+@dataclass
+class LfQuantFactors:
+    quant_factors: tuple = LF_QUANT
+
+    @staticmethod
+    def read(br: BitReader) -> "LfQuantFactors":
+        if br.read(1) == 1:
+            return LfQuantFactors()
+        f16 = F16()
+        qf = tuple(f16.read(br) / 128.0 for _ in range(3))
+        for v in qf:
+            if v < 1e-8:
+                raise InvalidBitstream("LF quant factor too small")
+        return LfQuantFactors(qf)
+
+    @property
+    def inv_quant_factors(self):
+        return tuple(1.0 / v for v in self.quant_factors)
+
+
+@dataclass
+class QuantizerParams:
+    global_scale: int = 1
+    quant_lf: int = 1
+
+    GLOBAL_SCALE_DENOM = 1 << 16
+
+    @staticmethod
+    def read(br: BitReader) -> "QuantizerParams":
+        sel = br.read(2)
+        if sel == 0:
+            gs = br.read(11) + 1
+        elif sel == 1:
+            gs = br.read(11) + 2049
+        elif sel == 2:
+            gs = br.read(12) + 4097
+        else:
+            gs = br.read(16) + 8193
+        sel = br.read(2)
+        if sel == 0:
+            qlf = 16
+        elif sel == 1:
+            qlf = br.read(5) + 1
+        elif sel == 2:
+            qlf = br.read(8) + 1
+        else:
+            qlf = br.read(16) + 1
+        return QuantizerParams(gs, qlf)
+
+    @property
+    def inv_global_scale(self) -> float:
+        return self.GLOBAL_SCALE_DENOM / self.global_scale
+
+    @property
+    def inv_quant_lf(self) -> float:
+        return self.inv_global_scale / self.quant_lf
+
+
+@dataclass
+class LfGlobalState:
+    lf_quant: LfQuantFactors = None
+    quant_params: QuantizerParams = None
+    block_context_map: object = None
+    color_correlation_params: object = None
+    tree: Tree = None
+    modular_global: FullModularImage = None
+    patches: object = None
+    splines: object = None
+    noise: object = None
+
+
+class Frame:
+    """One frame's decode state."""
+
+    def __init__(self, header: FrameHeader, toc: Toc, file_header: FileHeader, decoder_state=None):
+        self.header = header
+        self.toc = toc
+        self.file_header = file_header
+        self.decoder_state = decoder_state
+        meta = file_header.image_metadata
+        is_gray = (
+            not header.do_ycbcr
+            and not meta.xyb_encoded
+            and meta.color_encoding.color_space == ColorSpace.GRAY
+        )
+        self.color_channels = 1 if is_gray else 3
+        self.lf_global: LfGlobalState | None = None
+        self.hf_global = None
+        self.lf_image = None  # [3] float planes in 8x8-block resolution
+        self.hf_meta = None
+        self.vardct_pixels = None  # decoded VarDCT group pixels, [3] planes
+
+    @property
+    def modular_color_channels(self) -> int:
+        return 0 if self.header.encoding == Encoding.VARDCT else self.color_channels
+
+    # -- section handling ------------------------------------------------------
+
+    def split_sections(self, br: BitReader) -> list[BitReader]:
+        """Carve per-section readers out of `br` and undo TOC permutation."""
+        stored = [br.split_at(n) for n in self.toc.entries]
+        if not self.toc.permuted:
+            return stored
+        return [stored[self.toc.permutation[i]] for i in range(len(stored))]
+
+    def section_index(self, kind: str, *, group: int = 0, pass_idx: int = 0) -> int:
+        if self.header.num_toc_entries == 1:
+            return 0
+        if kind == "lf_global":
+            return 0
+        if kind == "lf":
+            return 1 + group
+        if kind == "hf_global":
+            return self.header.num_lf_groups + 1
+        if kind == "hf":
+            return 2 + self.header.num_lf_groups + self.header.num_groups * pass_idx + group
+        raise KeyError(kind)
+
+    # -- LfGlobal ----------------------------------------------------------------
+
+    def decode_lf_global(self, br: BitReader) -> None:
+        """ref frame/decode.rs:314-434."""
+        header = self.header
+        state = LfGlobalState()
+
+        if header.has_patches:
+            from ..features.patches import PatchesDictionary
+
+            w, h = header.size_padded()
+            ref_frames = self.decoder_state.reference_frames if self.decoder_state else [None] * 4
+            state.patches = PatchesDictionary.read(
+                br, w, h, len(self.file_header.image_metadata.extra_channel_info), ref_frames
+            )
+        if header.has_splines:
+            from ..features.splines import Splines
+
+            state.splines = Splines.read(br, header.width * header.height)
+        if header.has_noise:
+            from ..features.noise import Noise
+
+            state.noise = Noise.read(br)
+
+        state.lf_quant = LfQuantFactors.read(br)
+
+        if header.encoding == Encoding.VARDCT:
+            from ..vardct.block_context import BlockContextMap
+            from ..vardct.cfl import ColorCorrelationParams
+
+            state.quant_params = QuantizerParams.read(br)
+            state.block_context_map = BlockContextMap.read(br)
+            state.color_correlation_params = ColorCorrelationParams.read(br)
+
+        if state.splines is not None:
+            w, h = header.size()
+            state.splines.initialize_draw_cache(w, h, state.color_correlation_params)
+
+        if br.read(1) == 1:
+            num_ec = len(self.file_header.image_metadata.extra_channel_info)
+            size_limit = min(
+                1024
+                + header.width * header.height * (self.color_channels + num_ec) // 16,
+                1 << 22,
+            )
+            state.tree = Tree.read(br, size_limit)
+
+        state.modular_global = FullModularImage.read(
+            header,
+            self.file_header.image_metadata,
+            self.modular_color_channels,
+            br,
+        )
+        state.modular_global.read_section0(header, state.tree, br)
+        self.lf_global = state
+
+    # -- LF group -------------------------------------------------------------------
+
+    def decode_lf_group(self, group: int, br: BitReader) -> None:
+        header = self.header
+        state = self.lf_global
+        if header.encoding == Encoding.VARDCT and not header.has_lf_frame:
+            from ..vardct.lf import decode_vardct_lf
+
+            decode_vardct_lf(self, group, br)
+        state.modular_global.read_lf_stream(header, state.tree, group, br)
+        if header.encoding == Encoding.VARDCT:
+            from ..vardct.lf import decode_hf_metadata
+
+            decode_hf_metadata(self, group, br)
+
+    # -- HfGlobal ---------------------------------------------------------------------
+
+    def decode_hf_global(self, br: BitReader) -> None:
+        if self.header.encoding == Encoding.VARDCT:
+            from ..vardct.hf_global import decode_hf_global
+
+            self.hf_global = decode_hf_global(self, br)
+
+    # -- HF group -----------------------------------------------------------------------
+
+    def decode_hf_group(self, group: int, pass_readers: list[tuple[int, BitReader]]) -> None:
+        state = self.lf_global
+        if self.header.encoding == Encoding.VARDCT:
+            from ..vardct.group import decode_vardct_group
+
+            decode_vardct_group(self, group, pass_readers)
+        for pass_idx, br in pass_readers:
+            state.modular_global.read_hf_stream(
+                self.header, state.tree, pass_idx, group, br
+            )
+
+    # -- whole-frame decode (non-streaming driver) -----------------------------------------
+
+    def decode_all_sections(self, br: BitReader) -> None:
+        header = self.header
+        if header.num_toc_entries == 1:
+            sec = self.split_sections(br)[0]
+            self.decode_lf_global(sec)
+            for g in range(header.num_lf_groups):
+                self.decode_lf_group(g, sec)
+            self.decode_hf_global(sec)
+            self.finalize_lf()
+            for g in range(header.num_groups):
+                self.decode_hf_group(
+                    g, [(p, sec) for p in range(header.passes.num_passes)]
+                )
+        else:
+            sections = self.split_sections(br)
+            self.decode_lf_global(sections[self.section_index("lf_global")])
+            for g in range(header.num_lf_groups):
+                self.decode_lf_group(g, sections[self.section_index("lf", group=g)])
+            self.decode_hf_global(sections[self.section_index("hf_global")])
+            self.finalize_lf()
+            for g in range(header.num_groups):
+                readers = [
+                    (p, sections[self.section_index("hf", group=g, pass_idx=p)])
+                    for p in range(header.passes.num_passes)
+                ]
+                self.decode_hf_group(g, readers)
+        self.lf_global.modular_global.run_transforms()
+
+    def finalize_lf(self) -> None:
+        if self.header.should_do_adaptive_lf_smoothing and self.lf_image is not None:
+            from ..vardct.lf import adaptive_lf_smoothing
+
+            adaptive_lf_smoothing(self)
+
+    # -- outputs ---------------------------------------------------------------------------
+
+    def modular_channel(self, idx: int) -> np.ndarray:
+        return self.lf_global.modular_global.output_channel(idx)
