@@ -20,7 +20,7 @@ from ..modular.image import FullModularImage
 from ..modular.tree import Tree
 
 # LF quantization defaults (ref quant_weights.rs LF_QUANT)
-LF_QUANT = (4096.0, 512.0, 256.0)
+LF_QUANT = (1.0 / 4096.0, 1.0 / 512.0, 1.0 / 256.0)
 
 
 @dataclass
@@ -114,6 +114,7 @@ class Frame:
         self.lf_image = None  # [3] float planes in 8x8-block resolution
         self.hf_meta = None
         self.vardct_pixels = None  # decoded VarDCT group pixels, [3] planes
+        self.render_after_decode = True  # run dequant+IDCT during group decode
 
     @property
     def modular_color_channels(self) -> int:

@@ -1,0 +1,94 @@
+"""Simple whole-image render: frame channels -> displayable RGB(A) floats.
+
+This is the oracle render path (analog of the reference's
+SimpleRenderPipeline): whole-image numpy stages assembled per frame
+exactly as build_render_pipeline does (ref frame/render.rs:506-885).
+The group-sharded JAX pipeline (render/pipeline.py) must match it
+bit-for-bit on the interior and is validated against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..color import tf as tfmod
+from ..color.xyb import xyb_to_linear, ycbcr_to_rgb
+from ..io.headers import ColorSpace, TransferFunction
+from ..io.headers.frame import Encoding
+
+
+def _from_linear(channels, color_encoding, intensity_target):
+    t = color_encoding.tf
+    if t.have_gamma:
+        return [tfmod.linear_to_gamma(c, t.gamma_value()) for c in channels]
+    tfv = t.transfer_function
+    if tfv == TransferFunction.SRGB:
+        return [tfmod.linear_to_srgb(c) for c in channels]
+    if tfv == TransferFunction.BT709:
+        return [tfmod.linear_to_bt709(c) for c in channels]
+    if tfv == TransferFunction.LINEAR:
+        return list(channels)
+    if tfv == TransferFunction.PQ:
+        return [tfmod.linear_to_pq(c, intensity_target) for c in channels]
+    if tfv == TransferFunction.DCI:
+        return [tfmod.linear_to_gamma(c, 1.0 / 2.6) for c in channels]
+    if tfv == TransferFunction.HLG:
+        lum = (0.2126, 0.7152, 0.0722)
+        r, g, b = tfmod.hlg_display_to_scene(intensity_target, lum, channels)
+        return [tfmod.scene_to_hlg(c) for c in (r, g, b)]
+    raise AssertionError(tfv)
+
+
+def render_frame(frame) -> np.ndarray:
+    """Returns (h, w, c) float32 in display encoding (no orientation)."""
+    header = frame.header
+    meta = frame.file_header.image_metadata
+    w, h = header.size()
+    num_ec = len(meta.extra_channel_info)
+
+    if header.encoding == Encoding.VARDCT:
+        planes = [p[:h, :w].copy() for p in frame.vardct_pixels]
+        # TODO(chroma): upsample subsampled planes before this point
+    elif meta.xyb_encoded:
+        # modular XYB order is [Y, X, B]; B has Y added
+        # (ref convert.rs ConvertModularXYBToF32: :278-345)
+        mg = frame.lf_global.modular_global
+        sx_f, sy_f, sb_f = frame.lf_global.lf_quant.quant_factors
+        iy = mg.output_channel(0).astype(np.float32)
+        ix = mg.output_channel(1).astype(np.float32)
+        ib = mg.output_channel(2).astype(np.float32)
+        planes = [ix * np.float32(sx_f), iy * np.float32(sy_f), (ib + iy) * np.float32(sb_f)]
+    else:
+        mg = frame.lf_global.modular_global
+        planes = []
+        for c in range(frame.color_channels):
+            bits = meta.bit_depth.bits_per_sample
+            scale = np.float32(1.0 / ((1 << bits) - 1))
+            planes.append(mg.output_channel(c).astype(np.float32) * scale)
+        if frame.color_channels == 1:
+            planes = [planes[0]] * 3
+
+    if meta.xyb_encoded:
+        x, y, b = planes
+        r, g, b = xyb_to_linear(
+            x, y, b, frame.file_header.transform_data.opsin_inverse_matrix,
+            meta.tone_mapping.intensity_target,
+        )
+        planes = _from_linear([r, g, b], meta.color_encoding, meta.tone_mapping.intensity_target)
+    elif header.do_ycbcr:
+        r, g, b = ycbcr_to_rgb(planes[1], planes[0], planes[2])
+        planes = [r, g, b]
+
+    out = [p[:h, :w] for p in planes]
+
+    # extra channels (alpha etc.) appended as-is, scaled to [0,1]
+    if header.encoding != Encoding.VARDCT or True:
+        mg = frame.lf_global.modular_global if frame.lf_global else None
+        for i in range(num_ec):
+            info = meta.extra_channel_info[i]
+            bits = info.bit_depth.bits_per_sample
+            scale = np.float32(1.0 / ((1 << bits) - 1))
+            ec = mg.output_channel(3 + i).astype(np.float32) * scale
+            out.append(ec[:h, :w])
+
+    return np.stack(out, axis=-1)
