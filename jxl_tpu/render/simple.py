@@ -40,15 +40,19 @@ def _from_linear(channels, color_encoding, intensity_target):
 
 
 def render_frame(frame) -> np.ndarray:
-    """Returns (h, w, c) float32 in display encoding (no orientation)."""
+    """Returns (h, w, c) float32 in display encoding (no orientation).
+
+    Stage order follows ref frame/render.rs:506-885 (build_render_pipeline):
+    convert -> chroma upsample -> gaborish -> EPF0/1/2 -> patches/splines ->
+    color upsample -> noise -> YCbCr|XYB -> FromLinear -> save.
+    """
     header = frame.header
     meta = frame.file_header.image_metadata
     w, h = header.size()
     num_ec = len(meta.extra_channel_info)
 
     if header.encoding == Encoding.VARDCT:
-        planes = [p[:h, :w].copy() for p in frame.vardct_pixels]
-        # TODO(chroma): upsample subsampled planes before this point
+        planes = [p.copy() for p in frame.vardct_pixels]
     elif meta.xyb_encoded:
         # modular XYB order is [Y, X, B]; B has Y added
         # (ref convert.rs ConvertModularXYBToF32: :278-345)
@@ -68,8 +72,53 @@ def render_frame(frame) -> np.ndarray:
         if frame.color_channels == 1:
             planes = [planes[0]] * 3
 
+    # chroma upsampling (420/422/440 VarDCT)
+    from .stages import core as st
+
+    for c in range(min(3, len(planes))):
+        if header.hshift(c):
+            for _ in range(header.hshift(c)):
+                planes[c] = st.chroma_upsample_h(np, planes[c])
+        if header.vshift(c):
+            for _ in range(header.vshift(c)):
+                planes[c] = st.chroma_upsample_v(np, planes[c])
+
+    rf = header.restoration_filter
+    if rf.gab and len(planes) >= 3:
+        gw = [
+            (rf.gab_x_weight1, rf.gab_x_weight2),
+            (rf.gab_y_weight1, rf.gab_y_weight2),
+            (rf.gab_b_weight1, rf.gab_b_weight2),
+        ]
+        for c in range(3):
+            planes[c] = st.gaborish(np, planes[c], *gw[c])
+
+    if rf.epf_iters > 0 and len(planes) >= 3:
+        if header.encoding == Encoding.VARDCT:
+            sigma_block = st.compute_sigma_image(frame)
+            const_sigma = None
+        else:
+            sigma_block = None
+            const_sigma = st.INV_SIGMA_NUM / rf.epf_sigma_for_modular
+        rgb3 = planes[:3]
+        if rf.epf_iters >= 3:
+            rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 0, constant_sigma=const_sigma)
+        if rf.epf_iters >= 1:
+            rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 1, constant_sigma=const_sigma)
+        if rf.epf_iters >= 2:
+            rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 2, constant_sigma=const_sigma)
+        planes[:3] = rgb3
+
+    # color upsampling
+    if header.upsampling > 1:
+        n = header.upsampling
+        kern = st.build_upsample_kernels(
+            getattr(frame.file_header.transform_data, f"weights{n}"), n
+        )
+        planes = [st.upsample(np, p, kern, n) for p in planes]
+
     if meta.xyb_encoded:
-        x, y, b = planes
+        x, y, b = planes[:3]
         r, g, b = xyb_to_linear(
             x, y, b, frame.file_header.transform_data.opsin_inverse_matrix,
             meta.tone_mapping.intensity_target,
@@ -79,16 +128,22 @@ def render_frame(frame) -> np.ndarray:
         r, g, b = ycbcr_to_rgb(planes[1], planes[0], planes[2])
         planes = [r, g, b]
 
-    out = [p[:h, :w] for p in planes]
+    wu, hu = header.size_upsampled()
+    out = [p[:hu, :wu] for p in planes]
 
-    # extra channels (alpha etc.) appended as-is, scaled to [0,1]
-    if header.encoding != Encoding.VARDCT or True:
-        mg = frame.lf_global.modular_global if frame.lf_global else None
-        for i in range(num_ec):
-            info = meta.extra_channel_info[i]
-            bits = info.bit_depth.bits_per_sample
-            scale = np.float32(1.0 / ((1 << bits) - 1))
-            ec = mg.output_channel(3 + i).astype(np.float32) * scale
-            out.append(ec[:h, :w])
+    # extra channels (alpha etc.), upsampled by their own factor
+    mg = frame.lf_global.modular_global if frame.lf_global else None
+    for i in range(num_ec):
+        info = meta.extra_channel_info[i]
+        bits = info.bit_depth.bits_per_sample
+        scale = np.float32(1.0 / ((1 << bits) - 1))
+        ec = mg.output_channel(3 + i).astype(np.float32) * scale
+        ec_up = header.ec_upsampling[i]
+        if ec_up > 1:
+            kern = st.build_upsample_kernels(
+                getattr(frame.file_header.transform_data, f"weights{ec_up}"), ec_up
+            )
+            ec = st.upsample(np, ec, kern, ec_up)
+        out.append(ec[:hu, :wu])
 
     return np.stack(out, axis=-1)
