@@ -223,14 +223,18 @@ def decode_modular_subbitstream(
         tree = global_tree
 
     image_width = max((b.data.shape[1] for b in local_buffers), default=0)
-    reader = SymbolReader(tree.histograms, br, image_width)
 
-    for i, b in enumerate(local_buffers):
-        if b.data.size == 0:
-            continue
-        decode_modular_channel(local_buffers, i, stream_id, header, tree, reader, br)
+    from .. import native
 
-    reader.check_final_state(tree.histograms, br)
+    if not native.decode_modular_native(
+        local_buffers, stream_id, header, tree, br, image_width
+    ):
+        reader = SymbolReader(tree.histograms, br, image_width)
+        for i, b in enumerate(local_buffers):
+            if b.data.size == 0:
+                continue
+            decode_modular_channel(local_buffers, i, stream_id, header, tree, reader, br)
+        reader.check_final_state(tree.histograms, br)
 
     if transform_steps:
         inverse_apply_steps(transform_steps, storage)

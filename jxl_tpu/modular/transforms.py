@@ -454,6 +454,34 @@ def apply_palette(storage, step: PaletteStep):
         return
 
     psz = num_colors + num_deltas
+
+    from .. import native
+
+    if native.available():
+        import ctypes
+
+        lib = native.get_lib()
+        wp = step.wp_header
+        wp_params = np.array(
+            [wp.p1c, wp.p2c, wp.p3ca, wp.p3cb, wp.p3cc, wp.p3cd, wp.p3ce,
+             wp.w0, wp.w1, wp.w2, wp.w3, 0],
+            dtype=np.int32,
+        )
+        idx = np.ascontiguousarray(buf_in.data)
+        pal = np.ascontiguousarray(palette)
+        for c, out in enumerate(outs):
+            dst = np.zeros((h, w), dtype=np.int32)
+            lib.jxl_palette_apply(
+                native._ptr(idx, ctypes.c_int32), ctypes.c_int(w), ctypes.c_int(h),
+                native._ptr(pal, ctypes.c_int32), ctypes.c_int(palette.shape[1]),
+                ctypes.c_int(c), native._ptr(dst, ctypes.c_int32),
+                ctypes.c_int(num_colors), ctypes.c_int(num_deltas),
+                ctypes.c_int(int(pred)), native._ptr(wp_params, ctypes.c_int32),
+                ctypes.c_int(bit_depth),
+            )
+            out.data[...] = dst
+        return
+
     if pred == Predictor.WEIGHTED:
         for c, out in enumerate(outs):
             wp = WeightedPredictorState(step.wp_header, w)

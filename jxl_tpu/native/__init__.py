@@ -1,0 +1,200 @@
+"""Native host decoder: builds (g++, cached) and wraps modular_decode.cc.
+
+The C++ path is semantics-identical to the Python oracle and is verified
+against it (tests/test_native.py). It decodes whole modular sub-bitstreams
+and VarDCT AC groups from raw section bytes at production speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).parent
+_SRC = _DIR / "modular_decode.cc"
+
+_lib = None
+_disabled = os.environ.get("JXL_TPU_NO_NATIVE", "") == "1"
+
+
+def _build() -> pathlib.Path | None:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _DIR / f"_modular_decode_{tag}.so"
+    if out.exists():
+        return out
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-o", str(out),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    return out
+
+
+def get_lib():
+    global _lib
+    if _disabled:
+        return None
+    if _lib is None:
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(str(path))
+        lib.jxl_decode_modular.restype = ctypes.c_int
+        lib.jxl_decode_vardct_ac.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(arr, typ):
+    return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def pack_entropy(histograms):
+    """Pack a Histograms bundle into flat arrays for the native decoder."""
+    n_clusters = histograms.num_histograms
+    use_prefix = histograms.use_prefix_code
+    if use_prefix:
+        offsets = np.zeros(n_clusters, dtype=np.int32)
+        bits_l, values_l = [], []
+        pos = 0
+        for c in range(n_clusters):
+            t = histograms.codes.tables[c]
+            offsets[c] = pos
+            bits_l.extend(t.bits)
+            values_l.extend(t.values)
+            pos += len(t.bits)
+        ans_tables = np.zeros(1, dtype=np.int32)
+        huff = (
+            offsets,
+            np.array(bits_l, dtype=np.int32),
+            np.array(values_l, dtype=np.int32),
+        )
+        table_size, log_bucket = 0, 0
+    else:
+        hs = histograms.codes.histograms
+        table_size = len(hs[0].dist)
+        log_bucket = hs[0].log_bucket_size
+        ans_tables = np.zeros((n_clusters, 5, table_size), dtype=np.int32)
+        for c, h in enumerate(hs):
+            ans_tables[c, 0] = h.dist
+            ans_tables[c, 1] = h.alias_symbol
+            ans_tables[c, 2] = h.alias_offset
+            ans_tables[c, 3] = h.alias_cutoff
+            ans_tables[c, 4] = h.alias_dist
+        huff = (
+            np.zeros(1, dtype=np.int32),
+            np.zeros(1, dtype=np.int32),
+            np.zeros(1, dtype=np.int32),
+        )
+    ctx_map = np.array(histograms.context_map, dtype=np.uint8)
+    cfgs = np.zeros((n_clusters, 3), dtype=np.int32)
+    for c in range(n_clusters):
+        u = histograms.uint_configs[c]
+        cfgs[c] = (u.split_exponent, u.msb_in_token, u.lsb_in_token)
+    if histograms.lz77_enabled:
+        lz = histograms.lz77_length_uint
+        lz_cfg = np.array([lz.split_exponent, lz.msb_in_token, lz.lsb_in_token], dtype=np.int32)
+    else:
+        lz_cfg = np.zeros(3, dtype=np.int32)
+    return {
+        "use_prefix": int(use_prefix),
+        "ans_tables": np.ascontiguousarray(ans_tables),
+        "table_size": table_size,
+        "log_bucket": log_bucket,
+        "huff_offsets": huff[0],
+        "huff_bits": huff[1],
+        "huff_values": huff[2],
+        "context_map": ctx_map,
+        "uint_configs": np.ascontiguousarray(cfgs),
+        "lz77": int(histograms.lz77_enabled),
+        "min_symbol": histograms.lz77_min_symbol,
+        "min_length": histograms.lz77_min_length,
+        "lz_cfg": lz_cfg,
+        "lz_dist_cluster": histograms.lz_dist_cluster,
+    }
+
+
+def pack_tree(tree) -> np.ndarray:
+    nodes = np.zeros((len(tree.nodes), 8), dtype=np.int32)
+    for i, n in enumerate(tree.nodes):
+        if n.is_leaf:
+            nodes[i] = (-1, 0, 0, 0, int(n.predictor), n.offset, n.multiplier, n.context)
+        else:
+            nodes[i] = (n.property, n.splitval, n.left, n.right, 0, 0, 1, 0)
+    return nodes
+
+
+def decode_modular_native(buffers, stream_id, header, tree, br, image_width) -> bool:
+    """Decode all channels of a modular sub-bitstream natively.
+
+    Returns True on success (br.pos advanced, buffers filled); raises on
+    bitstream errors. Falls back (returns False) if unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    from ..errors import InvalidBitstream
+
+    ent = pack_entropy(tree.histograms)
+    tree_arr = pack_tree(tree)
+    wp = header.wp_header
+    wp_params = np.array(
+        [wp.p1c, wp.p2c, wp.p3ca, wp.p3cb, wp.p3cc, wp.p3cd, wp.p3ce,
+         wp.w0, wp.w1, wp.w2, wp.w3, 0],
+        dtype=np.int32,
+    )
+
+    # scratch contiguous buffer holding all channels
+    total = sum(b.data.shape[0] * b.data.shape[1] for b in buffers)
+    out = np.zeros(max(total, 1), dtype=np.int32)
+    chan_info = np.zeros((len(buffers), 6), dtype=np.int64)
+    off = 0
+    for i, b in enumerate(buffers):
+        h, w = b.data.shape
+        shift = b.shift if b.shift is not None else (-1, -1)
+        chan_info[i] = (w, h, shift[0], shift[1], w, off)
+        off += h * w
+
+    data = br.data
+    bit_pos = ctypes.c_uint64(br.pos)
+    ret = lib.jxl_decode_modular(
+        data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+        ctypes.c_int(ent["use_prefix"]),
+        _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
+        ctypes.c_int(ent["log_bucket"]),
+        _ptr(ent["huff_offsets"], ctypes.c_int32),
+        _ptr(ent["huff_bits"], ctypes.c_int32),
+        _ptr(ent["huff_values"], ctypes.c_int32),
+        _ptr(ent["context_map"], ctypes.c_uint8), ctypes.c_int(len(ent["context_map"])),
+        _ptr(ent["uint_configs"], ctypes.c_int32),
+        ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
+        ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
+        ctypes.c_int(ent["lz_dist_cluster"]), ctypes.c_uint32(image_width if ent["lz77"] else 0),
+        _ptr(tree_arr, ctypes.c_int32), ctypes.c_int(len(tree_arr)),
+        ctypes.c_int(tree.num_properties),
+        _ptr(wp_params, ctypes.c_int32),
+        ctypes.c_int(len(buffers)), _ptr(chan_info, ctypes.c_int64),
+        _ptr(out, ctypes.c_int32), ctypes.c_int(stream_id),
+    )
+    if ret != 0:
+        raise InvalidBitstream(f"native modular decode failed (code {ret})")
+    br.pos = bit_pos.value
+    off = 0
+    for b in buffers:
+        h, w = b.data.shape
+        b.data[...] = out[off : off + h * w].reshape(h, w)
+        off += h * w
+    return True

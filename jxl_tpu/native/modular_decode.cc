@@ -1,0 +1,815 @@
+// Native host decoder for the hot entropy + modular loops.
+//
+// Semantics mirror the Python oracle (jxl_tpu/modular, jxl_tpu/entropy)
+// exactly — the oracle is the correctness reference, this is the
+// production host path (capability parity with the reference's Rust hot
+// loops: jxl/src/entropy_coding/*, frame/modular/decode/*, frame/group.rs).
+//
+// Python decodes headers/tables (cold) and packs them into flat arrays;
+// this library consumes raw section bytes and fills channel planes /
+// coefficient buffers.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- bit reader
+
+struct BitReader {
+  const uint8_t* data;
+  uint64_t size;       // bytes
+  uint64_t pos;        // bit position (may exceed size*8 on overrun)
+
+  uint64_t Peek(int n) const {
+    // little-endian, LSB-first; zero-padded past the end
+    uint64_t byte0 = pos >> 3;
+    uint64_t v = 0;
+    int need = ((int)(pos & 7) + n + 7) >> 3;
+    for (int i = 0; i < need && i < 8; i++) {
+      uint64_t b = byte0 + i < size ? data[byte0 + i] : 0;
+      v |= b << (8 * i);
+    }
+    v >>= (pos & 7);
+    return n >= 64 ? v : v & ((1ull << n) - 1);
+  }
+  uint64_t Read(int n) {
+    uint64_t v = Peek(n);
+    pos += n;
+    return v;
+  }
+  bool Overrun() const { return pos > size * 8; }
+};
+
+// ------------------------------------------------------------- entropy state
+
+struct AnsTables {
+  // packed per cluster: 5 arrays of table_size int32
+  const int32_t* data;
+  int table_size;
+  int log_bucket_size;
+  int bucket_mask;
+  const int32_t* Cluster(int c) const { return data + (int64_t)c * 5 * table_size; }
+};
+
+struct HuffTables {
+  const int32_t* offsets;  // per cluster start into bits/values
+  const int32_t* bits;
+  const int32_t* values;
+};
+
+struct UintConfig {
+  int32_t split_exponent, msb, lsb;
+  uint32_t split_token() const { return 1u << split_exponent; }
+};
+
+struct EntropyDecoder {
+  bool use_prefix;
+  AnsTables ans;
+  HuffTables huff;
+  const uint8_t* context_map;
+  int num_contexts;
+  const UintConfig* uint_configs;
+  uint32_t ans_state;
+  // LZ77
+  bool lz77;
+  uint32_t min_symbol, min_length, dist_multiplier;
+  UintConfig lz_len_config;
+  int lz_dist_cluster;
+  std::vector<uint32_t> window;
+  uint32_t num_to_copy = 0, copy_pos = 0, num_decoded = 0;
+  bool error = false;
+
+  static constexpr uint32_t kWindowMask = (1u << 20) - 1;
+
+  void Init(BitReader& br) {
+    ans_state = use_prefix ? 0x130000u : (uint32_t)br.Read(32);
+    if (lz77) window.resize(1u << 20);
+  }
+
+  uint32_t ReadToken(BitReader& br, int cluster) {
+    if (use_prefix) {
+      int base = huff.offsets[cluster];
+      uint32_t peek = (uint32_t)br.Peek(8);
+      int idx = base + (int)peek;
+      int nbits = huff.bits[idx];
+      if (nbits > 8) {
+        br.pos += 8;
+        idx = base + (int)peek + huff.values[idx] + (int)br.Peek(nbits - 8);
+        br.pos += huff.bits[idx];
+        return (uint32_t)huff.values[idx];
+      }
+      br.pos += nbits;
+      return (uint32_t)huff.values[idx];
+    }
+    const int32_t* t = ans.Cluster(cluster);
+    const int ts = ans.table_size;
+    uint32_t idx = ans_state & 0xfff;
+    uint32_t i = idx >> ans.log_bucket_size;
+    uint32_t pos = idx & ans.bucket_mask;
+    const int32_t* dist = t;
+    const int32_t* alias_symbol = t + ts;
+    const int32_t* alias_offset = t + 2 * ts;
+    const int32_t* alias_cutoff = t + 3 * ts;
+    const int32_t* alias_dist = t + 4 * ts;
+    uint32_t sym, off, d;
+    if ((int32_t)pos >= alias_cutoff[i]) {
+      sym = alias_symbol[i];
+      off = alias_offset[i] + pos;
+      d = alias_dist[i];
+    } else {
+      sym = i;
+      off = pos;
+      d = dist[i];
+    }
+    ans_state = (ans_state >> 12) * d + off;
+    if (ans_state < (1u << 16)) {
+      ans_state = (ans_state << 16) | (uint32_t)br.Peek(16);
+      br.pos += 16;
+    }
+    return sym;
+  }
+
+  uint32_t ReadUintCfg(uint32_t token, const UintConfig& cfg, BitReader& br) {
+    if (token < cfg.split_token()) return token;
+    uint32_t bits_in_token = cfg.lsb + cfg.msb;
+    uint32_t nbits = cfg.split_exponent - bits_in_token +
+                     ((token - cfg.split_token()) >> bits_in_token);
+    nbits &= 31;
+    uint32_t low = token & ((1u << cfg.lsb) - 1);
+    uint32_t token_nolow = token >> cfg.lsb;
+    uint32_t bits = (uint32_t)br.Read((int)nbits);
+    uint32_t hi = (token_nolow & ((1u << cfg.msb) - 1)) | (1u << cfg.msb);
+    return (((hi << nbits) | bits) << cfg.lsb) | low;
+  }
+
+  void Push(uint32_t v) {
+    if (lz77) window[num_decoded & kWindowMask] = v;
+    num_decoded++;
+  }
+
+  uint32_t ReadClustered(BitReader& br, int cluster) {
+    if (!lz77) {
+      uint32_t token = ReadToken(br, cluster);
+      return ReadUintCfg(token, uint_configs[cluster], br);
+    }
+    if (num_to_copy > 0) {
+      uint32_t sym = window[copy_pos++ & kWindowMask];
+      num_to_copy--;
+      Push(sym);
+      return sym;
+    }
+    uint32_t token = ReadToken(br, cluster);
+    if (token < min_symbol) {
+      uint32_t sym = ReadUintCfg(token, uint_configs[cluster], br);
+      Push(sym);
+      return sym;
+    }
+    if (num_decoded == 0) {
+      error = true;
+      return 0;
+    }
+    uint64_t ntc =
+        (uint64_t)ReadUintCfg(token - min_symbol, lz_len_config, br) + min_length;
+    if (ntc >= (1ull << 32)) {
+      error = true;
+      return 0;
+    }
+    uint32_t dist_token = ReadToken(br, lz_dist_cluster);
+    uint32_t distance_sym = ReadUintCfg(dist_token, uint_configs[lz_dist_cluster], br);
+    uint32_t distance_sub_1;
+    if (dist_multiplier == 0) {
+      distance_sub_1 = distance_sym;
+    } else if (distance_sym >= 120) {
+      distance_sub_1 = distance_sym - 120;
+    } else {
+      static const int8_t kSpecial[120][2] = {
+          {0,1},{1,0},{1,1},{-1,1},{0,2},{2,0},{1,2},{-1,2},{2,1},{-2,1},
+          {2,2},{-2,2},{0,3},{3,0},{1,3},{-1,3},{3,1},{-3,1},{2,3},{-2,3},
+          {3,2},{-3,2},{0,4},{4,0},{1,4},{-1,4},{4,1},{-4,1},{3,3},{-3,3},
+          {2,4},{-2,4},{4,2},{-4,2},{0,5},{3,4},{-3,4},{4,3},{-4,3},{5,0},
+          {1,5},{-1,5},{5,1},{-5,1},{2,5},{-2,5},{5,2},{-5,2},{4,4},{-4,4},
+          {3,5},{-3,5},{5,3},{-5,3},{0,6},{6,0},{1,6},{-1,6},{6,1},{-6,1},
+          {2,6},{-2,6},{6,2},{-6,2},{4,5},{-4,5},{5,4},{-5,4},{3,6},{-3,6},
+          {6,3},{-6,3},{0,7},{7,0},{1,7},{-1,7},{5,5},{-5,5},{7,1},{-7,1},
+          {4,6},{-4,6},{6,4},{-6,4},{2,7},{-2,7},{7,2},{-7,2},{3,7},{-3,7},
+          {7,3},{-7,3},{5,6},{-5,6},{6,5},{-6,5},{8,0},{4,7},{-4,7},{7,4},
+          {-7,4},{8,1},{8,2},{6,6},{-6,6},{8,3},{5,7},{-5,7},{7,5},{-7,5},
+          {8,4},{6,7},{-6,7},{7,6},{-7,6},{8,5},{7,7},{-7,7},{8,6},{8,7}};
+      int64_t d = (int64_t)dist_multiplier * kSpecial[distance_sym][1] +
+                  kSpecial[distance_sym][0] - 1;
+      distance_sub_1 = d >= 0 ? (uint32_t)d : 0;
+    }
+    uint32_t distance = distance_sub_1 < kWindowMask ? distance_sub_1 + 1
+                                                     : kWindowMask + 1;
+    if (distance > num_decoded) distance = num_decoded;
+    copy_pos = num_decoded - distance;
+    num_to_copy = (uint32_t)ntc;
+    uint32_t sym = window[copy_pos++ & kWindowMask];
+    num_to_copy--;
+    Push(sym);
+    return sym;
+  }
+
+  uint32_t ReadUnsigned(BitReader& br, int context) {
+    return ReadClustered(br, context_map[context]);
+  }
+  int32_t ReadSigned(BitReader& br, int context) {
+    uint32_t u = ReadUnsigned(br, context);
+    return (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
+  }
+  bool CheckFinal(const BitReader& br) const {
+    if (error || br.Overrun()) return false;
+    if (!use_prefix && ans_state != 0x130000u) return false;
+    return true;
+  }
+};
+
+// ------------------------------------------------------------ weighted pred
+
+constexpr int kPredExtraBits = 3;
+constexpr int64_t kPredictionRound = ((1 << kPredExtraBits) >> 1) - 1;
+
+struct WPState {
+  int xsize;
+  std::vector<uint32_t> pred_errors[4];
+  std::vector<int32_t> error;
+  int32_t w[4];
+  int32_t p1c, p2c, p3c[5];
+  int64_t prediction[4];
+  int64_t pred = 0;
+
+  static const uint32_t* DivLookup() {
+    static uint32_t lut[64];
+    static bool init = false;
+    if (!init) {
+      for (int i = 0; i < 64; i++) lut[i] = (1u << 24) / (i + 1);
+      init = true;
+    }
+    return lut;
+  }
+
+  void Init(const int32_t* params, int xs) {
+    xsize = xs;
+    int n = (xs + 1) * 2;
+    for (auto& pe : pred_errors) pe.assign(n, 0);
+    error.assign(n, 0);
+    p1c = params[0]; p2c = params[1];
+    for (int i = 0; i < 5; i++) p3c[i] = params[2 + i];
+    for (int i = 0; i < 4; i++) w[i] = params[7 + i];
+  }
+
+  // pd: left, top, toptop, topleft, topright
+  void PredictAndProperty(int x, int y, const int32_t* pd, int64_t* out_pred,
+                          int32_t* out_prop) {
+    const uint32_t* div = DivLookup();
+    int cur_row = (y & 1) ? 0 : xsize + 1;
+    int prev_row = (y & 1) ? xsize + 1 : 0;
+    int pos_ne = x + 1 < xsize ? x + 1 : x;
+    int pos_nw = x > 0 ? x - 1 : 0;
+
+    uint32_t ws[4];
+    for (int k = 0; k < 4; k++) {
+      uint32_t e = pred_errors[k][prev_row + x] + pred_errors[k][prev_row + pos_ne] +
+                   pred_errors[k][prev_row + pos_nw];
+      uint32_t sh = 0;
+      uint64_t e1 = (uint64_t)e + 1;
+      int lg = 63 - __builtin_clzll(e1);
+      sh = lg > 5 ? lg - 5 : 0;
+      ws[k] = 4u + (((uint32_t)w[k] * div[e >> sh]) >> sh);
+    }
+
+    int64_t te_w = error[cur_row + x];
+    int64_t te_n = error[prev_row + 1 + x];
+    int64_t te_nw = error[prev_row + 1 + pos_nw];
+    int64_t te_ne = error[prev_row + 1 + pos_ne];
+    int64_t sum_wn = te_n + te_w;
+
+    int64_t p = te_w;
+    auto absl = [](int64_t v) { return v < 0 ? -v : v; };
+    if (absl(te_n) > absl(p)) p = te_n;
+    if (absl(te_nw) > absl(p)) p = te_nw;
+    if (absl(te_ne) > absl(p)) p = te_ne;
+
+    int64_t n8 = (int64_t)pd[1] << kPredExtraBits;
+    int64_t w8 = (int64_t)pd[0] << kPredExtraBits;
+    int64_t ne8 = (int64_t)pd[4] << kPredExtraBits;
+    int64_t nw8 = (int64_t)pd[3] << kPredExtraBits;
+    int64_t nn8 = (int64_t)pd[2] << kPredExtraBits;
+
+    int64_t p0 = w8 + ne8 - n8;
+    int64_t p1 = n8 - (((sum_wn + te_ne) * p1c) >> 5);
+    int64_t p2 = w8 - (((sum_wn + te_nw) * p2c) >> 5);
+    int64_t p3 = n8 - ((te_nw * p3c[0] + te_n * p3c[1] + te_ne * p3c[2] +
+                        (nn8 - n8) * p3c[3] + (nw8 - w8) * p3c[4]) >>
+                       5);
+
+    uint64_t wsum_raw = (uint64_t)ws[0] + ws[1] + ws[2] + ws[3];
+    int log_weight = 63 - __builtin_clzll(wsum_raw);
+    int sh = log_weight - 4;
+    int64_t w0s = ws[0] >> sh, w1s = ws[1] >> sh, w2s = ws[2] >> sh, w3s = ws[3] >> sh;
+    int64_t weight_sum = w0s + w1s + w2s + w3s;
+    int64_t ssum = (weight_sum >> 1) - 1 + w0s * p0 + w1s * p1 + w2s * p2 + w3s * p3;
+    int64_t prd = (ssum * (int64_t)div[weight_sum - 1]) >> 24;
+
+    if (((te_n ^ te_w) | (te_n ^ te_nw)) <= 0) {
+      int64_t mx = w8 > ne8 ? w8 : ne8; if (n8 > mx) mx = n8;
+      int64_t mn = w8 < ne8 ? w8 : ne8; if (n8 < mn) mn = n8;
+      if (prd > mx) prd = mx;
+      if (prd < mn) prd = mn;
+    }
+    prediction[0] = p0; prediction[1] = p1; prediction[2] = p2; prediction[3] = p3;
+    pred = prd;
+    *out_pred = (prd + kPredictionRound) >> kPredExtraBits;
+    *out_prop = (int32_t)p;
+  }
+
+  void UpdateErrors(int32_t val, int x, int y) {
+    int cur_row = (y & 1) ? 0 : xsize + 1;
+    int prev_row = (y & 1) ? xsize + 1 : 0;
+    int64_t v = (int64_t)val << kPredExtraBits;
+    error[cur_row + x + 1] = (int32_t)(pred - v);
+    for (int k = 0; k < 4; k++) {
+      int64_t diff = prediction[k] - v;
+      if (diff < 0) diff = -diff;
+      uint32_t e = (uint32_t)((diff + kPredictionRound) >> kPredExtraBits);
+      pred_errors[k][cur_row + x] = e;
+      pred_errors[k][prev_row + x + 1] += e;
+    }
+  }
+};
+
+// ------------------------------------------------------------------- helpers
+
+inline int64_t ClampedGradient(int64_t l, int64_t t, int64_t tl) {
+  int64_t mn = l < t ? l : t;
+  int64_t mx = l > t ? l : t;
+  int64_t grad = l + t - tl;
+  int64_t g = tl < mn ? mx : grad;
+  return tl > mx ? mn : g;
+}
+
+inline int64_t TruncDiv2(int64_t v) { return v < 0 ? -((-v) >> 1) : v >> 1; }
+
+inline int64_t PredictOne(int pred, const int32_t* pd, int64_t wp_pred) {
+  int64_t left = pd[0], top = pd[1], toptop = pd[2], topleft = pd[3],
+          topright = pd[4], leftleft = pd[5], toprightright = pd[6];
+  switch (pred) {
+    case 0: return 0;
+    case 1: return left;
+    case 2: return top;
+    case 3: return TruncDiv2(top + left);
+    case 4: {
+      int64_t p = left + top - topleft;
+      int64_t dl = p - left; if (dl < 0) dl = -dl;
+      int64_t dt = p - top; if (dt < 0) dt = -dt;
+      return dl < dt ? left : top;
+    }
+    case 5: return ClampedGradient(left, top, topleft);
+    case 6: return wp_pred;
+    case 7: return topright;
+    case 8: return topleft;
+    case 9: return leftleft;
+    case 10: return TruncDiv2(left + topleft);
+    case 11: return TruncDiv2(top + topleft);
+    case 12: return TruncDiv2(top + topright);
+    default:
+      return (6 * top - 2 * toptop + 7 * left + leftleft + toprightright +
+              3 * topright + 8) >> 4;
+  }
+}
+
+struct TreeNode {
+  int32_t property, splitval, lchild, rchild, predictor, offset, multiplier, ctx;
+};
+
+struct ChannelDesc {
+  int64_t w, h, shift0, shift1, row_stride, offset;  // offset into out buffer
+};
+
+constexpr int kNumNonrefProps = 16;
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; 1 = entropy error; 2 = overrun.
+// Decodes all channels of one modular sub-bitstream.
+int jxl_decode_modular(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos,
+    // entropy
+    int use_prefix, const int32_t* ans_tables, int ans_table_size,
+    int ans_log_bucket, const int32_t* huff_offsets, const int32_t* huff_bits,
+    const int32_t* huff_values, const uint8_t* context_map, int num_contexts,
+    const int32_t* uint_configs /* 3 per cluster */, int lz77_enabled,
+    uint32_t min_symbol, uint32_t min_length, const int32_t* lz_config,
+    int lz_dist_cluster, uint32_t dist_multiplier,
+    // tree
+    const int32_t* tree_data, int num_nodes, int num_props,
+    // wp
+    const int32_t* wp_params,
+    // channels
+    int num_channels, const int64_t* chan_info, int32_t* out, int stream_id) {
+  BitReader br{data, size, *bit_pos};
+  EntropyDecoder dec;
+  dec.use_prefix = use_prefix != 0;
+  dec.ans = AnsTables{ans_tables, ans_table_size, ans_log_bucket,
+                      (1 << ans_log_bucket) - 1};
+  dec.huff = HuffTables{huff_offsets, huff_bits, huff_values};
+  dec.context_map = context_map;
+  dec.num_contexts = num_contexts;
+  std::vector<UintConfig> cfgs;
+  {
+    int n_clusters = 0;
+    for (int i = 0; i < num_contexts; i++)
+      if (context_map[i] + 1 > n_clusters) n_clusters = context_map[i] + 1;
+    cfgs.resize(n_clusters);
+    for (int i = 0; i < n_clusters; i++)
+      cfgs[i] = UintConfig{uint_configs[3 * i], uint_configs[3 * i + 1],
+                           uint_configs[3 * i + 2]};
+  }
+  dec.uint_configs = cfgs.data();
+  dec.lz77 = lz77_enabled != 0;
+  dec.min_symbol = min_symbol;
+  dec.min_length = min_length;
+  dec.dist_multiplier = dist_multiplier;
+  dec.lz_dist_cluster = lz_dist_cluster;
+  if (lz77_enabled) dec.lz_len_config = UintConfig{lz_config[0], lz_config[1], lz_config[2]};
+  dec.Init(br);
+
+  const TreeNode* tree = reinterpret_cast<const TreeNode*>(tree_data);
+  bool single_leaf = num_nodes == 1 || tree[0].property < 0;
+  bool use_wp = false;
+  for (int i = 0; i < num_nodes; i++) {
+    if (tree[i].property < 0 ? tree[i].predictor == 6 : tree[i].property == 15) {
+      use_wp = true;
+      break;
+    }
+  }
+  int num_ref_props = 0;
+  if (num_props > kNumNonrefProps)
+    num_ref_props = ((num_props - kNumNonrefProps + 3) / 4) * 4;
+
+  std::vector<int32_t> props(kNumNonrefProps + num_ref_props, 0);
+  props[1] = stream_id;
+
+  std::vector<int32_t> refs;  // per-row: w * num_ref_props
+
+  WPState wp;
+  for (int ci = 0; ci < num_channels; ci++) {
+    const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
+    int w = (int)cd.w, h = (int)cd.h;
+    if (w == 0 || h == 0) continue;
+    int32_t* base = out + cd.offset;
+    int64_t stride = cd.row_stride;
+    props[0] = ci;
+    if (use_wp) wp.Init(wp_params, w);
+    if (num_ref_props) refs.assign((size_t)w * num_ref_props, 0);
+
+    for (int y = 0; y < h; y++) {
+      int32_t* row = base + (int64_t)y * stride;
+      const int32_t* prev = y > 0 ? row - stride : nullptr;
+      const int32_t* prevprev = y > 1 ? row - 2 * stride : nullptr;
+
+      if (num_ref_props) {
+        // previous-channel reference properties (ref decode/common.rs)
+        std::memset(refs.data(), 0, refs.size() * sizeof(int32_t));
+        int offset = 0;
+        for (int i = 0; i < ci && offset < num_ref_props; i++) {
+          int j = ci - 1 - i;
+          const ChannelDesc& rd = reinterpret_cast<const ChannelDesc*>(chan_info)[j];
+          if (rd.w != cd.w || rd.h != cd.h || rd.shift0 != cd.shift0 ||
+              rd.shift1 != cd.shift1)
+            continue;
+          const int32_t* rrow = out + rd.offset + (int64_t)y * rd.row_stride;
+          const int32_t* rprev = y > 0 ? rrow - rd.row_stride : nullptr;
+          for (int x = 0; x < w; x++) {
+            int32_t* r = refs.data() + (size_t)x * num_ref_props + offset;
+            int32_t v = rrow[x];
+            r[0] = v < 0 ? -v : v;
+            r[1] = v;
+            int64_t vleft = x > 0 ? rrow[x - 1] : 0;
+            int64_t vtop = y > 0 ? rprev[x] : vleft;
+            int64_t vtopleft = (x > 0 && y > 0) ? rprev[x - 1] : vleft;
+            int64_t vpred = ClampedGradient(vleft, vtop, vtopleft);
+            int64_t d = (int64_t)v - vpred;
+            r[2] = (int32_t)(d < 0 ? -d : d);
+            r[3] = (int32_t)d;
+          }
+          offset += 4;
+        }
+      }
+
+      props[2] = y;
+      props[9] = 0;
+      for (int x = 0; x < w; x++) {
+        int32_t pd[7];
+        int32_t left = x > 0 ? row[x - 1] : (y > 0 ? prev[0] : 0);
+        int32_t top, topleft, topright, toprightright;
+        if (y > 0) {
+          top = prev[x];
+          topleft = x > 0 ? prev[x - 1] : left;
+          topright = x + 1 < w ? prev[x + 1] : top;
+          toprightright = x + 2 < w ? prev[x + 2] : topright;
+        } else {
+          top = topleft = topright = toprightright = left;
+        }
+        int32_t leftleft = x > 1 ? row[x - 2] : left;
+        int32_t toptop = y > 1 ? prevprev[x] : top;
+        pd[0] = left; pd[1] = top; pd[2] = toptop; pd[3] = topleft;
+        pd[4] = topright; pd[5] = leftleft; pd[6] = toprightright;
+
+        int64_t wp_pred = 0;
+        int32_t wp_prop = 0;
+        if (use_wp) wp.PredictAndProperty(x, y, pd, &wp_pred, &wp_prop);
+
+        const TreeNode* leaf;
+        if (single_leaf) {
+          leaf = &tree[0];
+        } else {
+          props[3] = x;
+          props[4] = top < 0 ? -top : top;
+          props[5] = left < 0 ? -left : left;
+          props[6] = top;
+          props[7] = left;
+          int32_t old9 = props[9];
+          props[8] = (int32_t)((uint32_t)left - (uint32_t)old9);
+          props[9] = (int32_t)((uint32_t)left + (uint32_t)top - (uint32_t)topleft);
+          props[10] = (int32_t)((uint32_t)left - (uint32_t)topleft);
+          props[11] = (int32_t)((uint32_t)topleft - (uint32_t)top);
+          props[12] = (int32_t)((uint32_t)top - (uint32_t)topright);
+          props[13] = (int32_t)((uint32_t)top - (uint32_t)toptop);
+          props[14] = (int32_t)((uint32_t)left - (uint32_t)leftleft);
+          props[15] = wp_prop;
+          if (num_ref_props)
+            std::memcpy(props.data() + kNumNonrefProps,
+                        refs.data() + (size_t)x * num_ref_props,
+                        num_ref_props * sizeof(int32_t));
+          const TreeNode* node = &tree[0];
+          while (node->property >= 0) {
+            node = props[node->property] > node->splitval ? &tree[node->lchild]
+                                                          : &tree[node->rchild];
+          }
+          leaf = node;
+        }
+
+        int64_t guess = PredictOne(leaf->predictor, pd, wp_pred) + leaf->offset;
+        int32_t decd = dec.ReadSigned(br, leaf->ctx);
+        int32_t val = (int32_t)(guess + (int64_t)leaf->multiplier * decd);
+        if (use_wp) wp.UpdateErrors(val, x, y);
+        row[x] = val;
+      }
+    }
+  }
+
+  *bit_pos = br.pos;
+  if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  return 0;
+}
+
+// VarDCT AC coefficient decode for one (group, pass).
+// Decodes all blocks' coefficients into `coeffs` (3 x GROUP_AREA int32,
+// accumulating <<shift), using the precomputed per-block metadata arrays.
+int jxl_decode_vardct_ac(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos,
+    // entropy (same packing as above)
+    int use_prefix, const int32_t* ans_tables, int ans_table_size,
+    int ans_log_bucket, const int32_t* huff_offsets, const int32_t* huff_bits,
+    const int32_t* huff_values, const uint8_t* context_map, int num_contexts,
+    const int32_t* uint_configs, int lz77_enabled, uint32_t min_symbol,
+    uint32_t min_length, const int32_t* lz_config, int lz_dist_cluster,
+    uint32_t dist_multiplier,
+    // per-block metadata: n_items rows of 11 ints:
+    //   [c, sbx, sby, num_blocks, num_coeffs, bctx, context_offset,
+    //    order_offset, coeffs_offset(absolute), cx, cy]
+    int n_items, const int32_t* items,
+    const int32_t* orders,  // concatenated coeff orders
+    int32_t* coeffs,        // flat accumulator buffer (absolute offsets)
+    int shift, int num_bctx,
+    int32_t* nzeros_maps, const int32_t* nz_dims /* per channel: w,h,offset */) {
+  BitReader br{data, size, *bit_pos};
+  EntropyDecoder dec;
+  dec.use_prefix = use_prefix != 0;
+  dec.ans = AnsTables{ans_tables, ans_table_size, ans_log_bucket,
+                      (1 << ans_log_bucket) - 1};
+  dec.huff = HuffTables{huff_offsets, huff_bits, huff_values};
+  dec.context_map = context_map;
+  dec.num_contexts = num_contexts;
+  std::vector<UintConfig> cfgs;
+  {
+    int n_clusters = 0;
+    for (int i = 0; i < num_contexts; i++)
+      if (context_map[i] + 1 > n_clusters) n_clusters = context_map[i] + 1;
+    cfgs.resize(n_clusters);
+    for (int i = 0; i < n_clusters; i++)
+      cfgs[i] = UintConfig{uint_configs[3 * i], uint_configs[3 * i + 1],
+                           uint_configs[3 * i + 2]};
+  }
+  dec.uint_configs = cfgs.data();
+  dec.lz77 = lz77_enabled != 0;
+  dec.min_symbol = min_symbol;
+  dec.min_length = min_length;
+  dec.dist_multiplier = dist_multiplier;
+  dec.lz_dist_cluster = lz_dist_cluster;
+  if (lz77_enabled) dec.lz_len_config = UintConfig{lz_config[0], lz_config[1], lz_config[2]};
+  dec.Init(br);
+
+  // zero-density context tables (ref block_context_map.rs:21-47)
+  static const int kFreqCtx[64] = {
+      0,  0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14,
+      15, 15, 16, 16, 17, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22,
+      23, 23, 23, 23, 24, 24, 24, 24, 25, 25, 25, 25, 26, 26, 26, 26,
+      27, 27, 27, 27, 28, 28, 28, 28, 29, 29, 29, 29, 30, 30, 30, 30};
+  static const int kNumNzCtx[64] = {
+      0,   0,   31,  62,  62,  93,  93,  93,  93,  123, 123, 123, 123,
+      152, 152, 152, 152, 152, 152, 152, 152, 180, 180, 180, 180, 180,
+      180, 180, 180, 180, 180, 180, 180, 206, 206, 206, 206, 206, 206,
+      206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
+      206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206};
+
+  for (int it = 0; it < n_items; it++) {
+    const int32_t* e = items + (int64_t)it * 11;
+    int c = e[0], sbx = e[1], sby = e[2];
+    int num_blocks = e[3], num_coeffs = e[4];
+    int bctx = e[5];
+    int context_offset = e[6];
+    int order_offset = e[7];
+    int coeffs_offset = e[8];
+    int cx = e[9], cy = e[10];
+
+    int log_num_blocks = 0;
+    while ((1 << (log_num_blocks + 1)) <= num_blocks) log_num_blocks++;
+
+    // predicted nonzeros from the per-channel map
+    const int32_t* dims = nz_dims + c * 3;
+    int nzw = dims[0];
+    int32_t* nzmap = nzeros_maps + dims[2];
+    int predicted;
+    if (sbx == 0) {
+      predicted = sby == 0 ? 32 : nzmap[(sby - 1) * nzw];
+    } else if (sby == 0) {
+      predicted = nzmap[sbx - 1];
+    } else {
+      predicted = (nzmap[(sby - 1) * nzw + sbx] + nzmap[sby * nzw + sbx - 1] + 1) / 2;
+    }
+    int nzctx = predicted < 8 ? predicted
+                               : (predicted < 64 ? 4 + predicted / 2 : 36);
+    int nonzero_context = nzctx * num_bctx + bctx + context_offset;
+    uint32_t nonzeros = dec.ReadUnsigned(br, nonzero_context);
+    if (nonzeros + num_blocks > (uint32_t)num_coeffs) {
+      *bit_pos = br.pos;
+      return 3;
+    }
+    int fill = (int)((nonzeros + num_blocks - 1) / num_blocks);
+    for (int iy = 0; iy < cy; iy++)
+      for (int ix = 0; ix < cx; ix++) nzmap[(sby + iy) * nzw + sbx + ix] = fill;
+
+    // zero-density context base (ref block_context_map.rs:152-155)
+    int histo_base = num_bctx * 37 + 458 * bctx + context_offset;
+    int prev = nonzeros > (uint32_t)(num_coeffs >> 4) ? 0 : 1;
+    const int32_t* order = orders + order_offset;
+    int32_t* cbuf = coeffs + coeffs_offset;
+
+    for (int k = num_blocks; k < num_coeffs && nonzeros > 0; k++) {
+      int nzl = (int)((nonzeros + (1 << log_num_blocks) - 1) >> log_num_blocks);
+      int kn = k >> log_num_blocks;
+      int ctx = histo_base + (kNumNzCtx[nzl & 63] + kFreqCtx[kn & 63]) * 2 + prev;
+      int32_t coeff = dec.ReadSigned(br, ctx) << shift;
+      prev = coeff != 0 ? 1 : 0;
+      nonzeros -= prev;
+      cbuf[order[k]] += coeff;
+    }
+    if (nonzeros != 0) {
+      *bit_pos = br.pos;
+      return 3;
+    }
+  }
+
+  *bit_pos = br.pos;
+  if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  return 0;
+}
+
+// ----------------------------------------------------------- palette apply
+
+static const int16_t kDeltaPalette[72][3] = {
+    {0,0,0},{4,4,4},{11,0,0},{0,0,-13},{0,-12,0},{-10,-10,-10},
+    {-18,-18,-18},{-27,-27,-27},{-18,-18,0},{0,0,-32},{-32,0,0},
+    {-37,-37,-37},{0,-32,-32},{24,24,45},{50,50,50},{-45,-24,-24},
+    {-24,-45,-45},{0,-24,-24},{-34,-34,0},{-24,0,-24},{-45,-45,-24},
+    {64,64,64},{-32,0,-32},{0,-32,0},{-32,0,32},{-24,-45,-24},
+    {45,24,45},{24,-24,-45},{-45,-24,24},{80,80,80},{64,0,0},
+    {0,0,-64},{0,-64,-64},{-24,-24,45},{96,96,96},{64,64,0},
+    {45,-24,-24},{34,-34,0},{112,112,112},{24,-45,-45},{45,45,-24},
+    {0,-32,32},{24,-24,45},{0,96,96},{45,-24,24},{24,-45,-24},
+    {-24,-45,24},{0,-64,0},{96,0,0},{128,128,128},{64,0,64},
+    {144,144,144},{96,96,0},{-36,-36,36},{45,-24,-45},{45,-45,-24},
+    {0,0,-96},{0,128,128},{0,96,0},{45,24,-45},{-128,0,0},
+    {24,-45,24},{-45,24,-45},{64,0,-64},{64,-64,-64},{96,0,96},
+    {45,-45,24},{24,45,-45},{64,64,-64},{128,128,0},{0,0,-128},
+    {-24,45,-45}};
+
+static int32_t GetPaletteValue(const int32_t* palette, int pal_w, int64_t index,
+                               int c, int palette_size, int bit_depth) {
+  if (index < 0) {
+    if (c >= 3) return 0;
+    int64_t i = -(index + 1);
+    i %= 1 + 2 * (72 - 1);
+    int32_t r = kDeltaPalette[(i + 1) >> 1][c] * ((i & 1) ? 1 : -1);
+    if (bit_depth > 8) r *= 1 << (bit_depth - 8);
+    return r;
+  }
+  constexpr int kSmall = 4, kSmallBits = 2, kLarge = 5, kLargeOff = 64;
+  if (index >= palette_size && index < palette_size + kLargeOff) {
+    if (c >= 3) return 0;
+    int64_t i = (index - palette_size) >> (c * kSmallBits);
+    return (int32_t)(((i % kSmall) * (((int64_t)1 << bit_depth) - 1)) >> 2) +
+           (1 << (bit_depth - 3 > 0 ? bit_depth - 3 : 0));
+  }
+  if (index >= palette_size + kLargeOff) {
+    if (c >= 3) return 0;
+    int64_t i = index - palette_size - kLargeOff;
+    if (c == 1) i /= kLarge;
+    else if (c == 2) i /= kLarge * kLarge;
+    return (int32_t)(((i % kLarge) * (((int64_t)1 << bit_depth) - 1)) >> 2);
+  }
+  return palette[(int64_t)c * pal_w + index];
+}
+
+extern "C" int jxl_palette_apply(const int32_t* idx, int w, int h,
+                                 const int32_t* palette, int pal_w, int c,
+                                 int32_t* out, int num_colors, int num_deltas,
+                                 int predictor, const int32_t* wp_params,
+                                 int bit_depth) {
+  int psz = num_colors + num_deltas;
+  if (predictor == 6) {  // weighted
+    WPState wp;
+    wp.Init(wp_params, w);
+    for (int y = 0; y < h; y++) {
+      int32_t* row = out + (int64_t)y * w;
+      const int32_t* prev = y > 0 ? row - w : nullptr;
+      const int32_t* prevprev = y > 1 ? row - 2 * w : nullptr;
+      const int32_t* irow = idx + (int64_t)y * w;
+      for (int x = 0; x < w; x++) {
+        int32_t index = irow[x];
+        int32_t entry = GetPaletteValue(palette, pal_w, index, c, psz, bit_depth);
+        int32_t pd[7];
+        int32_t left = x > 0 ? row[x - 1] : (y > 0 ? prev[0] : 0);
+        int32_t top, topleft, topright, trr;
+        if (y > 0) {
+          top = prev[x];
+          topleft = x > 0 ? prev[x - 1] : left;
+          topright = x + 1 < w ? prev[x + 1] : top;
+          trr = x + 2 < w ? prev[x + 2] : topright;
+        } else {
+          top = topleft = topright = trr = left;
+        }
+        pd[0] = left; pd[1] = top; pd[2] = y > 1 ? prevprev[x] : top;
+        pd[3] = topleft; pd[4] = topright; pd[5] = x > 1 ? row[x - 2] : left;
+        pd[6] = trr;
+        int64_t wp_pred; int32_t wp_prop;
+        wp.PredictAndProperty(x, y, pd, &wp_pred, &wp_prop);
+        int64_t p = PredictOne(predictor, pd, wp_pred);
+        int32_t val = index < num_deltas ? (int32_t)(p + entry) : entry;
+        row[x] = val;
+        wp.UpdateErrors(val, x, y);
+      }
+    }
+    return 0;
+  }
+  for (int y = 0; y < h; y++) {
+    int32_t* row = out + (int64_t)y * w;
+    const int32_t* prev = y > 0 ? row - w : nullptr;
+    const int32_t* prevprev = y > 1 ? row - 2 * w : nullptr;
+    const int32_t* irow = idx + (int64_t)y * w;
+    for (int x = 0; x < w; x++) {
+      int32_t index = irow[x];
+      int32_t entry = GetPaletteValue(palette, pal_w, index, c, psz, bit_depth);
+      int32_t val;
+      if (index < num_deltas) {
+        int32_t pd[7];
+        int32_t left = x > 0 ? row[x - 1] : (y > 0 ? prev[0] : 0);
+        int32_t top, topleft, topright, trr;
+        if (y > 0) {
+          top = prev[x];
+          topleft = x > 0 ? prev[x - 1] : left;
+          topright = x + 1 < w ? prev[x + 1] : top;
+          trr = x + 2 < w ? prev[x + 2] : topright;
+        } else {
+          top = topleft = topright = trr = left;
+        }
+        pd[0] = left; pd[1] = top; pd[2] = y > 1 ? prevprev[x] : top;
+        pd[3] = topleft; pd[4] = topright; pd[5] = x > 1 ? row[x - 2] : left;
+        pd[6] = trr;
+        val = (int32_t)(PredictOne(predictor, pd, 0) + entry);
+      } else {
+        val = entry;
+      }
+      row[x] = val;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
