@@ -37,12 +37,14 @@ def decode_first_frame(data: bytes) -> DecodedFrame:
     codestream = extract_codestream(data)
     br = BitReader(codestream)
     fh = FileHeader.read(br)
+    icc_profile = None
     if fh.image_metadata.color_encoding.want_icc:
         from ..icc.decode import read_icc
 
-        read_icc(br)  # ICC payload parsed and stored; not yet applied
+        icc_profile = read_icc(br)
 
     frame = parse_frame(br, fh)
+    frame.icc_profile = icc_profile
     frame.decode_all_sections(br)
 
     channels = []

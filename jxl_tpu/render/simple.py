@@ -109,6 +109,11 @@ def render_frame(frame) -> np.ndarray:
             rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 2, constant_sigma=const_sigma)
         planes[:3] = rgb3
 
+    if header.has_splines and frame.lf_global.splines is not None:
+        wc, hc = header.size()
+        planes = [np.ascontiguousarray(p[:hc, :wc]) for p in planes]
+        frame.lf_global.splines.draw(planes[:3])
+
     # color upsampling
     if header.upsampling > 1:
         n = header.upsampling
@@ -116,6 +121,18 @@ def render_frame(frame) -> np.ndarray:
             getattr(frame.file_header.transform_data, f"weights{n}"), n
         )
         planes = [st.upsample(np, p, kern, n) for p in planes]
+
+    if header.has_noise:
+        from ..features.noise import add_noise, convolve_noise, generate_noise_field
+
+        wu0, hu0 = header.size_upsampled()
+        planes = [p[:hu0, :wu0] for p in planes]
+        nf = generate_noise_field(frame)
+        nf = [convolve_noise(np, p) for p in nf]
+        planes[:3] = add_noise(
+            np, planes[:3], nf, frame.lf_global.noise,
+            frame.lf_global.color_correlation_params,
+        )
 
     if meta.xyb_encoded:
         x, y, b = planes[:3]
