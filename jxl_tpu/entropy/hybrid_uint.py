@@ -56,7 +56,8 @@ class HybridUint:
         token_nolow = token >> self.lsb_in_token
         bits = br.read_opt(nbits)
         hi = (token_nolow & ((1 << self.msb_in_token) - 1)) | (1 << self.msb_in_token)
-        return (((hi << nbits) | bits) << self.lsb_in_token) | low
+        # u32 wrapping semantics (matters for >=32-significant-bit samples)
+        return ((((hi << nbits) | bits) << self.lsb_in_token) | low) & 0xFFFFFFFF
 
     @property
     def is_config_420(self) -> bool:

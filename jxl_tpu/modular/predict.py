@@ -93,10 +93,9 @@ def predict_one(pred: int, pd, wp_pred: int) -> int:
         return _trunc_div2(top + topleft)
     if pred == Predictor.AVG_N_NE:
         return _trunc_div2(top + topright)
-    # AVG_ALL
-    return (
-        6 * top - 2 * toptop + 7 * left + leftleft + toprightright + 3 * topright + 8
-    ) >> 4
+    # AVG_ALL — Rust `/ 16` truncates toward zero (not an arithmetic shift)
+    v = 6 * top - 2 * toptop + 7 * left + leftleft + toprightright + 3 * topright + 8
+    return -((-v) >> 4) if v < 0 else v >> 4
 
 
 def _trunc_div2(v: int) -> int:

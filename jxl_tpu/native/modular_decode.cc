@@ -375,8 +375,9 @@ inline int64_t PredictOne(int pred, const int32_t* pd, int64_t wp_pred) {
     case 11: return TruncDiv2(top + topleft);
     case 12: return TruncDiv2(top + topright);
     default:
+      // Rust `/ 16` truncates toward zero
       return (6 * top - 2 * toptop + 7 * left + leftleft + toprightright +
-              3 * topright + 8) >> 4;
+              3 * topright + 8) / 16;
   }
 }
 

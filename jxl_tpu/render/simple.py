@@ -39,6 +39,32 @@ def _from_linear(channels, color_encoding, intensity_target):
     raise AssertionError(tfv)
 
 
+def _modular_to_f32(plane: np.ndarray, bit_depth) -> np.ndarray:
+    """ConvertModularToF32 (ref stages/convert.rs:345-): integer samples are
+    scaled by 1/(2^bits-1); float samples are bit-reinterpreted."""
+    if bit_depth.floating_point_sample:
+        bits = bit_depth.bits_per_sample
+        exp = bit_depth.exponent_bits_per_sample
+        if bits == 32 and exp == 8:
+            return plane.view(np.float32).copy()
+        if bits == 16 and exp == 5:
+            return (plane & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
+        # custom float format: assemble sign/exponent/mantissa into binary32
+        mant_bits = bits - exp - 1
+        u = plane.astype(np.uint32)
+        sign = (u >> (bits - 1)) & 1
+        e = (u >> mant_bits) & ((1 << exp) - 1)
+        m = u & ((1 << mant_bits) - 1)
+        bias = (1 << (exp - 1)) - 1
+        out_e = np.where(e == 0, 0, e - bias + 127).astype(np.uint32)
+        out = (sign << 31) | (out_e << 23) | (m << (23 - mant_bits))
+        # subnormals of the custom format are scaled normals in f32 (approx)
+        return out.astype(np.uint32).view(np.float32)
+    bits = bit_depth.bits_per_sample
+    scale = np.float32(1.0 / ((1 << bits) - 1))
+    return plane.astype(np.float32) * scale
+
+
 def render_frame(frame) -> np.ndarray:
     """Returns (h, w, c) float32 in display encoding (no orientation).
 
@@ -64,11 +90,10 @@ def render_frame(frame) -> np.ndarray:
         planes = [ix * np.float32(sx_f), iy * np.float32(sy_f), (ib + iy) * np.float32(sb_f)]
     else:
         mg = frame.lf_global.modular_global
-        planes = []
-        for c in range(frame.color_channels):
-            bits = meta.bit_depth.bits_per_sample
-            scale = np.float32(1.0 / ((1 << bits) - 1))
-            planes.append(mg.output_channel(c).astype(np.float32) * scale)
+        planes = [
+            _modular_to_f32(mg.output_channel(c), meta.bit_depth)
+            for c in range(frame.color_channels)
+        ]
         if frame.color_channels == 1:
             planes = [planes[0]] * 3
 
@@ -152,9 +177,7 @@ def render_frame(frame) -> np.ndarray:
     mg = frame.lf_global.modular_global if frame.lf_global else None
     for i in range(num_ec):
         info = meta.extra_channel_info[i]
-        bits = info.bit_depth.bits_per_sample
-        scale = np.float32(1.0 / ((1 << bits) - 1))
-        ec = mg.output_channel(3 + i).astype(np.float32) * scale
+        ec = _modular_to_f32(mg.output_channel(3 + i), info.bit_depth)
         ec_up = header.ec_upsampling[i]
         if ec_up > 1:
             kern = st.build_upsample_kernels(
