@@ -1,13 +1,13 @@
-"""Simple whole-buffer decode entry point (non-streaming).
+"""Simple whole-buffer decode entry points (non-streaming).
 
-The full streaming typestate API lives in api/decoder.py; this helper
-decodes a complete .jxl byte buffer in one call — the path used by tests
-and the CLI for whole files.
+decode_image() runs the full multi-frame pipeline: preview skip,
+reference/LF frames, blending onto the image canvas, animation.
+The incremental streaming typestate API lives in api/decoder.py.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dfield
 
 import numpy as np
 
@@ -17,23 +17,126 @@ from ..io.container import extract_codestream
 from ..io.headers import FileHeader
 from ..io.headers.frame import Encoding, FrameHeader, FrameType, Toc
 from .frame import Frame
+from .state import DecoderState
 
 
 @dataclass
 class DecodedFrame:
     frame: Frame
-    # channels as int planes (modular) — color conversion happens in render
-    channels: list
+    channels: list  # raw modular planes (tests) or None for VarDCT
 
 
-def parse_frame(br: BitReader, file_header: FileHeader, decoder_state=None) -> Frame:
-    frame_header = FrameHeader.read(br, file_header)
+@dataclass
+class DecodedImage:
+    file_header: FileHeader
+    frames: list  # visible frames: (h, w, c) float arrays (oriented)
+    icc_profile: bytes | None = None
+    durations: list = dfield(default_factory=list)
+
+
+def parse_frame(br: BitReader, file_header: FileHeader, decoder_state=None, preview=False) -> Frame:
+    if preview:
+        p = file_header.image_metadata.preview
+        meta = file_header.image_metadata
+        frame_header = FrameHeader.read_with(
+            br,
+            xyb_encoded=meta.xyb_encoded,
+            extra_channel_info=meta.extra_channel_info,
+            have_animation=meta.animation is not None,
+            have_timecode=meta.animation.have_timecodes if meta.animation else False,
+            img_width=p.xsize,
+            img_height=p.ysize,
+        )
+    else:
+        frame_header = FrameHeader.read(br, file_header)
     toc = Toc.read(br, frame_header.num_toc_entries)
+    if decoder_state is not None and not preview:
+        if frame_header.is_visible:
+            decoder_state.visible_frame_index += 1
+            decoder_state.nonvisible_frame_index = 0
+        else:
+            decoder_state.nonvisible_frame_index += 1
     return Frame(frame_header, toc, file_header, decoder_state)
 
 
+def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
+    """Decode a whole .jxl file: all frames, blending, orientation."""
+    from ..render.simple import (
+        apply_orientation,
+        blend_and_extend,
+        color_transform,
+        render_frame_channels,
+    )
+
+    codestream = extract_codestream(data)
+    br = BitReader(codestream)
+    fh = FileHeader.read(br)
+    meta = fh.image_metadata
+    icc_profile = None
+    if meta.color_encoding.want_icc:
+        from ..icc.decode import read_icc
+
+        icc_profile = read_icc(br)
+
+    state = DecoderState(fh)
+
+    if meta.preview is not None:
+        # skip the preview frame by its TOC size
+        pframe = parse_frame(br, fh, None, preview=True)
+        br.jump_to_byte_boundary()
+        br.skip_bits(pframe.toc.total_size * 8)
+
+    out = DecodedImage(fh, [], icc_profile)
+    while True:
+        frame = parse_frame(br, fh, state)
+        frame.icc_profile = icc_profile
+        header = frame.header
+        frame.decode_all_sections(br)
+
+        planes = render_frame_channels(frame)
+
+        if header.lf_level != 0:
+            state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
+
+        if header.can_be_referenced and header.save_before_ct:
+            state.reference_frames[header.save_as_reference] = {
+                "frame": [p.copy() for p in planes],
+                "saved_before_color_transform": True,
+            }
+
+        if header.frame_type != FrameType.REFERENCE_ONLY:
+            planes = color_transform(frame, planes)
+
+        if header.needs_blending():
+            canvas = blend_and_extend(frame, planes)
+        else:
+            img_w, img_h = fh.xsize, fh.ysize
+            canvas = [p[:img_h, :img_w] for p in planes]
+
+        if header.can_be_referenced and not header.save_before_ct:
+            state.reference_frames[header.save_as_reference] = {
+                "frame": [np.array(p, copy=True) for p in canvas],
+                "saved_before_color_transform": False,
+            }
+
+        if header.is_visible:
+            arr = np.stack(canvas, axis=-1)
+            out.frames.append(apply_orientation(arr, meta.orientation))
+            dur = 0.0
+            if meta.animation is not None:
+                dur = header.duration * 1000.0 * meta.animation.tps_denominator / meta.animation.tps_numerator
+            out.durations.append(dur)
+            if not keep_all_frames and header.is_last:
+                break
+        if header.is_last:
+            break
+    return out
+
+
 def decode_first_frame(data: bytes) -> DecodedFrame:
-    """Decode headers + the first frame of a .jxl file (modular path)."""
+    """Decode headers + the first frame of a .jxl file (modular path).
+
+    Returns raw modular channel planes (used by bit-exactness tests)."""
     codestream = extract_codestream(data)
     br = BitReader(codestream)
     fh = FileHeader.read(br)
@@ -43,7 +146,13 @@ def decode_first_frame(data: bytes) -> DecodedFrame:
 
         icc_profile = read_icc(br)
 
-    frame = parse_frame(br, fh)
+    state = DecoderState(fh)
+    if fh.image_metadata.preview is not None:
+        pframe = parse_frame(br, fh, None, preview=True)
+        br.jump_to_byte_boundary()
+        br.skip_bits(pframe.toc.total_size * 8)
+
+    frame = parse_frame(br, fh, state)
     frame.icc_profile = icc_profile
     frame.decode_all_sections(br)
 

@@ -154,6 +154,11 @@ class FullModularImage:
         x0, y0 = gx * dx, gy * dy
         w = max(min(info.size[0] - x0, dx), 0)
         h = max(min(info.size[1] - y0, dy), 0)
+        if w == 0 or h == 0:
+            # ref get_grid_rect normalizes clipped-empty rects to (0, 0);
+            # with_buffers then drops them from the stream's channel list
+            # entirely (renumbering!) — see modular/buffers.rs:193-202.
+            return mc.view(0, 0, 0, 0)
         return mc.view(x0, y0, w, h)
 
     def read_section0(self, frame_header, global_tree, br: BitReader) -> None:
@@ -171,6 +176,7 @@ class FullModularImage:
             self._cell_view(frame_header, b, group)
             for b in self.section_buffer_indices[1]
         ]
+        bufs = [b for b in bufs if b.data.shape != (0, 0)]
         decode_modular_subbitstream(
             bufs,
             ModularStreamId.modular_lf(frame_header, group),
@@ -186,6 +192,7 @@ class FullModularImage:
             self._cell_view(frame_header, b, group)
             for b in self.section_buffer_indices[2 + pass_idx]
         ]
+        bufs = [b for b in bufs if b.data.shape != (0, 0)]
         decode_modular_subbitstream(
             bufs,
             ModularStreamId.modular_hf(frame_header, pass_idx, group),

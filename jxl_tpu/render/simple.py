@@ -3,8 +3,13 @@
 This is the oracle render path (analog of the reference's
 SimpleRenderPipeline): whole-image numpy stages assembled per frame
 exactly as build_render_pipeline does (ref frame/render.rs:506-885).
-The group-sharded JAX pipeline (render/pipeline.py) must match it
-bit-for-bit on the interior and is validated against it.
+The group-sharded JAX pipeline must match it on the interior and is
+validated against it.
+
+Stage order: convert -> chroma upsample -> gaborish -> EPF0/1/2 ->
+early EC upsample -> patches -> splines -> color upsample -> noise ->
+[save LF / save-before-CT refs] -> YCbCr|XYB -> FromLinear ->
+blending + extend -> [save-after-CT refs] -> spot colors.
 """
 
 from __future__ import annotations
@@ -13,8 +18,9 @@ import numpy as np
 
 from ..color import tf as tfmod
 from ..color.xyb import xyb_to_linear, ycbcr_to_rgb
-from ..io.headers import ColorSpace, TransferFunction
-from ..io.headers.frame import Encoding
+from ..io.headers import ColorSpace, ExtraChannel, TransferFunction
+from ..io.headers.frame import BlendingMode, Encoding, FrameType
+from .stages import core as st
 
 
 def _from_linear(channels, color_encoding, intensity_target):
@@ -49,7 +55,6 @@ def _modular_to_f32(plane: np.ndarray, bit_depth) -> np.ndarray:
             return plane.view(np.float32).copy()
         if bits == 16 and exp == 5:
             return (plane & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
-        # custom float format: assemble sign/exponent/mantissa into binary32
         mant_bits = bits - exp - 1
         u = plane.astype(np.uint32)
         sign = (u >> (bits - 1)) & 1
@@ -58,30 +63,23 @@ def _modular_to_f32(plane: np.ndarray, bit_depth) -> np.ndarray:
         bias = (1 << (exp - 1)) - 1
         out_e = np.where(e == 0, 0, e - bias + 127).astype(np.uint32)
         out = (sign << 31) | (out_e << 23) | (m << (23 - mant_bits))
-        # subnormals of the custom format are scaled normals in f32 (approx)
         return out.astype(np.uint32).view(np.float32)
     bits = bit_depth.bits_per_sample
     scale = np.float32(1.0 / ((1 << bits) - 1))
     return plane.astype(np.float32) * scale
 
 
-def render_frame(frame) -> np.ndarray:
-    """Returns (h, w, c) float32 in display encoding (no orientation).
-
-    Stage order follows ref frame/render.rs:506-885 (build_render_pipeline):
-    convert -> chroma upsample -> gaborish -> EPF0/1/2 -> patches/splines ->
-    color upsample -> noise -> YCbCr|XYB -> FromLinear -> save.
-    """
+def render_frame_channels(frame) -> list[np.ndarray]:
+    """All stages up to (excluding) the color transform: returns 3+num_ec
+    planes at size_upsampled (in XYB / YCbCr / raw color space)."""
     header = frame.header
     meta = frame.file_header.image_metadata
-    w, h = header.size()
     num_ec = len(meta.extra_channel_info)
 
     if header.encoding == Encoding.VARDCT:
         planes = [p.copy() for p in frame.vardct_pixels]
     elif meta.xyb_encoded:
-        # modular XYB order is [Y, X, B]; B has Y added
-        # (ref convert.rs ConvertModularXYBToF32: :278-345)
+        # modular XYB order is [Y, X, B]; B has Y added (ref convert.rs:278)
         mg = frame.lf_global.modular_global
         sx_f, sy_f, sb_f = frame.lf_global.lf_quant.quant_factors
         iy = mg.output_channel(0).astype(np.float32)
@@ -95,21 +93,22 @@ def render_frame(frame) -> np.ndarray:
             for c in range(frame.color_channels)
         ]
         if frame.color_channels == 1:
-            planes = [planes[0]] * 3
+            planes = [planes[0], planes[0].copy(), planes[0].copy()]
+
+    mg = frame.lf_global.modular_global if frame.lf_global else None
+    for i in range(num_ec):
+        info = meta.extra_channel_info[i]
+        planes.append(_modular_to_f32(mg.output_channel(3 + i), info.bit_depth))
 
     # chroma upsampling (420/422/440 VarDCT)
-    from .stages import core as st
-
-    for c in range(min(3, len(planes))):
-        if header.hshift(c):
-            for _ in range(header.hshift(c)):
-                planes[c] = st.chroma_upsample_h(np, planes[c])
-        if header.vshift(c):
-            for _ in range(header.vshift(c)):
-                planes[c] = st.chroma_upsample_v(np, planes[c])
+    for c in range(3):
+        for _ in range(header.hshift(c)):
+            planes[c] = st.chroma_upsample_h(np, planes[c])
+        for _ in range(header.vshift(c)):
+            planes[c] = st.chroma_upsample_v(np, planes[c])
 
     rf = header.restoration_filter
-    if rf.gab and len(planes) >= 3:
+    if rf.gab:
         gw = [
             (rf.gab_x_weight1, rf.gab_x_weight2),
             (rf.gab_y_weight1, rf.gab_y_weight2),
@@ -118,7 +117,7 @@ def render_frame(frame) -> np.ndarray:
         for c in range(3):
             planes[c] = st.gaborish(np, planes[c], *gw[c])
 
-    if rf.epf_iters > 0 and len(planes) >= 3:
+    if rf.epf_iters > 0:
         if header.encoding == Encoding.VARDCT:
             sigma_block = st.compute_sigma_image(frame)
             const_sigma = None
@@ -134,56 +133,167 @@ def render_frame(frame) -> np.ndarray:
             rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 2, constant_sigma=const_sigma)
         planes[:3] = rgb3
 
-    if header.has_splines and frame.lf_global.splines is not None:
-        wc, hc = header.size()
-        planes = [np.ascontiguousarray(p[:hc, :wc]) for p in planes]
-        frame.lf_global.splines.draw(planes[:3])
+    late_ec_upsample = header.upsampling > 1 and all(
+        u == header.upsampling for u in header.ec_upsampling
+    )
 
-    # color upsampling
-    if header.upsampling > 1:
-        n = header.upsampling
+    def _upsample(plane, n):
         kern = st.build_upsample_kernels(
             getattr(frame.file_header.transform_data, f"weights{n}"), n
         )
-        planes = [st.upsample(np, p, kern, n) for p in planes]
+        return st.upsample(np, plane, kern, n)
+
+    if not late_ec_upsample:
+        for i, ec_up in enumerate(header.ec_upsampling):
+            if ec_up > 1:
+                planes[3 + i] = _upsample(planes[3 + i], ec_up)
+
+    wc, hc = header.size()
+    if header.has_patches:
+        planes = [np.ascontiguousarray(p[:hc, :wc]) for p in planes]
+        frame.lf_global.patches.apply(
+            planes, meta.extra_channel_info,
+            frame.decoder_state.reference_frames if frame.decoder_state else [None] * 4,
+        )
+
+    if header.has_splines and frame.lf_global.splines is not None:
+        planes = [np.ascontiguousarray(p[:hc, :wc]) for p in planes]
+        frame.lf_global.splines.draw(planes[:3])
+
+    if header.upsampling > 1:
+        n_up = 3 + num_ec if late_ec_upsample else 3
+        for c in range(n_up):
+            planes[c] = _upsample(planes[c], header.upsampling)
+
+    wu, hu = header.size_upsampled()
+    planes = [p[:hu, :wu] for p in planes]
 
     if header.has_noise:
         from ..features.noise import add_noise, convolve_noise, generate_noise_field
 
-        wu0, hu0 = header.size_upsampled()
-        planes = [p[:hu0, :wu0] for p in planes]
         nf = generate_noise_field(frame)
         nf = [convolve_noise(np, p) for p in nf]
         planes[:3] = add_noise(
             np, planes[:3], nf, frame.lf_global.noise,
             frame.lf_global.color_correlation_params,
         )
+    return [np.ascontiguousarray(p, dtype=np.float32) for p in planes]
 
+
+def color_transform(frame, planes):
+    """YCbCr|XYB -> linear -> display TF on the first 3 channels."""
+    header = frame.header
+    meta = frame.file_header.image_metadata
     if meta.xyb_encoded:
-        x, y, b = planes[:3]
         r, g, b = xyb_to_linear(
-            x, y, b, frame.file_header.transform_data.opsin_inverse_matrix,
+            planes[0], planes[1], planes[2],
+            frame.file_header.transform_data.opsin_inverse_matrix,
             meta.tone_mapping.intensity_target,
         )
-        planes = _from_linear([r, g, b], meta.color_encoding, meta.tone_mapping.intensity_target)
+        planes[:3] = _from_linear(
+            [r, g, b], meta.color_encoding, meta.tone_mapping.intensity_target
+        )
     elif header.do_ycbcr:
         r, g, b = ycbcr_to_rgb(planes[1], planes[0], planes[2])
-        planes = [r, g, b]
+        planes[:3] = [r, g, b]
+    return planes
 
-    wu, hu = header.size_upsampled()
-    out = [p[:hu, :wu] for p in planes]
 
-    # extra channels (alpha etc.), upsampled by their own factor
-    mg = frame.lf_global.modular_global if frame.lf_global else None
-    for i in range(num_ec):
-        info = meta.extra_channel_info[i]
-        ec = _modular_to_f32(mg.output_channel(3 + i), info.bit_depth)
-        ec_up = header.ec_upsampling[i]
-        if ec_up > 1:
-            kern = st.build_upsample_kernels(
-                getattr(frame.file_header.transform_data, f"weights{ec_up}"), ec_up
-            )
-            ec = st.upsample(np, ec, kern, ec_up)
-        out.append(ec[:hu, :wu])
+def blend_and_extend(frame, planes):
+    """Blending + ExtendToImageDimensions onto the full image canvas.
 
-    return np.stack(out, axis=-1)
+    ref stages/{blending,extend}.rs: bg = current frame pixels, fg = the
+    reference canvas; Replace keeps the frame pixels.
+    """
+    from ..features.blending import perform_blending
+    from ..features.patches import BlendMode, PatchBlending
+
+    header = frame.header
+    fh = frame.file_header
+    img_w, img_h = fh.xsize, fh.ysize
+    num_ch = len(planes)
+    refs = frame.decoder_state.reference_frames if frame.decoder_state else [None] * 4
+
+    _MODE_MAP = {
+        BlendingMode.REPLACE: BlendMode.NONE,
+        BlendingMode.ADD: BlendMode.ADD,
+        BlendingMode.MUL: BlendMode.MUL,
+        BlendingMode.BLEND: BlendMode.BLEND_BELOW,
+        BlendingMode.ALPHA_WEIGHTED_ADD: BlendMode.ALPHA_WEIGHTED_ADD_BELOW,
+    }
+
+    def canvas_for(source):
+        rf = refs[source]
+        return rf["frame"] if rf is not None else None
+
+    canvas = []
+    for c in range(num_ch):
+        src = (
+            header.blending_info.source
+            if c < 3
+            else header.ec_blending_info[c - 3].source
+        )
+        ref = canvas_for(src)
+        if ref is not None:
+            canvas.append(np.array(ref[c], dtype=np.float32, copy=True))
+        else:
+            canvas.append(np.zeros((img_h, img_w), dtype=np.float32))
+
+    # intersect frame rect with image
+    x0, y0 = header.x0, header.y0
+    fw, fh_ = planes[0].shape[1], planes[0].shape[0]
+    ix0, iy0 = max(x0, 0), max(y0, 0)
+    ix1, iy1 = min(x0 + fw, img_w), min(y0 + fh_, img_h)
+    if ix1 <= ix0 or iy1 <= iy0:
+        return canvas
+    fx0, fy0 = ix0 - x0, iy0 - y0
+    fx1, fy1 = fx0 + (ix1 - ix0), fy0 + (iy1 - iy0)
+
+    bg = [p[fy0:fy1, fx0:fx1] for p in planes]
+    fg = [c[iy0:iy1, ix0:ix1] for c in canvas]
+    color_blending = PatchBlending(
+        _MODE_MAP[header.blending_info.mode],
+        header.blending_info.alpha_channel,
+        header.blending_info.clamp,
+    )
+    ec_blending = [
+        PatchBlending(_MODE_MAP[b.mode], b.alpha_channel, b.clamp)
+        for b in header.ec_blending_info
+    ]
+    out = perform_blending(
+        bg, fg, color_blending, ec_blending, fh.image_metadata.extra_channel_info
+    )
+    for c in range(num_ch):
+        canvas[c][iy0:iy1, ix0:ix1] = out[c]
+    return canvas
+
+
+def render_frame(frame) -> np.ndarray:
+    """Single-frame render to (h, w, c) display floats (no orientation,
+    no blending with other frames). Kept for tests and simple files."""
+    planes = render_frame_channels(frame)
+    planes = color_transform(frame, planes)
+    return np.stack(planes, axis=-1)
+
+
+def apply_orientation(arr: np.ndarray, orientation) -> np.ndarray:
+    from ..io.headers import Orientation
+
+    o = Orientation(orientation)
+    if o == Orientation.IDENTITY:
+        return arr
+    if o == Orientation.FLIP_HORIZONTAL:
+        return arr[:, ::-1]
+    if o == Orientation.ROTATE_180:
+        return arr[::-1, ::-1]
+    if o == Orientation.FLIP_VERTICAL:
+        return arr[::-1, :]
+    if o == Orientation.TRANSPOSE:
+        return arr.transpose(1, 0, 2)
+    if o == Orientation.ROTATE_90_CW:
+        return arr.transpose(1, 0, 2)[:, ::-1]
+    if o == Orientation.ANTI_TRANSPOSE:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if o == Orientation.ROTATE_90_CCW:
+        return arr.transpose(1, 0, 2)[::-1, :]
+    raise AssertionError(o)
