@@ -1,0 +1,364 @@
+"""Streaming decoder API: incremental input, resumable at any byte.
+
+Capability reference: jxl/src/api/{decoder,inner/*}.rs. The reference uses
+a typestate API (Initialized -> WithImageInfo -> WithFrameInfo) driven by
+`process()` returning Complete/NeedsMoreInput{size_hint}; this is the
+Pythonic equivalent: feed bytes incrementally, `process()` advances a
+stage machine and returns events. Every parsing stage is resumable: on
+OutOfBounds(n) the stage's input cursor is rewound and NEED_MORE_INPUT
+with a byte hint is returned (the 1-byte-at-a-time tests exercise this).
+
+Device work is dispatched at section granularity; sections only decode
+once all their bytes (known from the TOC) have arrived.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from ..errors import InvalidBitstream, InvalidSignature, OutOfBounds
+from ..io.bit_reader import BitReader
+from ..io.container import CODESTREAM_SIG, CONTAINER_SIG
+from ..io.headers import FileHeader
+from ..io.headers.frame import FrameHeader, FrameType, Toc
+from .frame import Frame
+from .state import DecoderState
+
+
+class Event(enum.Enum):
+    NEED_MORE_INPUT = "need_more_input"
+    IMAGE_INFO = "image_info"
+    FRAME_START = "frame_start"
+    FRAME_DONE = "frame_done"
+    COMPLETE = "complete"
+
+
+@dataclass
+class JxlDecoderOptions:
+    apply_orientation: bool = True
+    render_spot_colors: bool = True
+    coalescing: bool = True
+    sample_limit: int | None = None
+    high_precision: bool = False
+    premultiply_output: bool = False
+    scan_frames_only: bool = False
+
+
+@dataclass
+class ImageInfo:
+    width: int
+    height: int
+    num_extra_channels: int
+    bits_per_sample: int
+    have_animation: bool
+    orientation: int
+
+
+class _BoxParser:
+    """Streaming ISOBMFF box parser feeding codestream bytes.
+
+    ref api/inner/box_parser.rs: handles jxlc/jxlp (incl. out-of-order
+    jxlp via index), skips other boxes, supports unbounded final boxes.
+    """
+
+    def __init__(self):
+        self.mode = None  # None (undetected) | 'bare' | 'container'
+        self.buf = bytearray()
+        self.pos = 0  # consumed bytes within buf
+        self.state = "signature"
+        self.remaining = 0  # remaining payload of current box
+        self.current_box = None
+        self.jxlp_parts = {}
+        self.jxlp_pending_index = False
+        self.codestream = bytearray()
+        self.done = False
+        self._jxlp_next = 0
+        self._jxlp_index = 0
+
+    def feed(self, data: bytes):
+        self.buf.extend(data)
+        self._advance()
+
+    def finish(self):
+        """No more input: unbounded boxes end here."""
+        if self.mode == "bare":
+            self.codestream.extend(self.buf[self.pos :])
+            self.pos = len(self.buf)
+        elif self.current_box in (b"jxlc", b"jxlp") and self.remaining == -1:
+            self._append_codestream(self.buf[self.pos :])
+            self.pos = len(self.buf)
+        self.done = True
+
+    def _append_codestream(self, data):
+        self.codestream.extend(data)
+
+    def _advance(self):
+        if self.mode is None:
+            if len(self.buf) < 2:
+                return
+            if bytes(self.buf[:2]) == CODESTREAM_SIG:
+                self.mode = "bare"
+            elif bytes(self.buf[: min(len(self.buf), 12)]) == CONTAINER_SIG[: min(len(self.buf), 12)]:
+                if len(self.buf) < 12:
+                    return
+                self.mode = "container"
+                self.pos = 12
+                self.state = "box_header"
+            else:
+                raise InvalidSignature("not a JPEG XL file")
+        if self.mode == "bare":
+            self.codestream.extend(self.buf[self.pos :])
+            self.pos = len(self.buf)
+            return
+        # container mode
+        while True:
+            avail = len(self.buf) - self.pos
+            if self.state == "box_header":
+                if avail < 8:
+                    return
+                size = int.from_bytes(self.buf[self.pos : self.pos + 4], "big")
+                btype = bytes(self.buf[self.pos + 4 : self.pos + 8])
+                hdr = 8
+                if size == 1:
+                    if avail < 16:
+                        return
+                    size = int.from_bytes(self.buf[self.pos + 8 : self.pos + 16], "big")
+                    hdr = 16
+                self.pos += hdr
+                self.current_box = btype
+                self.remaining = (size - hdr) if size != 0 else -1  # -1: to EOF
+                self.jxlp_pending_index = btype == b"jxlp"
+                self.state = "box_payload"
+            elif self.state == "box_payload":
+                if self.jxlp_pending_index:
+                    if len(self.buf) - self.pos < 4:
+                        return
+                    idx = int.from_bytes(self.buf[self.pos : self.pos + 4], "big")
+                    self.pos += 4
+                    if self.remaining > 0:
+                        self.remaining -= 4
+                    self.jxlp_pending_index = False
+                    self._jxlp_index = idx & 0x7FFFFFFF
+                avail = len(self.buf) - self.pos
+                take = avail if self.remaining < 0 else min(avail, self.remaining)
+                chunk = bytes(self.buf[self.pos : self.pos + take])
+                if self.current_box == b"jxlc":
+                    self._append_codestream(chunk)
+                elif self.current_box == b"jxlp":
+                    self.jxlp_parts.setdefault(self._jxlp_index, bytearray()).extend(chunk)
+                    self._flush_jxlp()
+                self.pos += take
+                if self.remaining > 0:
+                    self.remaining -= take
+                if self.remaining == 0:
+                    self.state = "box_header"
+                    continue
+                return
+            else:
+                return
+
+    def _flush_jxlp(self):
+        # append contiguous jxlp parts in index order as they complete;
+        # conservative: only flush parts while the next index exists and the
+        # part after it has started (or the box ended)
+        while self._jxlp_next in self.jxlp_parts and (
+            (self._jxlp_next + 1) in self.jxlp_parts or self.remaining == 0
+        ):
+            self.codestream.extend(self.jxlp_parts.pop(self._jxlp_next))
+            self._jxlp_next += 1
+
+
+class JxlDecoder:
+    """Incremental decoder. feed() bytes, then call process() until
+    COMPLETE; rendered frames accumulate in `frames`."""
+
+    def __init__(self, options: JxlDecoderOptions | None = None):
+        self.options = options or JxlDecoderOptions()
+        self.boxes = _BoxParser()
+        self.stage = "file_header"
+        self.cursor = 0  # bits consumed from the codestream so far
+        self.file_header: FileHeader | None = None
+        self.image_info: ImageInfo | None = None
+        self.icc_profile: bytes | None = None
+        self.state: DecoderState | None = None
+        self.frame: Frame | None = None
+        self.frames: list[np.ndarray] = []
+        self.frame_infos: list[dict] = []
+        self.durations: list[float] = []
+        self._preview_pending = False
+        self._input_ended = False
+        self._section_cursor = 0
+        self._events: list[Event] = []
+
+    # -- input ----------------------------------------------------------------
+
+    def feed(self, data: bytes) -> None:
+        self.boxes.feed(data)
+
+    def end_input(self) -> None:
+        self._input_ended = True
+        self.boxes.finish()
+
+    # -- processing ------------------------------------------------------------
+
+    def _reader(self) -> BitReader:
+        br = BitReader(bytes(self.boxes.codestream))
+        br.pos = self.cursor
+        return br
+
+    def process(self) -> Event:
+        while True:
+            if self._events:
+                return self._events.pop(0)
+            try:
+                ev = self._step()
+            except OutOfBounds as e:
+                if self._input_ended:
+                    raise InvalidBitstream("truncated input") from e
+                return Event.NEED_MORE_INPUT
+            if ev is not None:
+                return ev
+
+    def _step(self) -> Event | None:
+        if self.stage == "file_header":
+            br = self._reader()
+            self.file_header = FileHeader.read(br)
+            self.cursor = br.pos
+            meta = self.file_header.image_metadata
+            self.stage = "icc" if meta.color_encoding.want_icc else "post_icc"
+            return None
+        if self.stage == "icc":
+            from ..icc.decode import read_icc
+
+            br = self._reader()
+            self.icc_profile = read_icc(br)
+            self.cursor = br.pos
+            self.stage = "post_icc"
+            return None
+        if self.stage == "post_icc":
+            meta = self.file_header.image_metadata
+            self.image_info = ImageInfo(
+                *_oriented_size(self.file_header),
+                num_extra_channels=len(meta.extra_channel_info),
+                bits_per_sample=meta.bit_depth.bits_per_sample,
+                have_animation=meta.animation is not None,
+                orientation=int(meta.orientation),
+            )
+            self.state = DecoderState(self.file_header, self.options)
+            self._preview_pending = meta.preview is not None
+            self.stage = "frame_header"
+            return Event.IMAGE_INFO
+        if self.stage == "frame_header":
+            from .simple import parse_frame
+
+            br = self._reader()
+            br.jump_to_byte_boundary()
+            if self._preview_pending:
+                pframe = parse_frame(br, self.file_header, None, preview=True)
+                br.jump_to_byte_boundary()
+                # preview sections must be present before skipping
+                br.skip_bits(pframe.toc.total_size * 8)
+                self.cursor = br.pos
+                self._preview_pending = False
+                return None
+            self.frame = parse_frame(br, self.file_header, self.state)
+            self.frame.icc_profile = self.icc_profile
+            self.cursor = br.pos
+            self.frame_infos.append(
+                {
+                    "is_last": self.frame.header.is_last,
+                    "duration": self.frame.header.duration,
+                    "name": self.frame.header.name,
+                    "is_visible": self.frame.header.is_visible,
+                }
+            )
+            if self.options.scan_frames_only:
+                br2 = self._reader()
+                br2.jump_to_byte_boundary()
+                br2.skip_bits(self.frame.toc.total_size * 8)
+                self.cursor = br2.pos
+                if self.frame.header.is_last:
+                    self.stage = "done"
+                    return Event.COMPLETE
+                return Event.FRAME_START
+            self.stage = "frame_sections"
+            return Event.FRAME_START
+        if self.stage == "frame_sections":
+            # wait for all section bytes, then decode the frame in one go
+            br = self._reader()
+            br.jump_to_byte_boundary()
+            total = self.frame.toc.total_size
+            if br.total_bits_available() < total * 8:
+                if self._input_ended:
+                    raise InvalidBitstream("truncated frame")
+                raise OutOfBounds(total - br.total_bits_available() // 8)
+            self.frame.decode_all_sections(br)
+            self.cursor = br.pos
+            self._finish_frame()
+            if self.frame.header.is_last:
+                self.stage = "done"
+                self._events.append(Event.COMPLETE)
+            else:
+                self.stage = "frame_header"
+            return Event.FRAME_DONE
+        if self.stage == "done":
+            return Event.COMPLETE
+        raise AssertionError(self.stage)
+
+    def _finish_frame(self) -> None:
+        from ..render.simple import (
+            apply_orientation,
+            blend_and_extend,
+            color_transform,
+            render_frame_channels,
+        )
+
+        frame = self.frame
+        header = frame.header
+        state = self.state
+        planes = render_frame_channels(frame)
+        if header.lf_level != 0:
+            state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
+        if header.can_be_referenced and header.save_before_ct:
+            state.reference_frames[header.save_as_reference] = {
+                "frame": [p.copy() for p in planes],
+                "saved_before_color_transform": True,
+            }
+        if header.frame_type != FrameType.REFERENCE_ONLY:
+            planes = color_transform(frame, planes)
+        if header.needs_blending():
+            canvas = blend_and_extend(frame, planes)
+        else:
+            img_w, img_h = self.file_header.xsize, self.file_header.ysize
+            canvas = [p[:img_h, :img_w] for p in planes]
+        if header.can_be_referenced and not header.save_before_ct:
+            state.reference_frames[header.save_as_reference] = {
+                "frame": [np.array(p, copy=True) for p in canvas],
+                "saved_before_color_transform": False,
+            }
+        if header.is_visible:
+            arr = np.stack(canvas, axis=-1)
+            meta = self.file_header.image_metadata
+            if self.options.apply_orientation:
+                arr = apply_orientation(arr, meta.orientation)
+            self.frames.append(arr)
+            dur = 0.0
+            if meta.animation is not None:
+                dur = (
+                    header.duration
+                    * 1000.0
+                    * meta.animation.tps_denominator
+                    / meta.animation.tps_numerator
+                )
+            self.durations.append(dur)
+
+
+def _oriented_size(file_header) -> tuple[int, int]:
+    meta = file_header.image_metadata
+    w, h = file_header.xsize, file_header.ysize
+    if meta.orientation.is_transposing:
+        w, h = h, w
+    return (w, h)
