@@ -1,0 +1,174 @@
+"""djxl-style CLI: decode .jxl to PNG/PPM/PGM/NPY/PFM, --speedtest, --info.
+
+Capability reference: jxl_cli/src/{main.rs,dec,enc} (decode tool,
+speedtest harness, jxlinspect). Usage:
+
+    python -m jxl_tpu.cli input.jxl output.png
+    python -m jxl_tpu.cli input.jxl --info
+    python -m jxl_tpu.cli input.jxl --speedtest --num_reps 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+import time
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+def write_png(path: str, arr: np.ndarray, bit_depth: int = 8) -> None:
+    """Minimal PNG writer (8/16-bit gray/graya/rgb/rgba)."""
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    arr = np.clip(arr, 0.0, 1.0)
+    if bit_depth <= 8:
+        data = (arr * 255.0 + 0.5).astype(np.uint8)
+        raw = data.tobytes()
+        stride = w * c
+        depth = 8
+    else:
+        data = (arr * 65535.0 + 0.5).astype(">u2")
+        raw = data.tobytes()
+        stride = w * c * 2
+        depth = 16
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        lines.extend(raw[y * stride : (y + 1) * stride])
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    png += chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+    png += chunk(b"IEND", b"")
+    Path(path).write_bytes(png)
+
+
+def write_ppm(path: str, arr: np.ndarray) -> None:
+    h, w, c = arr.shape
+    data = (np.clip(arr[..., :3], 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(data.tobytes())
+
+
+def write_pgm(path: str, arr: np.ndarray) -> None:
+    h, w, _ = arr.shape
+    data = (np.clip(arr[..., 0], 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(data.tobytes())
+
+
+def write_pfm(path: str, arr: np.ndarray) -> None:
+    h, w, _ = arr.shape
+    data = arr[..., :3].astype("<f4")[::-1]  # PFM is bottom-up
+    with open(path, "wb") as f:
+        f.write(f"PF\n{w} {h}\n-1.0\n".encode())
+        f.write(data.tobytes())
+
+
+def write_npy(path: str, arr: np.ndarray) -> None:
+    np.save(path, arr)
+
+
+_WRITERS = {
+    ".png": write_png,
+    ".ppm": write_ppm,
+    ".pgm": write_pgm,
+    ".pfm": write_pfm,
+    ".npy": write_npy,
+}
+
+
+def cmd_info(data: bytes) -> int:
+    from .io.bit_reader import BitReader
+    from .io.container import extract_codestream
+    from .io.headers import FileHeader
+
+    fh = FileHeader.read(BitReader(extract_codestream(data)))
+    m = fh.image_metadata
+    print(f"dimensions: {fh.xsize}x{fh.ysize}")
+    bd = m.bit_depth
+    kind = "float" if bd.floating_point_sample else "uint"
+    print(f"bit depth: {bd.bits_per_sample}-bit {kind}")
+    print(f"xyb encoded: {m.xyb_encoded}")
+    print(f"orientation: {m.orientation.name}")
+    cs = m.color_encoding
+    print(f"color space: {cs.color_space.name}, tf: {cs.tf.transfer_function.name if not cs.tf.have_gamma else f'gamma {cs.tf.gamma_value():.4f}'}, want_icc: {cs.want_icc}")
+    if m.animation:
+        print(f"animation: {m.animation.tps_numerator}/{m.animation.tps_denominator} tps, loops: {m.animation.num_loops}")
+    for i, ec in enumerate(m.extra_channel_info):
+        print(f"extra channel {i}: {ec.ec_type.name} ({ec.bit_depth.bits_per_sample}-bit) {ec.name!r}")
+    if m.preview:
+        print(f"preview: {m.preview.xsize}x{m.preview.ysize}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="jxl_tpu", description="TPU-native JPEG XL decoder")
+    ap.add_argument("input")
+    ap.add_argument("output", nargs="?")
+    ap.add_argument("--info", action="store_true", help="print file metadata (jxlinspect)")
+    ap.add_argument("--speedtest", action="store_true")
+    ap.add_argument("--num_reps", type=int, default=5)
+    ap.add_argument("--warmup_reps", type=int, default=1)
+    ap.add_argument("--icc_out", help="write the embedded/decoded ICC profile")
+    ap.add_argument("--bits_per_sample", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    data = Path(args.input).read_bytes()
+
+    if args.info:
+        return cmd_info(data)
+
+    from .api.simple import decode_image
+
+    if args.speedtest:
+        for _ in range(args.warmup_reps):
+            decode_image(data)
+        times = []
+        mp = None
+        for _ in range(args.num_reps):
+            t0 = time.perf_counter()
+            img = decode_image(data)
+            times.append(time.perf_counter() - t0)
+            mp = sum(f.shape[0] * f.shape[1] for f in img.frames) / 1e6
+        best = min(times)
+        print(f"decoded {mp:.3f} MP in {best*1000:.2f} ms (best of {args.num_reps}): {mp/best:.3f} MP/s")
+        return 0
+
+    img = decode_image(data)
+    if args.icc_out and img.icc_profile:
+        Path(args.icc_out).write_bytes(img.icc_profile)
+    if not args.output:
+        print(f"decoded {len(img.frames)} frame(s), {img.frames[0].shape}")
+        return 0
+    ext = Path(args.output).suffix.lower()
+    writer = _WRITERS.get(ext)
+    if writer is None:
+        print(f"unsupported output format {ext}", file=sys.stderr)
+        return 1
+    if len(img.frames) == 1 or ext != ".png":
+        writer(args.output, img.frames[0])
+    else:
+        base = Path(args.output)
+        for i, fr in enumerate(img.frames):
+            writer(str(base.with_stem(base.stem + f"_{i:03d}")), fr)
+    print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
