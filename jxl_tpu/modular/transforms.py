@@ -318,13 +318,50 @@ def _unsqueeze(avg, res, next_avg, prev):
     return a, b
 
 
+def _native_squeeze(storage, step: SqueezeStep, horizontal: bool) -> bool:
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return False
+    import ctypes
+
+    avg = np.ascontiguousarray(storage[step.buf_in[0]].data)
+    res = np.ascontiguousarray(storage[step.buf_in[1]].data)
+    out = storage[step.buf_out].data
+    if not out.flags["C_CONTIGUOUS"]:
+        return False
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if horizontal:
+        h, wo = out.shape
+        lib.jxl_hsqueeze(
+            avg.ctypes.data_as(i32p), ctypes.c_int64(avg.shape[1] if avg.size else 0),
+            res.ctypes.data_as(i32p), ctypes.c_int64(res.shape[1] if res.size else 0),
+            out.ctypes.data_as(i32p), ctypes.c_int64(wo),
+            ctypes.c_int(h), ctypes.c_int(avg.shape[1]), ctypes.c_int(res.shape[1]),
+            ctypes.c_int(wo),
+        )
+    else:
+        ho, w = out.shape
+        lib.jxl_vsqueeze(
+            avg.ctypes.data_as(i32p), ctypes.c_int64(avg.shape[1] if avg.size else 0),
+            res.ctypes.data_as(i32p), ctypes.c_int64(res.shape[1] if res.size else 0),
+            out.ctypes.data_as(i32p), ctypes.c_int64(w),
+            ctypes.c_int(w), ctypes.c_int(avg.shape[0]), ctypes.c_int(res.shape[0]),
+            ctypes.c_int(ho),
+        )
+    return True
+
+
 def apply_hsqueeze(storage, step: SqueezeStep):
-    avg = storage[step.buf_in[0]].data.astype(np.int64)
-    res = storage[step.buf_in[1]].data.astype(np.int64)
     out = storage[step.buf_out].data
     h, w_out = out.shape
     if h == 0 or w_out == 0:
         return
+    if _native_squeeze(storage, step, True):
+        return
+    avg = storage[step.buf_in[0]].data.astype(np.int64)
+    res = storage[step.buf_in[1]].data.astype(np.int64)
     w = res.shape[1]
     if w == 0:
         out[:, 0] = avg[:, 0]
@@ -346,12 +383,14 @@ def apply_hsqueeze(storage, step: SqueezeStep):
 
 
 def apply_vsqueeze(storage, step: SqueezeStep):
-    avg = storage[step.buf_in[0]].data.astype(np.int64)
-    res = storage[step.buf_in[1]].data.astype(np.int64)
     out = storage[step.buf_out].data
     h_out, w = out.shape
     if h_out == 0 or w == 0:
         return
+    if _native_squeeze(storage, step, False):
+        return
+    avg = storage[step.buf_in[0]].data.astype(np.int64)
+    res = storage[step.buf_in[1]].data.astype(np.int64)
     h = res.shape[0]
     if h == 0:
         out[0, :] = avg[0, :]

@@ -692,6 +692,103 @@ int jxl_decode_vardct_ac(
   return 0;
 }
 
+// -------------------------------------------------------------- unsqueeze
+
+static inline int64_t SmoothTendency(int64_t b, int64_t a, int64_t n) {
+  int64_t diff = 0;
+  if (b >= a && a >= n) {
+    diff = (4 * b - 3 * n - a + 6) / 12;
+    if (diff - (diff & 1) > 2 * (b - a)) diff = 2 * (b - a) + 1;
+    if (diff + (diff & 1) > 2 * (a - n)) diff = 2 * (a - n);
+  } else if (b <= a && a <= n) {
+    diff = (4 * b - 3 * n - a - 6) / 12;
+    if (diff + (diff & 1) < 2 * (b - a)) diff = 2 * (b - a) - 1;
+    if (diff - (diff & 1) < 2 * (a - n)) diff = 2 * (a - n);
+  }
+  return diff;
+}
+
+static inline void Unsqueeze1(int64_t avg, int64_t res, int64_t next_avg,
+                              int64_t prev, int32_t* a_out, int32_t* b_out) {
+  int64_t tendency = SmoothTendency(prev, avg, next_avg);
+  int64_t diff = res + tendency;
+  int64_t a = avg + diff / 2;
+  *a_out = (int32_t)a;
+  *b_out = (int32_t)(a - diff);
+}
+
+// Horizontal unsqueeze: avg (h x wa), res (h x wr), out (h x wo) where
+// wo = wa + wr. Strides in elements.
+extern "C" int jxl_hsqueeze(const int32_t* avg, int64_t avg_stride,
+                            const int32_t* res, int64_t res_stride,
+                            int32_t* out, int64_t out_stride, int h, int wa,
+                            int wr, int wo) {
+  if (h == 0 || wo == 0) return 0;
+  if (wr == 0) {
+    for (int y = 0; y < h; y++) out[y * out_stride] = avg[y * avg_stride];
+    return 0;
+  }
+  bool has_tail = (wo & 1) != 0;
+  int x_end = has_tail ? wr : wr - 1;
+  for (int y = 0; y < h; y++) {
+    const int32_t* arow = avg + y * avg_stride;
+    const int32_t* rrow = res + y * res_stride;
+    int32_t* orow = out + y * out_stride;
+    int64_t prev = arow[0];
+    for (int x = 0; x < x_end; x++) {
+      int32_t a, b;
+      Unsqueeze1(arow[x], rrow[x], arow[x + 1], prev, &a, &b);
+      orow[2 * x] = a;
+      orow[2 * x + 1] = b;
+      prev = b;
+    }
+    if (has_tail) {
+      orow[2 * wr] = arow[wr];
+    } else {
+      int32_t a, b;
+      Unsqueeze1(arow[wr - 1], rrow[wr - 1], arow[wr - 1], prev, &a, &b);
+      orow[2 * wr - 2] = a;
+      orow[2 * wr - 1] = b;
+    }
+  }
+  return 0;
+}
+
+// Vertical unsqueeze: avg (ha x w), res (hr x w), out (ho x w), ho = ha+hr.
+extern "C" int jxl_vsqueeze(const int32_t* avg, int64_t avg_stride,
+                            const int32_t* res, int64_t res_stride,
+                            int32_t* out, int64_t out_stride, int w, int ha,
+                            int hr, int ho) {
+  if (w == 0 || ho == 0) return 0;
+  if (hr == 0) {
+    std::memcpy(out, avg, sizeof(int32_t) * w);
+    return 0;
+  }
+  bool has_tail = (ho & 1) != 0;
+  int y_end = has_tail ? hr : hr - 1;
+  for (int x = 0; x < w; x++) {
+    int64_t prev = avg[x];
+    for (int y = 0; y < y_end; y++) {
+      int32_t a, b;
+      Unsqueeze1(avg[y * avg_stride + x], res[y * res_stride + x],
+                 avg[(y + 1) * avg_stride + x], prev, &a, &b);
+      out[(2 * y) * out_stride + x] = a;
+      out[(2 * y + 1) * out_stride + x] = b;
+      prev = b;
+    }
+    if (has_tail) {
+      out[(2 * hr) * out_stride + x] = avg[hr * avg_stride + x];
+    } else {
+      int32_t a, b;
+      Unsqueeze1(avg[(hr - 1) * avg_stride + x], res[(hr - 1) * res_stride + x],
+                 avg[(hr - 1) * avg_stride + x], prev, &a, &b);
+      out[(2 * hr - 2) * out_stride + x] = a;
+      out[(2 * hr - 1) * out_stride + x] = b;
+    }
+  }
+  return 0;
+}
+
 // ----------------------------------------------------------- palette apply
 
 static const int16_t kDeltaPalette[72][3] = {
