@@ -442,11 +442,99 @@ int jxl_decode_modular(
   const TreeNode* tree = reinterpret_cast<const TreeNode*>(tree_data);
   bool single_leaf = num_nodes == 1 || tree[0].property < 0;
   bool use_wp = false;
+  uint32_t used_props = 0;  // bitmask of properties the tree actually reads
+  bool gradient_only = true;
   for (int i = 0; i < num_nodes; i++) {
-    if (tree[i].property < 0 ? tree[i].predictor == 6 : tree[i].property == 15) {
-      use_wp = true;
-      break;
+    if (tree[i].property < 0) {
+      if (tree[i].predictor == 6) use_wp = true;
+      if (tree[i].predictor != 5 || tree[i].offset != 0 || tree[i].multiplier != 1)
+        gradient_only = false;
+    } else {
+      if (tree[i].property < 31) used_props |= 1u << tree[i].property;
+      if (tree[i].property == 15) use_wp = true;
+      if (tree[i].property != 0) gradient_only = false;
     }
+  }
+
+  // Fast-lossless path (ref decode/bitstream.rs:22-137): channel-split
+  // gradient-only tree + RLE prefix codes.
+  bool is_rle = lz77_enabled && dec.use_prefix &&
+                dec.lz_dist_cluster < (int)cfgs.size() &&
+                cfgs[dec.lz_dist_cluster].split_exponent == 0;
+  if (is_rle) {
+    // distance cluster must always decode symbol 1 (single-symbol table)
+    int base = dec.huff.offsets[dec.lz_dist_cluster];
+    if (!(dec.huff.bits[base] == 0 && dec.huff.values[base] == 1)) is_rle = false;
+  }
+  if (gradient_only && is_rle) {
+    uint32_t rle_len = 0;
+    int32_t rle_sym = 0;
+    for (int ci = 0; ci < num_channels; ci++) {
+      const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
+      int w = (int)cd.w, h = (int)cd.h;
+      if (w == 0 || h == 0) continue;
+      int32_t* base_ptr = out + cd.offset;
+      int64_t stride = cd.row_stride;
+      // walk tree on property 0 = channel index
+      const TreeNode* node = &tree[0];
+      while (node->property >= 0)
+        node = ci > node->splitval ? &tree[node->lchild] : &tree[node->rchild];
+      int cluster = context_map[node->ctx];
+      int tbl = dec.huff.offsets[cluster];
+      const UintConfig& sym_cfg = cfgs[cluster];
+
+      auto decode_one = [&]() -> int32_t {
+        if (rle_len > 0) {
+          rle_len--;
+        } else {
+          uint32_t peek = (uint32_t)br.Peek(8);
+          int idx = tbl + (int)peek;
+          int nbits = dec.huff.bits[idx];
+          uint32_t sym;
+          if (nbits > 8) {
+            br.pos += 8;
+            idx = tbl + (int)peek + dec.huff.values[idx] + (int)br.Peek(nbits - 8);
+            br.pos += dec.huff.bits[idx];
+            sym = (uint32_t)dec.huff.values[idx];
+          } else {
+            br.pos += nbits;
+            sym = (uint32_t)dec.huff.values[idx];
+          }
+          if (sym >= min_symbol) {
+            uint32_t count = dec.ReadUintCfg(sym - min_symbol, dec.lz_len_config, br);
+            rle_len = count + min_length - 1;
+          } else {
+            uint32_t u = dec.ReadUintCfg(sym, sym_cfg, br);
+            rle_sym = (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
+          }
+        }
+        return rle_sym;
+      };
+
+      int32_t last = 0;
+      int32_t* row0 = base_ptr;
+      for (int x = 0; x < w; x++) {
+        last += decode_one();
+        row0[x] = last;
+      }
+      for (int y = 1; y < h; y++) {
+        int32_t* row = base_ptr + (int64_t)y * stride;
+        const int32_t* prev = row - stride;
+        int32_t left = prev[0];
+        int32_t topleft = left;
+        for (int x = 0; x < w; x++) {
+          int32_t top = prev[x];
+          int64_t pred = ClampedGradient(left, top, topleft);
+          int32_t val = (int32_t)(pred + decode_one());
+          row[x] = val;
+          left = val;
+          topleft = top;
+        }
+      }
+    }
+    *bit_pos = br.pos;
+    if (br.Overrun()) return 2;
+    return 0;
   }
   int num_ref_props = 0;
   if (num_props > kNumNonrefProps)
