@@ -72,6 +72,9 @@ class _BoxParser:
         self.remaining = 0  # remaining payload of current box
         self.current_box = None
         self.jxlp_parts = {}
+        self._jxlp_complete = set()
+        self._jxlp_ooo = set()  # part indices received out of physical order
+        self.ooo_ranges = []  # codestream [start, end) ranges from OOO boxes
         self.jxlp_pending_index = False
         self.codestream = bytearray()
         self.done = False
@@ -88,8 +91,17 @@ class _BoxParser:
             self.codestream.extend(self.buf[self.pos :])
             self.pos = len(self.buf)
         elif self.current_box in (b"jxlc", b"jxlp") and self.remaining == -1:
-            self._append_codestream(self.buf[self.pos :])
+            if self.current_box == b"jxlp":
+                self._jxlp_complete.add(self._jxlp_index)
+                self._flush_jxlp()
+            else:
+                self._append_codestream(self.buf[self.pos :])
             self.pos = len(self.buf)
+        if self.jxlp_parts:
+            # parts remain whose index order cannot be satisfied: the file
+            # interleaves jxlp boxes out of order (ref tests/api.rs:36-44
+            # expects Error::InvalidBox for such files)
+            raise InvalidBitstream("out-of-order jxlp boxes")
         self.done = True
 
     def _append_codestream(self, data):
@@ -142,6 +154,11 @@ class _BoxParser:
                         self.remaining -= 4
                     self.jxlp_pending_index = False
                     self._jxlp_index = idx & 0x7FFFFFFF
+                    # a box is a valid frame-start checkpoint only if it is
+                    # physically in logical order and no future parts are
+                    # pending (ref box_parser.rs:120-133 add_checkpoint)
+                    if self._jxlp_index != self._jxlp_next or self.jxlp_parts:
+                        self._jxlp_ooo.add(self._jxlp_index)
                 avail = len(self.buf) - self.pos
                 take = avail if self.remaining < 0 else min(avail, self.remaining)
                 chunk = bytes(self.buf[self.pos : self.pos + take])
@@ -149,11 +166,13 @@ class _BoxParser:
                     self._append_codestream(chunk)
                 elif self.current_box == b"jxlp":
                     self.jxlp_parts.setdefault(self._jxlp_index, bytearray()).extend(chunk)
-                    self._flush_jxlp()
                 self.pos += take
                 if self.remaining > 0:
                     self.remaining -= take
                 if self.remaining == 0:
+                    if self.current_box == b"jxlp":
+                        self._jxlp_complete.add(self._jxlp_index)
+                        self._flush_jxlp()
                     self.state = "box_header"
                     continue
                 return
@@ -161,13 +180,16 @@ class _BoxParser:
                 return
 
     def _flush_jxlp(self):
-        # append contiguous jxlp parts in index order as they complete;
-        # conservative: only flush parts while the next index exists and the
-        # part after it has started (or the box ended)
-        while self._jxlp_next in self.jxlp_parts and (
-            (self._jxlp_next + 1) in self.jxlp_parts or self.remaining == 0
-        ):
-            self.codestream.extend(self.jxlp_parts.pop(self._jxlp_next))
+        # append jxlp parts to the codestream in index order, each once its
+        # box payload is fully consumed (ref box_parser.rs jxlp handling)
+        while self._jxlp_next in self._jxlp_complete:
+            part = self.jxlp_parts.pop(self._jxlp_next)
+            if self._jxlp_next in self._jxlp_ooo:
+                self.ooo_ranges.append(
+                    (len(self.codestream), len(self.codestream) + len(part))
+                )
+            self.codestream.extend(part)
+            self._jxlp_complete.discard(self._jxlp_next)
             self._jxlp_next += 1
 
 
@@ -256,6 +278,12 @@ class JxlDecoder:
 
             br = self._reader()
             br.jump_to_byte_boundary()
+            start_byte = br.pos // 8
+            for lo, hi in self.boxes.ooo_ranges:
+                if lo <= start_byte < hi:
+                    # ref tests/api.rs:36-44: frames must start in a box that
+                    # is a valid checkpoint (physically in logical order)
+                    raise InvalidBitstream("frame starts in out-of-order jxlp box")
             if self._preview_pending:
                 pframe = parse_frame(br, self.file_header, None, preview=True)
                 br.jump_to_byte_boundary()

@@ -11,7 +11,7 @@ from dataclasses import dataclass, field as dfield
 
 import numpy as np
 
-from ..errors import NotSupported
+from ..errors import InvalidBitstream, NotSupported
 from ..io.bit_reader import BitReader
 from ..io.container import extract_codestream
 from ..io.headers import FileHeader
@@ -68,7 +68,9 @@ def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
         render_frame_channels,
     )
 
-    codestream = extract_codestream(data)
+    from ..io.container import extract_codestream_ex
+
+    codestream, ooo_ranges = extract_codestream_ex(data)
     br = BitReader(codestream)
     fh = FileHeader.read(br)
     meta = fh.image_metadata
@@ -88,6 +90,13 @@ def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
 
     out = DecodedImage(fh, [], icc_profile)
     while True:
+        br.jump_to_byte_boundary()
+        start_byte = br.pos // 8
+        for lo, hi in ooo_ranges:
+            if lo <= start_byte < hi:
+                # ref tests/api.rs:36-44: frames must start in a box that is
+                # a valid checkpoint (physically in logical order)
+                raise InvalidBitstream("frame starts in out-of-order jxlp box")
         frame = parse_frame(br, fh, state)
         frame.icc_profile = icc_profile
         header = frame.header

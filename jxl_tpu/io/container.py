@@ -59,12 +59,18 @@ def iter_boxes(data: bytes):
         yield btype, payload
 
 
-def extract_codestream(data: bytes) -> bytes:
-    """Return the raw codestream bytes from a .jxl file (bare or container)."""
+def extract_codestream_ex(data: bytes) -> tuple[bytes, list[tuple[int, int]]]:
+    """Return (codestream, ooo_ranges) from a .jxl file (bare or container).
+
+    ooo_ranges are codestream byte ranges whose jxlp box was received out
+    of physical order (or while other parts were pending); frames must not
+    start inside such ranges (ref box_parser.rs:120-133 add_checkpoint and
+    tests/api.rs decode_ooo_jxlp_invalid_animated_container)."""
     kind = detect_signature(data)
     if kind == "codestream":
-        return bytes(data)
+        return bytes(data), []
     parts = {}
+    ooo = set()
     jxlc = None
     for btype, payload in iter_boxes(data):
         if btype == b"jxlc":
@@ -72,10 +78,27 @@ def extract_codestream(data: bytes) -> bytes:
         elif btype == b"jxlp":
             if len(payload) < 4:
                 raise InvalidBitstream("jxlp box too small")
-            idx = int.from_bytes(payload[:4], "big")
-            parts[idx & 0x7FFFFFFF] = bytes(payload[4:])
+            idx = int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
+            # in-order iff every logically-preceding part is physically
+            # before this one and no logically-later part has been seen
+            if set(parts) != set(range(idx)):
+                ooo.add(idx)
+            parts[idx] = bytes(payload[4:])
     if jxlc is not None:
-        return jxlc
+        return jxlc, []
     if parts:
-        return b"".join(parts[i] for i in sorted(parts))
+        if sorted(parts) != list(range(len(parts))):
+            raise InvalidBitstream("jxlp part indices not contiguous")
+        ranges = []
+        pos = 0
+        for i in sorted(parts):
+            if i in ooo:
+                ranges.append((pos, pos + len(parts[i])))
+            pos += len(parts[i])
+        return b"".join(parts[i] for i in sorted(parts)), ranges
     raise InvalidBitstream("container has no codestream boxes")
+
+
+def extract_codestream(data: bytes) -> bytes:
+    """Return the raw codestream bytes from a .jxl file (bare or container)."""
+    return extract_codestream_ex(data)[0]

@@ -1,0 +1,108 @@
+"""Corpus-wide decode coverage + the one independent pixel golden.
+
+The reference's golden-file suite (jxl/src/tests/mod.rs:20-493 via
+declare_test_file!) requires every corpus .jxl to decode; splines.pfm is
+the only independent pixel-level golden shipped in-tree.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from jxl_tpu.api.decoder import JxlDecoder, Event
+from jxl_tpu.errors import JxlError
+
+CORPUS = pathlib.Path("/root/reference/jxl/resources/test")
+
+# files the reference itself expects to FAIL (tests/api.rs:36-44)
+EXPECT_FAIL = {"invalid_animated_ooo_jxlp.jxl"}
+# large/slow files exercised by test_corpus_slow (opt-in via --runslow)
+SLOW = {
+    "tirr_photo.jxl",
+    "progressive.jxl",
+    "progressive_5.jxl",
+    "zoltan_tasi_unsplash.jxl",
+    "issue865_large_toc.jxl",
+    "bike.jxl",
+    "cafe.jxl",
+    "bench_oriented_brg.jxl",
+    "bench_oriented_brg_5.jxl",
+}
+
+
+def corpus_files():
+    if not CORPUS.is_dir():
+        return []
+    files = sorted(CORPUS.glob("*.jxl")) + sorted(
+        (CORPUS / "conformance_test_images").glob("*.jxl")
+    )
+    return [f for f in files if f.name not in EXPECT_FAIL]
+
+
+def decode_all(path: pathlib.Path):
+    d = JxlDecoder()
+    d.feed(path.read_bytes())
+    d.end_input()
+    while d.process() is not Event.COMPLETE:
+        pass
+    return d
+
+
+@pytest.mark.parametrize(
+    "path",
+    [f for f in corpus_files() if f.name not in SLOW],
+    ids=lambda p: p.name,
+)
+def test_corpus_decodes(path):
+    d = decode_all(path)
+    assert d.frames, path.name
+    for fr in d.frames:
+        assert np.all(np.isfinite(fr)), path.name
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "path", [f for f in corpus_files() if f.name in SLOW], ids=lambda p: p.name
+)
+def test_corpus_decodes_slow(path):
+    d = decode_all(path)
+    assert d.frames, path.name
+
+
+def test_invalid_ooo_jxlp_rejected():
+    # ref tests/api.rs decode_ooo_jxlp_invalid_animated_container: frames must
+    # start in physically-in-order jxlp boxes
+    path = CORPUS / "invalid_animated_ooo_jxlp.jxl"
+    if not path.exists():
+        pytest.skip("corpus not available")
+    with pytest.raises(JxlError):
+        decode_all(path)
+
+
+def read_pfm(path):
+    with open(path, "rb") as f:
+        hdr = f.readline().strip()
+        dims = f.readline().split()
+        scale = float(f.readline())
+        w, h = int(dims[0]), int(dims[1])
+        nc = 3 if hdr == b"PF" else 1
+        data = np.frombuffer(f.read(), dtype="<f4" if scale < 0 else ">f4")
+        return data.reshape(h, w, nc)[::-1]
+
+
+def test_splines_pixel_golden():
+    """splines.jxl vs the in-tree splines.pfm (independent pixel golden)."""
+    pfm = CORPUS / "splines.pfm"
+    if not pfm.exists():
+        pytest.skip("corpus not available")
+    from jxl_tpu.api.simple import decode_first_frame
+    from jxl_tpu.render.simple import render_frame
+
+    golden = read_pfm(pfm)
+    df = decode_first_frame((CORPUS / "splines.jxl").read_bytes())
+    out = render_frame(df.frame)
+    assert out.shape == golden.shape
+    mse = float(np.mean((out - golden) ** 2))
+    psnr = -10 * np.log10(mse) if mse > 0 else np.inf
+    assert psnr > 80.0, psnr
