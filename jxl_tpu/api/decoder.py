@@ -341,13 +341,13 @@ class JxlDecoder:
             apply_orientation,
             blend_and_extend,
             color_transform,
-            render_frame_channels,
+            render_frame_channels_ex,
         )
 
         frame = self.frame
         header = frame.header
         state = self.state
-        planes = render_frame_channels(frame)
+        planes, color_done = render_frame_channels_ex(frame, fuse=True)
         if header.lf_level != 0:
             state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
         if header.can_be_referenced and header.save_before_ct:
@@ -355,7 +355,7 @@ class JxlDecoder:
                 "frame": [p.copy() for p in planes],
                 "saved_before_color_transform": True,
             }
-        if header.frame_type != FrameType.REFERENCE_ONLY:
+        if header.frame_type != FrameType.REFERENCE_ONLY and not color_done:
             planes = color_transform(frame, planes)
         if header.needs_blending():
             canvas = blend_and_extend(frame, planes)

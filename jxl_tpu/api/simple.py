@@ -65,7 +65,7 @@ def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
         apply_orientation,
         blend_and_extend,
         color_transform,
-        render_frame_channels,
+        render_frame_channels_ex,
     )
 
     from ..io.container import extract_codestream_ex
@@ -102,7 +102,7 @@ def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
         header = frame.header
         frame.decode_all_sections(br)
 
-        planes = render_frame_channels(frame)
+        planes, color_done = render_frame_channels_ex(frame, fuse=True)
 
         if header.lf_level != 0:
             state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
@@ -113,7 +113,7 @@ def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
                 "saved_before_color_transform": True,
             }
 
-        if header.frame_type != FrameType.REFERENCE_ONLY:
+        if header.frame_type != FrameType.REFERENCE_ONLY and not color_done:
             planes = color_transform(frame, planes)
 
         if header.needs_blending():

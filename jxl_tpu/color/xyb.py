@@ -13,11 +13,12 @@ SRGB_LUMINANCES = (0.2126, 0.7152, 0.0722)
 
 
 def xyb_to_linear(
-    x: np.ndarray,
-    y: np.ndarray,
-    b: np.ndarray,
+    x,
+    y,
+    b,
     opsin,  # OpsinInverseMatrix header
     intensity_target: float = 255.0,
+    xp=np,
 ):
     """Returns (r, g, b) linear, 1.0 == intensity_target nits."""
     mat = np.array(opsin.inverse_matrix, dtype=np.float32)
@@ -39,7 +40,7 @@ def xyb_to_linear(
     return r_out.astype(np.float32), g_out.astype(np.float32), b_out.astype(np.float32)
 
 
-def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+def ycbcr_to_rgb(y, cb, cr, xp=np):
     """JXL YCbCr (zero-centered chroma) -> RGB (ref stages/ycbcr.rs)."""
     yp = y + np.float32(0.5)
     r = np.float32(1.402) * cr + yp

@@ -1,0 +1,182 @@
+"""Jitted device filter chain: gaborish + EPF0/1/2 as one fused XLA program.
+
+The host oracle path (render/simple.py with xp=numpy) and this device path
+share the exact same stage math (render/stages/core.py); this module only
+closes the restoration-filter parameters over a jit-compiled function so
+the whole filter bundle becomes a handful of fused HBM passes on TPU
+(capability ref: jxl/src/render/stages/{gaborish,epf/*}.rs executed row-wise
+by the low-memory pipeline; here the frame is one device program).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .stages import core as st
+
+
+class _Rf:
+    """Plain restoration-filter parameter holder for stage code."""
+
+    __slots__ = (
+        "epf_sharp_lut",
+        "epf_channel_scale",
+        "epf_pass0_sigma_scale",
+        "epf_pass2_sigma_scale",
+        "epf_border_sad_mul",
+    )
+
+
+def _rf_key(rf) -> tuple:
+    return (
+        tuple(rf.epf_channel_scale),
+        float(rf.epf_pass0_sigma_scale),
+        float(rf.epf_pass2_sigma_scale),
+        float(rf.epf_border_sad_mul),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _filter_fn(gab_weights, epf_iters: int, rf_key: tuple):
+    """Build + jit the filter program for one static configuration.
+
+    Signature of the returned fn: (planes (3,H,W) f32, inv_sigma_px (H,W)
+    f32) -> (3,H,W) f32. Compiled once per (config, shape) by jax.jit.
+    """
+    rf = _Rf()
+    rf.epf_channel_scale = list(rf_key[0])
+    rf.epf_pass0_sigma_scale = rf_key[1]
+    rf.epf_pass2_sigma_scale = rf_key[2]
+    rf.epf_border_sad_mul = rf_key[3]
+    rf.epf_sharp_lut = None  # sigma already expanded to per-pixel
+
+    def fn(planes, inv_sigma_px):
+        chans = [planes[0], planes[1], planes[2]]
+        if gab_weights is not None:
+            chans = [
+                st.gaborish(jnp, c, w1, w2)
+                for c, (w1, w2) in zip(chans, gab_weights)
+            ]
+        if epf_iters >= 3:
+            chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf, 0)
+        if epf_iters >= 1:
+            chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf, 1)
+        if epf_iters >= 2:
+            chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf, 2)
+        return jnp.stack(chans)
+
+    return jax.jit(fn)
+
+
+def _sigma_px(rf, sigma_block, constant_sigma, h, w):
+    if rf.epf_iters > 0:
+        if sigma_block is not None:
+            return np.asarray(
+                st._expand_sigma(np, sigma_block, h, w, (0, 0)), dtype=np.float32
+            )
+        return np.full((h, w), np.float32(constant_sigma))
+    return np.zeros((h, w), dtype=np.float32)
+
+
+def _gab_key(rf):
+    if not rf.gab:
+        return None
+    return (
+        (float(rf.gab_x_weight1), float(rf.gab_x_weight2)),
+        (float(rf.gab_y_weight1), float(rf.gab_y_weight2)),
+        (float(rf.gab_b_weight1), float(rf.gab_b_weight2)),
+    )
+
+
+# fused filters + color-transform programs, keyed by static config
+_FUSED_CACHE: dict = {}
+
+
+def run_filters_and_color(frame, planes3, sigma_block, constant_sigma, out_hw):
+    """Filters + crop + color transform as ONE device program: a single
+    upload and a single download per frame (the halo-free whole-image analog
+    of the reference pipeline's stage list, frame/render.rs:506-885)."""
+    import jax
+
+    header = frame.header
+    meta = frame.file_header.image_metadata
+    rf = header.restoration_filter
+    h, w = planes3[0].shape
+    oh, ow = out_hw
+
+    ce = meta.color_encoding
+    t = ce.tf
+    tf_key = ("gamma", float(t.gamma_value())) if t.have_gamma else (t.transfer_function,)
+    opsin = frame.file_header.transform_data.opsin_inverse_matrix
+    key = (
+        _gab_key(rf),
+        int(rf.epf_iters),
+        _rf_key(rf),
+        bool(meta.xyb_encoded),
+        bool(header.do_ycbcr),
+        tf_key,
+        float(meta.tone_mapping.intensity_target),
+        tuple(opsin.inverse_matrix),
+        tuple(opsin.opsin_biases),
+    )
+    fn = _FUSED_CACHE.get(key)
+    if fn is None:
+        gab_weights = _gab_key(rf)
+        epf_iters = int(rf.epf_iters)
+        rfk = _rf_key(rf)
+        rf_obj = _Rf()
+        rf_obj.epf_channel_scale = list(rfk[0])
+        rf_obj.epf_pass0_sigma_scale = rfk[1]
+        rf_obj.epf_pass2_sigma_scale = rfk[2]
+        rf_obj.epf_border_sad_mul = rfk[3]
+        rf_obj.epf_sharp_lut = None
+
+        def program(planes, inv_sigma_px, oh, ow):
+            from . import simple as render_simple
+
+            chans = [planes[0], planes[1], planes[2]]
+            if gab_weights is not None:
+                chans = [
+                    st.gaborish(jnp, c, w1, w2)
+                    for c, (w1, w2) in zip(chans, gab_weights)
+                ]
+            if epf_iters >= 3:
+                chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 0)
+            if epf_iters >= 1:
+                chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 1)
+            if epf_iters >= 2:
+                chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 2)
+            chans = [c[:oh, :ow] for c in chans]
+            chans = render_simple.color_transform(frame, chans, xp=jnp)
+            return jnp.stack(chans)
+
+        fn = jax.jit(program, static_argnums=(2, 3))
+        _FUSED_CACHE[key] = fn
+
+    inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
+    out = fn(jnp.asarray(np.stack(planes3)), jnp.asarray(inv_sigma_px), oh, ow)
+    out = np.array(jax.device_get(out), dtype=np.float32)
+    return [out[0], out[1], out[2]]
+
+
+def run_filters(planes3, rf, sigma_block, constant_sigma, encoding_vardct: bool):
+    """Apply gaborish + EPF to the 3 color planes on device.
+
+    planes3: list of 3 (H, W) float32 numpy arrays. Returns 3 numpy arrays.
+    """
+    h, w = planes3[0].shape
+    gab_weights = _gab_key(rf)
+    epf_iters = int(rf.epf_iters)
+    if gab_weights is None and epf_iters == 0:
+        return planes3
+
+    inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
+    fn = _filter_fn(gab_weights, epf_iters, _rf_key(rf))
+    out = fn(jnp.asarray(np.stack(planes3)), jnp.asarray(inv_sigma_px))
+    out = np.array(jax.device_get(out), dtype=np.float32)  # writable copy
+    return [out[0], out[1], out[2]]

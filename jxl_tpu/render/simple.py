@@ -23,25 +23,25 @@ from ..io.headers.frame import BlendingMode, Encoding, FrameType
 from .stages import core as st
 
 
-def _from_linear(channels, color_encoding, intensity_target):
+def _from_linear(channels, color_encoding, intensity_target, xp=np):
     t = color_encoding.tf
     if t.have_gamma:
-        return [tfmod.linear_to_gamma(c, t.gamma_value()) for c in channels]
+        return [tfmod.linear_to_gamma(c, t.gamma_value(), xp) for c in channels]
     tfv = t.transfer_function
     if tfv == TransferFunction.SRGB:
-        return [tfmod.linear_to_srgb(c) for c in channels]
+        return [tfmod.linear_to_srgb(c, xp) for c in channels]
     if tfv == TransferFunction.BT709:
-        return [tfmod.linear_to_bt709(c) for c in channels]
+        return [tfmod.linear_to_bt709(c, xp) for c in channels]
     if tfv == TransferFunction.LINEAR:
         return list(channels)
     if tfv == TransferFunction.PQ:
-        return [tfmod.linear_to_pq(c, intensity_target) for c in channels]
+        return [tfmod.linear_to_pq(c, intensity_target, xp) for c in channels]
     if tfv == TransferFunction.DCI:
-        return [tfmod.linear_to_gamma(c, 1.0 / 2.6) for c in channels]
+        return [tfmod.linear_to_gamma(c, 1.0 / 2.6, xp) for c in channels]
     if tfv == TransferFunction.HLG:
         lum = (0.2126, 0.7152, 0.0722)
-        r, g, b = tfmod.hlg_display_to_scene(intensity_target, lum, channels)
-        return [tfmod.scene_to_hlg(c) for c in (r, g, b)]
+        r, g, b = tfmod.hlg_display_to_scene(intensity_target, lum, channels, xp)
+        return [tfmod.scene_to_hlg(c, xp) for c in (r, g, b)]
     raise AssertionError(tfv)
 
 
@@ -72,6 +72,15 @@ def _modular_to_f32(plane: np.ndarray, bit_depth) -> np.ndarray:
 def render_frame_channels(frame) -> list[np.ndarray]:
     """All stages up to (excluding) the color transform: returns 3+num_ec
     planes at size_upsampled (in XYB / YCbCr / raw color space)."""
+    planes, _ = render_frame_channels_ex(frame, fuse=False)
+    return planes
+
+
+def render_frame_channels_ex(frame, fuse: bool) -> tuple[list[np.ndarray], bool]:
+    """Like render_frame_channels, but when `fuse` is set and no host-side
+    stage (patches/splines/noise/upsampling/pre-CT saves) intervenes, the
+    filter chain AND the color transform run as one fused device program
+    (single upload + download). Returns (planes, color_transform_done)."""
     header = frame.header
     meta = frame.file_header.image_metadata
     num_ec = len(meta.extra_channel_info)
@@ -108,30 +117,38 @@ def render_frame_channels(frame) -> list[np.ndarray]:
             planes[c] = st.chroma_upsample_v(np, planes[c])
 
     rf = header.restoration_filter
-    if rf.gab:
-        gw = [
-            (rf.gab_x_weight1, rf.gab_x_weight2),
-            (rf.gab_y_weight1, rf.gab_y_weight2),
-            (rf.gab_b_weight1, rf.gab_b_weight2),
-        ]
-        for c in range(3):
-            planes[c] = st.gaborish(np, planes[c], *gw[c])
-
-    if rf.epf_iters > 0:
-        if header.encoding == Encoding.VARDCT:
+    color_done = False
+    wu_f, hu_f = header.size_upsampled()
+    can_fuse = (
+        fuse
+        and (rf.gab or rf.epf_iters > 0)
+        and not header.has_patches
+        and not header.has_splines
+        and not header.has_noise
+        and header.upsampling == 1
+        and header.frame_type != FrameType.REFERENCE_ONLY
+        and not (header.can_be_referenced and header.save_before_ct)
+        and header.lf_level == 0
+    )
+    if rf.gab or rf.epf_iters > 0:
+        if rf.epf_iters > 0 and header.encoding == Encoding.VARDCT:
             sigma_block = st.compute_sigma_image(frame)
             const_sigma = None
         else:
             sigma_block = None
             const_sigma = st.INV_SIGMA_NUM / rf.epf_sigma_for_modular
-        rgb3 = planes[:3]
-        if rf.epf_iters >= 3:
-            rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 0, constant_sigma=const_sigma)
-        if rf.epf_iters >= 1:
-            rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 1, constant_sigma=const_sigma)
-        if rf.epf_iters >= 2:
-            rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 2, constant_sigma=const_sigma)
-        planes[:3] = rgb3
+        from .device_filters import run_filters, run_filters_and_color
+
+        if can_fuse:
+            planes[:3] = run_filters_and_color(
+                frame, planes[:3], sigma_block, const_sigma, (hu_f, wu_f)
+            )
+            color_done = True
+        else:
+            planes[:3] = run_filters(
+                planes[:3], rf, sigma_block, const_sigma,
+                header.encoding == Encoding.VARDCT,
+            )
 
     late_ec_upsample = header.upsampling > 1 and all(
         u == header.upsampling for u in header.ec_upsampling
@@ -177,10 +194,10 @@ def render_frame_channels(frame) -> list[np.ndarray]:
             np, planes[:3], nf, frame.lf_global.noise,
             frame.lf_global.color_correlation_params,
         )
-    return [np.ascontiguousarray(p, dtype=np.float32) for p in planes]
+    return [np.ascontiguousarray(p, dtype=np.float32) for p in planes], color_done
 
 
-def color_transform(frame, planes):
+def color_transform(frame, planes, xp=np):
     """YCbCr|XYB -> linear -> display TF on the first 3 channels."""
     header = frame.header
     meta = frame.file_header.image_metadata
@@ -189,12 +206,13 @@ def color_transform(frame, planes):
             planes[0], planes[1], planes[2],
             frame.file_header.transform_data.opsin_inverse_matrix,
             meta.tone_mapping.intensity_target,
+            xp,
         )
         planes[:3] = _from_linear(
-            [r, g, b], meta.color_encoding, meta.tone_mapping.intensity_target
+            [r, g, b], meta.color_encoding, meta.tone_mapping.intensity_target, xp
         )
     elif header.do_ycbcr:
-        r, g, b = ycbcr_to_rgb(planes[1], planes[0], planes[2])
+        r, g, b = ycbcr_to_rgb(planes[1], planes[0], planes[2], xp)
         planes[:3] = [r, g, b]
     return planes
 
@@ -271,8 +289,9 @@ def blend_and_extend(frame, planes):
 def render_frame(frame) -> np.ndarray:
     """Single-frame render to (h, w, c) display floats (no orientation,
     no blending with other frames). Kept for tests and simple files."""
-    planes = render_frame_channels(frame)
-    planes = color_transform(frame, planes)
+    planes, color_done = render_frame_channels_ex(frame, fuse=True)
+    if not color_done:
+        planes = color_transform(frame, planes)
     return np.stack(planes, axis=-1)
 
 

@@ -70,13 +70,16 @@ def compute_sigma_image(frame) -> np.ndarray:
 
 
 def _sad_mul_mask(xp, h, w, y0, x0, sm, bsm):
-    """Per-pixel sigma multiplier: bsm on 8x8-block borders (ref epf/common.rs)."""
-    ys = (np.arange(h) + y0) % BLOCK_DIM
-    xs = (np.arange(w) + x0) % BLOCK_DIM
+    """Per-pixel sigma multiplier: bsm on 8x8-block borders (ref epf/common.rs).
+
+    Computed with xp so that under jit it lowers to iota + select (a fused
+    device op) instead of an embedded h*w constant."""
+    ys = (xp.arange(h) + y0) % BLOCK_DIM
+    xs = (xp.arange(w) + x0) % BLOCK_DIM
     ybord = (ys == 0) | (ys == BLOCK_DIM - 1)
     xbord = (xs == 0) | (xs == BLOCK_DIM - 1)
     border = ybord[:, None] | xbord[None, :]
-    return np.where(border, np.float32(bsm), np.float32(sm))
+    return xp.where(border, np.float32(bsm), np.float32(sm))
 
 
 def _epf_generic(xp, planes, inv_sigma_px, sad_mul, neighbors, sad_pattern, channel_scale, border):
@@ -126,7 +129,12 @@ def epf_step(xp, planes, sigma_block, frame_rf, step: int, pos=(0, 0), constant_
         inv_sigma_px = _expand_sigma(xp, sigma_block, h, w, pos)
     else:
         inv_sigma_px = xp.full((h, w), np.float32(constant_sigma))
+    return epf_step_px(xp, planes, inv_sigma_px, frame_rf, step, pos)
 
+
+def epf_step_px(xp, planes, inv_sigma_px, frame_rf, step: int, pos=(0, 0)):
+    """EPF iteration with a precomputed per-pixel 1/sigma map."""
+    h, w = planes[0].shape
     if step == 0:
         sigma_scale = frame_rf.epf_pass0_sigma_scale
         neighbors, pattern, border = _EPF0_NEIGHBORS, _PLUS5, 3
