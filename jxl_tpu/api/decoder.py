@@ -47,6 +47,96 @@ class JxlDecoderOptions:
     scan_frames_only: bool = False
 
 
+@dataclass(frozen=True)
+class VisibleFrameSeekTarget:
+    """Computed seek inputs for a target visible frame (ref api/decoder.rs:64-75).
+
+    decode_start_offset is a codestream byte offset: resume parsing there and
+    skip `visible_frames_to_skip` visible frames before the target."""
+
+    decode_start_offset: int
+    visible_frames_to_skip: int
+
+
+@dataclass(frozen=True)
+class VisibleFrameInfo:
+    """Info about one visible frame found while decoding/scanning
+    (ref api/decoder.rs:41-62)."""
+
+    index: int
+    duration_ms: float
+    duration_ticks: int
+    codestream_offset: int
+    is_last: bool
+    is_keyframe: bool
+    seek_target: VisibleFrameSeekTarget
+    name: str
+
+
+class _FrameScanInfo:
+    """Per-frame dependency analysis for seeking (ref frame_scan_info.rs:18-168):
+    tracks, per reference/LF slot, the earliest frame needed to reconstruct it;
+    a visible frame's seek target starts at the earliest such dependency."""
+
+    MAX_STORED_FRAMES = 4
+    NUM_LF_FRAMES = 4
+
+    def __init__(self):
+        self.scanned: list[VisibleFrameInfo] = []
+        self.visible_index = 0
+        self.frame_starts: list[tuple[int, int]] = []  # (offset, visible_before)
+        self.ref_slot_start = [None] * self.MAX_STORED_FRAMES
+        self.lf_slot_start = [None] * self.NUM_LF_FRAMES
+
+    def record(self, header, animation, offset: int) -> None:
+        cur = len(self.frame_starts)
+        self.frame_starts.append((offset, self.visible_index))
+        decode_start = cur
+
+        used = [False] * self.MAX_STORED_FRAMES
+        if header.needs_blending():
+            for bi in [header.blending_info, *header.ec_blending_info]:
+                used[bi.source] = True
+        if header.has_patches:
+            used = [True] * self.MAX_STORED_FRAMES
+        for slot, u in enumerate(used):
+            if u and self.ref_slot_start[slot] is not None:
+                decode_start = min(decode_start, self.ref_slot_start[slot])
+        if header.has_lf_frame:
+            dep = self.lf_slot_start[header.lf_level]
+            if dep is not None:
+                decode_start = min(decode_start, dep)
+
+        if header.is_visible:
+            ticks = header.duration
+            ms = 0.0
+            if animation is not None and animation.tps_numerator > 0:
+                ms = ticks * 1000.0 * animation.tps_denominator / animation.tps_numerator
+            start_off, visible_before = self.frame_starts[decode_start]
+            target = VisibleFrameSeekTarget(
+                decode_start_offset=start_off,
+                visible_frames_to_skip=self.visible_index - visible_before,
+            )
+            self.scanned.append(
+                VisibleFrameInfo(
+                    index=self.visible_index,
+                    duration_ms=ms,
+                    duration_ticks=ticks,
+                    codestream_offset=offset,
+                    is_last=header.is_last,
+                    is_keyframe=target.visible_frames_to_skip == 0,
+                    seek_target=target,
+                    name=header.name,
+                )
+            )
+            self.visible_index += 1
+
+        if header.can_be_referenced:
+            self.ref_slot_start[header.save_as_reference] = decode_start
+        if header.lf_level != 0:
+            self.lf_slot_start[header.lf_level - 1] = decode_start
+
+
 @dataclass
 class ImageInfo:
     width: int
@@ -214,6 +304,9 @@ class JxlDecoder:
         self._input_ended = False
         self._section_cursor = 0
         self._events: list[Event] = []
+        self.scan = _FrameScanInfo()
+        self._scan_frozen = False
+        self._skip_visible = 0
 
     # -- input ----------------------------------------------------------------
 
@@ -295,6 +388,12 @@ class JxlDecoder:
             self.frame = parse_frame(br, self.file_header, self.state)
             self.frame.icc_profile = self.icc_profile
             self.cursor = br.pos
+            if not self._scan_frozen:
+                self.scan.record(
+                    self.frame.header,
+                    self.file_header.image_metadata.animation,
+                    start_byte,
+                )
             self.frame_infos.append(
                 {
                     "is_last": self.frame.header.is_last,
@@ -315,16 +414,21 @@ class JxlDecoder:
             self.stage = "frame_sections"
             return Event.FRAME_START
         if self.stage == "frame_sections":
-            # wait for all section bytes, then decode the frame in one go
-            br = self._reader()
-            br.jump_to_byte_boundary()
-            total = self.frame.toc.total_size
-            if br.total_bits_available() < total * 8:
+            # decode sections incrementally as their bytes become available
+            # (section-availability scheduling, ref frame_info.rs:551-604)
+            frame = self.frame
+            if not hasattr(frame, "_sec_decoded"):
+                frame.begin_sections()
+            toc_end = (self.cursor + 7) // 8
+            codestream = bytes(self.boxes.codestream)
+            need = frame.process_sections_incremental(
+                codestream, toc_end, len(codestream)
+            )
+            if need is not None:
                 if self._input_ended:
                     raise InvalidBitstream("truncated frame")
-                raise OutOfBounds(total - br.total_bits_available() // 8)
-            self.frame.decode_all_sections(br)
-            self.cursor = br.pos
+                raise OutOfBounds(need - len(codestream))
+            self.cursor = (toc_end + frame.toc.total_size) * 8
             self._finish_frame()
             if self.frame.header.is_last:
                 self.stage = "done"
@@ -335,6 +439,95 @@ class JxlDecoder:
         if self.stage == "done":
             return Event.COMPLETE
         raise AssertionError(self.stage)
+
+    @property
+    def scanned_frames(self) -> list[VisibleFrameInfo]:
+        """Visible frame info collected so far (ref api/decoder.rs:95-99);
+        with scan_frames_only this is the primary output of decoding."""
+        return self.scan.scanned
+
+    def start_new_frame(self, seek_target: VisibleFrameSeekTarget) -> None:
+        """Seek: reset frame-level state and resume parsing at the target
+        (ref api/decoder.rs:195-206 + codestream_parser start_new_frame).
+        Call after a scan pass; then keep calling process()."""
+        self._scan_frozen = True
+        self.frame = None
+        self._events.clear()
+        self.frames.clear()
+        self.durations.clear()
+        self.options = type(self.options)(**{**self.options.__dict__, "scan_frames_only": False})
+        self.cursor = seek_target.decode_start_offset * 8
+        self._skip_visible = seek_target.visible_frames_to_skip
+        self.stage = "frame_header"
+
+    def flush_pixels(self) -> np.ndarray | None:
+        """Render the current partial frame state (ref api/decoder.rs:176
+        flush_pixels + frame_info.rs:607 do_flush). Pure re-render: decode
+        state is not mutated, so processing can continue afterwards.
+
+        VarDCT groups without AC yet are synthesized by 8x LF upsampling
+        (ref frame/decode.rs:58 upsample_lf_group); groups with a partial
+        pass set are re-rendered from accumulated coefficients."""
+        import copy
+
+        from ..io.headers.frame import Encoding
+        from ..render.simple import (
+            apply_orientation,
+            blend_and_extend,
+            color_transform,
+            render_frame_channels_ex,
+        )
+
+        frame = self.frame
+        if (
+            self.stage != "frame_sections"
+            or frame is None
+            or frame.lf_global is None
+            or not getattr(frame, "_sec_decoded", None)
+        ):
+            return None
+        header = frame.header
+        is_vardct = header.encoding == Encoding.VARDCT
+        if is_vardct and not frame._lf_finalized:
+            return None
+
+        # snapshot mutable pieces, render, then restore
+        saved_mg = frame.lf_global.modular_global
+        saved_px = frame.vardct_pixels
+        try:
+            mg = copy.deepcopy(saved_mg)
+            mg.run_transforms()
+            frame.lf_global.modular_global = mg
+            if is_vardct:
+                from ..vardct.group import ensure_pixel_buffers
+                from ..vardct.lf import upsample_lf_group
+
+                frame.vardct_pixels = (
+                    [p.copy() for p in saved_px] if saved_px is not None else None
+                )
+                ensure_pixel_buffers(frame)
+                num_passes = header.passes.num_passes
+                for g in range(header.num_groups):
+                    done = frame._passes_done[g]
+                    if done == 0:
+                        upsample_lf_group(frame, g, frame.vardct_pixels)
+                    elif done < num_passes:
+                        frame.render_group_from_coeffs(g)
+            planes, color_done = render_frame_channels_ex(frame, fuse=True)
+            if header.frame_type != FrameType.REFERENCE_ONLY and not color_done:
+                planes = color_transform(frame, planes)
+            if header.needs_blending():
+                canvas = blend_and_extend(frame, planes)
+            else:
+                img_w, img_h = self.file_header.xsize, self.file_header.ysize
+                canvas = [p[:img_h, :img_w] for p in planes]
+            arr = np.stack(canvas, axis=-1)
+            if self.options.apply_orientation:
+                arr = apply_orientation(arr, self.file_header.image_metadata.orientation)
+            return arr
+        finally:
+            frame.lf_global.modular_global = saved_mg
+            frame.vardct_pixels = saved_px
 
     def _finish_frame(self) -> None:
         from ..render.simple import (
@@ -367,6 +560,10 @@ class JxlDecoder:
                 "frame": [np.array(p, copy=True) for p in canvas],
                 "saved_before_color_transform": False,
             }
+        if header.is_visible and self._skip_visible > 0:
+            # seeking: this frame was decoded only to rebuild reference state
+            self._skip_visible -= 1
+            return
         if header.is_visible:
             arr = np.stack(canvas, axis=-1)
             meta = self.file_header.image_metadata

@@ -223,16 +223,145 @@ class Frame:
 
     # -- HF group -----------------------------------------------------------------------
 
-    def decode_hf_group(self, group: int, pass_readers: list[tuple[int, BitReader]]) -> None:
+    def decode_hf_group(
+        self,
+        group: int,
+        pass_readers: list[tuple[int, BitReader]],
+        render: bool = True,
+    ) -> None:
         state = self.lf_global
         if self.header.encoding == Encoding.VARDCT:
             from ..vardct.group import decode_vardct_group
 
-            decode_vardct_group(self, group, pass_readers)
+            decode_vardct_group(self, group, pass_readers, render=render)
         for pass_idx, br in pass_readers:
             state.modular_global.read_hf_stream(
                 self.header, state.tree, pass_idx, group, br
             )
+
+    def render_group_from_coeffs(self, group: int) -> None:
+        """Re-render a group's pixels from its accumulated coefficients
+        (multi-pass progressive flush)."""
+        from ..vardct.group import _BlockList, _render_group
+
+        coeffs = self.hf_global.hf_coefficients.get(group)
+        if coeffs is not None:
+            _render_group(self, group, _BlockList(self, group), coeffs)
+
+    # -- incremental section decode (streaming driver) -------------------------------------
+    #
+    # Section-availability scheduling (ref codestream_parser/frame_info.rs:
+    # candidate_hf_sections/completed_passes gating :551-604): sections decode
+    # as their bytes arrive, in dependency order — LfGlobal, LF groups,
+    # HfGlobal, then per-group HF passes in pass order.
+
+    def begin_sections(self) -> None:
+        n = len(self.toc.entries)
+        ends = []
+        acc = 0
+        for e in self.toc.entries:
+            acc += e
+            ends.append(acc)
+        self._stored_end = ends  # byte end of each stored section, rel. TOC end
+        self._sec_decoded = [False] * n
+        self._lf_finalized = False
+        self._passes_done = [0] * self.header.num_groups
+        self._transforms_done = False
+
+    def _section_end(self, logical: int) -> int:
+        stored = self.toc.permutation[logical] if self.toc.permuted else logical
+        return self._stored_end[stored]
+
+    def _section_reader(self, logical: int, codestream: bytes, toc_end: int) -> BitReader:
+        stored = self.toc.permutation[logical] if self.toc.permuted else logical
+        start = self._stored_end[stored] - self.toc.entries[stored]
+        return BitReader(codestream[toc_end + start : toc_end + self._stored_end[stored]])
+
+    def process_sections_incremental(
+        self, codestream: bytes, toc_end: int, avail: int
+    ) -> int | None:
+        """Decode every newly-available section. Returns None when the frame
+        is fully decoded, else the absolute byte position needed next."""
+        header = self.header
+        rel_avail = avail - toc_end
+
+        if header.num_toc_entries == 1:
+            if rel_avail < self._stored_end[0]:
+                return toc_end + self._stored_end[0]
+            if not self._sec_decoded[0]:
+                sec = self._section_reader(0, codestream, toc_end)
+                self.decode_lf_global(sec)
+                for g in range(header.num_lf_groups):
+                    self.decode_lf_group(g, sec)
+                self.decode_hf_global(sec)
+                self.finalize_lf()
+                self._lf_finalized = True
+                for g in range(header.num_groups):
+                    self.decode_hf_group(
+                        g, [(p, sec) for p in range(header.passes.num_passes)]
+                    )
+                    self._passes_done[g] = header.passes.num_passes
+                self._sec_decoded[0] = True
+            if not self._transforms_done:
+                self.lf_global.modular_global.run_transforms()
+                self._transforms_done = True
+            return None
+
+        def ready(logical):
+            return not self._sec_decoded[logical] and rel_avail >= self._section_end(logical)
+
+        i_lfg = self.section_index("lf_global")
+        if self.lf_global is None:
+            if not ready(i_lfg):
+                return toc_end + self._section_end(i_lfg)
+            self.decode_lf_global(self._section_reader(i_lfg, codestream, toc_end))
+            self._sec_decoded[i_lfg] = True
+
+        for g in range(header.num_lf_groups):
+            i = self.section_index("lf", group=g)
+            if ready(i):
+                self.decode_lf_group(g, self._section_reader(i, codestream, toc_end))
+                self._sec_decoded[i] = True
+
+        i_hfg = self.section_index("hf_global")
+        if ready(i_hfg):
+            self.decode_hf_global(self._section_reader(i_hfg, codestream, toc_end))
+            self._sec_decoded[i_hfg] = True
+
+        lf_all = all(
+            self._sec_decoded[self.section_index("lf", group=g)]
+            for g in range(header.num_lf_groups)
+        ) and self._sec_decoded[i_hfg]
+        if lf_all and not self._lf_finalized:
+            self.finalize_lf()
+            self._lf_finalized = True
+
+        if self._lf_finalized:
+            num_passes = header.passes.num_passes
+            for g in range(header.num_groups):
+                while self._passes_done[g] < num_passes:
+                    p = self._passes_done[g]
+                    i = self.section_index("hf", group=g, pass_idx=p)
+                    if not ready(i):
+                        break
+                    self.decode_hf_group(
+                        g,
+                        [(p, self._section_reader(i, codestream, toc_end))],
+                        render=(p == num_passes - 1),
+                    )
+                    self._sec_decoded[i] = True
+                    self._passes_done[g] = p + 1
+
+        if all(self._sec_decoded):
+            if not self._transforms_done:
+                self.lf_global.modular_global.run_transforms()
+                self._transforms_done = True
+            return None
+        # need the earliest undecoded section's bytes
+        need = min(
+            self._section_end(i) for i, d in enumerate(self._sec_decoded) if not d
+        )
+        return toc_end + max(need, rel_avail + 1)
 
     # -- whole-frame decode (non-streaming driver) -----------------------------------------
 

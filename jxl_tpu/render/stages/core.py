@@ -210,11 +210,16 @@ def build_upsample_kernels(weights, n: int) -> np.ndarray:
     return kernel
 
 
-def upsample(xp, plane, kernels: np.ndarray, n: int):
+def upsample(xp, plane, kernels: np.ndarray, n: int, prepadded: bool = False):
     """N-x upsampling: per-output-phase 5x5 conv, clamped to the local 5x5
-    min/max (ref upsample.rs)."""
-    h, w = plane.shape
-    p = _pad_mirror(xp, plane, 2, 2)
+    min/max (ref upsample.rs). With `prepadded`, `plane` already carries a
+    2-pixel border (real neighbor data, e.g. adjacent LF groups)."""
+    if prepadded:
+        p = plane
+        h, w = plane.shape[0] - 4, plane.shape[1] - 4
+    else:
+        h, w = plane.shape
+        p = _pad_mirror(xp, plane, 2, 2)
     # gather the 25 shifted views: shape (5,5,h,w)
     views = [[p[dy : dy + h, dx : dx + w] for dx in range(5)] for dy in range(5)]
     stack = xp.stack([xp.stack(row, 0) for row in views], 0)  # (5,5,h,w)

@@ -94,7 +94,7 @@ class _BlockList:
                 coeffs_offset += cx * cy * BLOCK_SIZE
 
 
-def decode_vardct_group(frame, group: int, pass_readers: list) -> None:
+def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = True) -> None:
     header = frame.header
     lf_global = frame.lf_global
     hf_global = frame.hf_global
@@ -140,7 +140,7 @@ def decode_vardct_group(frame, group: int, pass_readers: list) -> None:
         else:
             _decode_pass_oracle(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx)
 
-    if frame.render_after_decode:
+    if render and frame.render_after_decode:
         _render_group(frame, group, bl, coeffs)
 
 

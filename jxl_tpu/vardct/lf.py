@@ -217,3 +217,44 @@ def adaptive_lf_smoothing(frame) -> None:
     for c in range(3):
         out = (sm[c] - mcs[c]) * factor + mcs[c]
         lf[c][1:-1, 1:-1] = out
+
+
+def upsample_lf_group(frame, group: int, pixels: list) -> None:
+    """Fill a group's pixels by 8x-upsampling the LF image (no AC yet).
+
+    ref frame/decode.rs:58-156 upsample_lf_group: a 5x5 Upsample8x over the
+    LF region with borders taken from neighboring LF groups (mirrored only
+    at image edges). Used for progressive flush and LF frames.
+    """
+    from ..render.stages import core as st
+
+    header = frame.header
+    (gx0, gy0), (gw, gh) = header.block_group_rect(group)
+    kern = st.build_upsample_kernels(
+        frame.file_header.transform_data.weights8, 8
+    )
+    bw, bh = header.size_blocks()
+    for c in range(3):
+        hs, vs = header.hshift(c), header.vshift(c)
+        lfw = (bw + (1 << hs) - 1) >> hs
+        lfh = (bh + (1 << vs) - 1) >> vs
+        x0, y0 = gx0 >> hs, gy0 >> vs
+        cw = min((gx0 + gw + (1 << hs) - 1) >> hs, lfw) - x0
+        ch = min((gy0 + gh + (1 << vs) - 1) >> vs, lfh) - y0
+        if cw <= 0 or ch <= 0:
+            continue
+
+        def mirror(idx, n):
+            idx = np.abs(idx)
+            idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+            return np.clip(idx, 0, n - 1)
+
+        ys = mirror(np.arange(y0 - 2, y0 + ch + 2), lfh)
+        xs = mirror(np.arange(x0 - 2, x0 + cw + 2), lfw)
+        region = frame.lf_image[c][np.ix_(ys, xs)]
+        up = st.upsample(np, region, kern, 8, prepadded=True)
+        out = pixels[c]
+        py0, px0 = y0 * 8, x0 * 8
+        oh = min(up.shape[0], out.shape[0] - py0)
+        ow = min(up.shape[1], out.shape[1] - px0)
+        out[py0 : py0 + oh, px0 : px0 + ow] = up[:oh, :ow]

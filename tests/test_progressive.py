@@ -1,0 +1,104 @@
+"""Progressive flush: MSE-at-byte-checkpoint quality gates.
+
+Mirrors the reference's compare_incremental suite (jxl/src/tests/
+compare_incremental.rs:10-60): flush the partial decode at recorded byte
+positions; MSE vs the final image must be <= the reference's recorded
+threshold * 1.02. Thresholds from jxl/src/tests/mod.rs.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from jxl_tpu.api.decoder import JxlDecoder, Event
+
+CORPUS = pathlib.Path("/root/reference/jxl/resources/test")
+
+CHECKPOINTS = {
+    "green_queen_vardct_e3.jxl": [
+        (9348, 0.0121551),
+        (27675, 0.0094501),
+        (61008, 0.0046881),
+        (84255, 0.0008925),
+    ],
+    "stp2_520x260_d25_e6.jxl": [(1599, 0.0139440)],
+}
+
+SLOW_CHECKPOINTS = {
+    "conformance_test_images/bicycles.jxl": [
+        (1476, 0.0402024),
+        (11439, 0.0192258),
+        (47109, 0.0044628),
+        (62730, 0.0012438),
+    ],
+    "conformance_test_images/bike.jxl": [
+        (107256, 0.0134448),
+        (140589, 0.0116619),
+        (218940, 0.0043241),
+        (306762, 0.0014917),
+    ],
+    "zoltan_tasi_unsplash.jxl": [
+        (38253, 0.0164253),
+        (90962, 0.0140204),
+        (247865, 0.0043147),
+        (396429, 0.0009008),
+    ],
+}
+
+
+def decode_full(data):
+    d = JxlDecoder()
+    d.feed(data)
+    d.end_input()
+    while d.process() is not Event.COMPLETE:
+        pass
+    return d.frames[0]
+
+
+def check_file(name, ckpts):
+    path = CORPUS / name
+    if not path.exists():
+        pytest.skip("corpus not available")
+    data = path.read_bytes()
+    final = decode_full(data)
+    d = JxlDecoder()
+    pos = 0
+    for byte, thr in ckpts:
+        d.feed(data[pos:byte])
+        pos = byte
+        ev = d.process()
+        while ev not in (Event.NEED_MORE_INPUT, Event.COMPLETE):
+            ev = d.process()
+        fl = d.flush_pixels()
+        assert fl is not None, f"{name}: no flush at {byte} bytes"
+        assert fl.shape == final.shape
+        mse = float(np.mean((fl - final) ** 2))
+        assert mse <= thr * 1.02 + 1e-6, f"{name} @{byte}: mse={mse} thr={thr}"
+    # finish the stream; incremental result must equal one-shot exactly
+    d.feed(data[pos:])
+    d.end_input()
+    while d.process() is not Event.COMPLETE:
+        pass
+    assert np.array_equal(d.frames[0], final)
+
+
+@pytest.mark.parametrize("name", sorted(CHECKPOINTS))
+def test_progressive_checkpoints(name):
+    check_file(name, CHECKPOINTS[name])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(SLOW_CHECKPOINTS))
+def test_progressive_checkpoints_slow(name):
+    check_file(name, SLOW_CHECKPOINTS[name])
+
+
+def test_flush_before_lf_returns_none():
+    data = (CORPUS / "green_queen_vardct_e3.jxl").read_bytes()
+    d = JxlDecoder()
+    d.feed(data[:200])
+    ev = d.process()
+    while ev not in (Event.NEED_MORE_INPUT, Event.COMPLETE):
+        ev = d.process()
+    assert d.flush_pixels() is None
