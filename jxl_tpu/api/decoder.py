@@ -45,6 +45,8 @@ class JxlDecoderOptions:
     high_precision: bool = False
     premultiply_output: bool = False
     scan_frames_only: bool = False
+    skip_preview: bool = True
+    pixel_format: str = "f32"  # "f32" | "u8" | "u16" | "f16"
 
 
 @dataclass(frozen=True)
@@ -145,6 +147,7 @@ class ImageInfo:
     bits_per_sample: int
     have_animation: bool
     orientation: int
+    preview_size: tuple[int, int] | None = None
 
 
 class _BoxParser:
@@ -307,6 +310,7 @@ class JxlDecoder:
         self.scan = _FrameScanInfo()
         self._scan_frozen = False
         self._skip_visible = 0
+        self.preview: np.ndarray | None = None
 
     # -- input ----------------------------------------------------------------
 
@@ -361,6 +365,9 @@ class JxlDecoder:
                 bits_per_sample=meta.bit_depth.bits_per_sample,
                 have_animation=meta.animation is not None,
                 orientation=int(meta.orientation),
+                preview_size=(
+                    (meta.preview.xsize, meta.preview.ysize) if meta.preview else None
+                ),
             )
             self.state = DecoderState(self.file_header, self.options)
             self._preview_pending = meta.preview is not None
@@ -380,9 +387,25 @@ class JxlDecoder:
             if self._preview_pending:
                 pframe = parse_frame(br, self.file_header, None, preview=True)
                 br.jump_to_byte_boundary()
-                # preview sections must be present before skipping
-                br.skip_bits(pframe.toc.total_size * 8)
-                self.cursor = br.pos
+                if not self.options.skip_preview:
+                    # decode + render the preview frame (ref options.rs:21
+                    # skip_preview=false)
+                    total = pframe.toc.total_size
+                    if br.total_bits_available() < total * 8:
+                        raise OutOfBounds(total - br.total_bits_available() // 8)
+                    from ..render.simple import color_transform, render_frame_channels_ex
+
+                    pframe.icc_profile = self.icc_profile
+                    pframe.decode_all_sections(br)
+                    planes, color_done, _ = render_frame_channels_ex(pframe, fuse=True)
+                    if not color_done:
+                        planes = color_transform(pframe, planes)
+                    self.preview = np.stack(planes, axis=-1)
+                    self.cursor = br.pos
+                else:
+                    # preview sections must be present before skipping
+                    br.skip_bits(pframe.toc.total_size * 8)
+                    self.cursor = br.pos
                 self._preview_pending = False
                 return None
             self.frame = parse_frame(br, self.file_header, self.state)
@@ -513,7 +536,7 @@ class JxlDecoder:
                         upsample_lf_group(frame, g, frame.vardct_pixels)
                     elif done < num_passes:
                         frame.render_group_from_coeffs(g)
-            planes, color_done = render_frame_channels_ex(frame, fuse=True)
+            planes, color_done, _ = render_frame_channels_ex(frame, fuse=True)
             if header.frame_type != FrameType.REFERENCE_ONLY and not color_done:
                 planes = color_transform(frame, planes)
             if header.needs_blending():
@@ -540,7 +563,9 @@ class JxlDecoder:
         frame = self.frame
         header = frame.header
         state = self.state
-        planes, color_done = render_frame_channels_ex(frame, fuse=True)
+        planes, color_done, converted = render_frame_channels_ex(
+            frame, fuse=True, out_format=self.options.pixel_format
+        )
         if header.lf_level != 0:
             state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
         if header.can_be_referenced and header.save_before_ct:
@@ -560,6 +585,13 @@ class JxlDecoder:
                 "frame": [np.array(p, copy=True) for p in canvas],
                 "saved_before_color_transform": False,
             }
+        if self.options.pixel_format != "f32" and not converted:
+            from ..render.stages import core as st
+
+            canvas = [
+                st.convert_output(np, p, self.options.pixel_format, channel=i)
+                for i, p in enumerate(canvas)
+            ]
         if header.is_visible and self._skip_visible > 0:
             # seeking: this frame was decoded only to rebuild reference state
             self._skip_visible -= 1

@@ -59,8 +59,13 @@ def parse_frame(br: BitReader, file_header: FileHeader, decoder_state=None, prev
     return Frame(frame_header, toc, file_header, decoder_state)
 
 
-def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
-    """Decode a whole .jxl file: all frames, blending, orientation."""
+def decode_image(
+    data: bytes, *, keep_all_frames: bool = True, pixel_format: str = "f32"
+) -> DecodedImage:
+    """Decode a whole .jxl file: all frames, blending, orientation.
+
+    pixel_format: "f32" (default), "u8", "u16", or "f16" — the output sample
+    format (ref JxlDataFormat + ConvertF32To* stages, convert.rs:549-)."""
     from ..render.simple import (
         apply_orientation,
         blend_and_extend,
@@ -102,7 +107,9 @@ def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
         header = frame.header
         frame.decode_all_sections(br)
 
-        planes, color_done = render_frame_channels_ex(frame, fuse=True)
+        planes, color_done, converted = render_frame_channels_ex(
+            frame, fuse=True, out_format=pixel_format
+        )
 
         if header.lf_level != 0:
             state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
@@ -127,6 +134,14 @@ def decode_image(data: bytes, *, keep_all_frames: bool = True) -> DecodedImage:
                 "frame": [np.array(p, copy=True) for p in canvas],
                 "saved_before_color_transform": False,
             }
+
+        if pixel_format != "f32" and not converted:
+            from ..render.stages import core as st
+
+            canvas = [
+                st.convert_output(np, p, pixel_format, channel=i)
+                for i, p in enumerate(canvas)
+            ]
 
         if header.is_visible:
             arr = np.stack(canvas, axis=-1)

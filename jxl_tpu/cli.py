@@ -24,14 +24,21 @@ def write_png(path: str, arr: np.ndarray, bit_depth: int = 8) -> None:
     """Minimal PNG writer (8/16-bit gray/graya/rgb/rgba)."""
     h, w, c = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    arr = np.clip(arr, 0.0, 1.0)
-    if bit_depth <= 8:
-        data = (arr * 255.0 + 0.5).astype(np.uint8)
+    if arr.dtype == np.uint8:
+        raw = arr.tobytes()
+        stride = w * c
+        depth = 8
+    elif arr.dtype == np.uint16:
+        raw = arr.astype(">u2").tobytes()
+        stride = w * c * 2
+        depth = 16
+    elif bit_depth <= 8:
+        data = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         raw = data.tobytes()
         stride = w * c
         depth = 8
     else:
-        data = (arr * 65535.0 + 0.5).astype(">u2")
+        data = (np.clip(arr, 0.0, 1.0) * 65535.0 + 0.5).astype(">u2")
         raw = data.tobytes()
         stride = w * c * 2
         depth = 16
@@ -57,7 +64,10 @@ def write_png(path: str, arr: np.ndarray, bit_depth: int = 8) -> None:
 
 def write_ppm(path: str, arr: np.ndarray) -> None:
     h, w, c = arr.shape
-    data = (np.clip(arr[..., :3], 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    if arr.dtype == np.uint8:
+        data = np.ascontiguousarray(arr[..., :3])
+    else:
+        data = (np.clip(arr[..., :3], 0, 1) * 255.0 + 0.5).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
         f.write(data.tobytes())
@@ -65,7 +75,10 @@ def write_ppm(path: str, arr: np.ndarray) -> None:
 
 def write_pgm(path: str, arr: np.ndarray) -> None:
     h, w, _ = arr.shape
-    data = (np.clip(arr[..., 0], 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    if arr.dtype == np.uint8:
+        data = np.ascontiguousarray(arr[..., 0])
+    else:
+        data = (np.clip(arr[..., 0], 0, 1) * 255.0 + 0.5).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(f"P5\n{w} {h}\n255\n".encode())
         f.write(data.tobytes())
@@ -73,7 +86,7 @@ def write_pgm(path: str, arr: np.ndarray) -> None:
 
 def write_pfm(path: str, arr: np.ndarray) -> None:
     h, w, _ = arr.shape
-    data = arr[..., :3].astype("<f4")[::-1]  # PFM is bottom-up
+    data = arr[..., :3].astype(np.float32).astype("<f4")[::-1]  # PFM is bottom-up
     with open(path, "wb") as f:
         f.write(f"PF\n{w} {h}\n-1.0\n".encode())
         f.write(data.tobytes())
@@ -83,12 +96,108 @@ def write_npy(path: str, arr: np.ndarray) -> None:
     np.save(path, arr)
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_apng(path: str, frames: list, durations_ms: list, num_loops: int = 0) -> None:
+    """Animated PNG writer (acTL/fcTL/fdAT), 8-bit (capability ref:
+    jxl_cli/src/enc/png.rs animation path)."""
+    h, w, c = frames[0].shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def raw(fr):
+        if fr.dtype != np.uint8:
+            fr = (np.clip(fr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        stride = w * c
+        b = fr.tobytes()
+        lines = bytearray()
+        for y in range(h):
+            lines.append(0)
+            lines.extend(b[y * stride : (y + 1) * stride])
+        return zlib.compress(bytes(lines), 6)
+
+    png = b"\x89PNG\r\n\x1a\n"
+    png += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    png += _png_chunk(b"acTL", struct.pack(">II", len(frames), num_loops))
+    seq = 0
+    for i, fr in enumerate(frames):
+        dur = max(int(round(durations_ms[i] if i < len(durations_ms) else 100)), 1)
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, dur, 1000, 0, 0
+        )
+        png += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = raw(fr)
+        if i == 0:
+            png += _png_chunk(b"IDAT", data)
+        else:
+            png += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    png += _png_chunk(b"IEND", b"")
+    Path(path).write_bytes(png)
+
+
+def write_exr(path: str, arr: np.ndarray, half: bool = True) -> None:
+    """Minimal OpenEXR v2 writer: single part, scanline, no compression,
+    R/G/B(/A) half or float channels (capability ref: jxl_cli/src/enc/exr.rs).
+    EXR expects linear data; callers pass the linear/f32 decode output."""
+    h, w, c = arr.shape
+    arr = arr.astype(np.float32)
+    names = ["R", "G", "B", "A"][:c] if c >= 3 else ["Y", "A"][:c]
+    # channels are stored per scanline in alphabetical order
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    ptype = 1 if half else 2  # 1=HALF, 2=FLOAT
+    psize = 2 if half else 4
+
+    def attr(name: bytes, typ: bytes, payload: bytes) -> bytes:
+        return name + b"\0" + typ + b"\0" + struct.pack("<I", len(payload)) + payload
+
+    chan = b""
+    for i in order:
+        chan += names[i].encode() + b"\0" + struct.pack("<IIII", ptype, 0, 1, 1)
+    chan += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (
+        attr(b"channels", b"chlist", chan)
+        + attr(b"compression", b"compression", b"\0")
+        + attr(b"dataWindow", b"box2i", box)
+        + attr(b"displayWindow", b"box2i", box)
+        + attr(b"lineOrder", b"lineOrder", b"\0")
+        + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0.0, 0.0))
+        + attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + b"\0"
+    )
+    magic = struct.pack("<I", 20000630) + struct.pack("<I", 2)
+    offset_table_pos = len(magic) + len(header)
+    data_start = offset_table_pos + 8 * h
+    scan_size = 8 + len(order) * w * psize
+    offsets = b"".join(
+        struct.pack("<Q", data_start + y * scan_size) for y in range(h)
+    )
+    dt = np.float16 if half else np.float32
+    out = bytearray(magic + header + offsets)
+    for y in range(h):
+        out += struct.pack("<iI", y, len(order) * w * psize)
+        for i in order:
+            out += np.ascontiguousarray(arr[y, :, i]).astype(dt).tobytes()
+    Path(path).write_bytes(bytes(out))
+
+
 _WRITERS = {
     ".png": write_png,
+    ".apng": None,  # handled in main (multi-frame)
     ".ppm": write_ppm,
     ".pgm": write_pgm,
     ".pfm": write_pfm,
     ".npy": write_npy,
+    ".exr": write_exr,
 }
 
 
@@ -149,7 +258,14 @@ def main(argv=None) -> int:
         print(f"decoded {mp:.3f} MP in {best*1000:.2f} ms (best of {args.num_reps}): {mp/best:.3f} MP/s")
         return 0
 
-    img = decode_image(data)
+    ext = Path(args.output).suffix.lower() if args.output else ""
+    if ext in (".png", ".apng", ".ppm", ".pgm") and args.bits_per_sample in (0, 8):
+        fmt = "u8"
+    elif ext == ".png" and args.bits_per_sample > 8:
+        fmt = "u16"
+    else:
+        fmt = "f32"
+    img = decode_image(data, pixel_format=fmt)
     if args.icc_out and img.icc_profile:
         Path(args.icc_out).write_bytes(img.icc_profile)
     if not args.output:
@@ -157,10 +273,12 @@ def main(argv=None) -> int:
         return 0
     ext = Path(args.output).suffix.lower()
     writer = _WRITERS.get(ext)
-    if writer is None:
+    if writer is None and ext != ".apng":
         print(f"unsupported output format {ext}", file=sys.stderr)
         return 1
-    if len(img.frames) == 1 or ext != ".png":
+    if ext == ".apng":
+        write_apng(args.output, img.frames, img.durations)
+    elif len(img.frames) == 1 or ext != ".png":
         writer(args.output, img.frames[0])
     else:
         base = Path(args.output)

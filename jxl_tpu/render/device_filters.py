@@ -97,10 +97,14 @@ def _gab_key(rf):
 _FUSED_CACHE: dict = {}
 
 
-def run_filters_and_color(frame, planes3, sigma_block, constant_sigma, out_hw):
-    """Filters + crop + color transform as ONE device program: a single
-    upload and a single download per frame (the halo-free whole-image analog
-    of the reference pipeline's stage list, frame/render.rs:506-885)."""
+def run_filters_and_color(
+    frame, planes3, sigma_block, constant_sigma, out_hw, out_format: str = "f32"
+):
+    """Filters + crop + color transform (+ output pixel-format conversion) as
+    ONE device program: a single upload and a single download per frame (the
+    halo-free whole-image analog of the reference pipeline's stage list,
+    frame/render.rs:506-885). With out_format u8/u16/f16 the download shrinks
+    4x/2x/2x (the ConvertF32To* save stages, convert.rs:549-)."""
     import jax
 
     header = frame.header
@@ -123,6 +127,7 @@ def run_filters_and_color(frame, planes3, sigma_block, constant_sigma, out_hw):
         float(meta.tone_mapping.intensity_target),
         tuple(opsin.inverse_matrix),
         tuple(opsin.opsin_biases),
+        out_format,
     )
     fn = _FUSED_CACHE.get(key)
     if fn is None:
@@ -153,6 +158,11 @@ def run_filters_and_color(frame, planes3, sigma_block, constant_sigma, out_hw):
                 chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 2)
             chans = [c[:oh, :ow] for c in chans]
             chans = render_simple.color_transform(frame, chans, xp=jnp)
+            if out_format != "f32":
+                chans = [
+                    st.convert_output(jnp, c, out_format, channel=i)
+                    for i, c in enumerate(chans)
+                ]
             return jnp.stack(chans)
 
         fn = jax.jit(program, static_argnums=(2, 3))
@@ -160,7 +170,7 @@ def run_filters_and_color(frame, planes3, sigma_block, constant_sigma, out_hw):
 
     inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
     out = fn(jnp.asarray(np.stack(planes3)), jnp.asarray(inv_sigma_px), oh, ow)
-    out = np.array(jax.device_get(out), dtype=np.float32)
+    out = np.array(jax.device_get(out))  # writable copy
     return [out[0], out[1], out[2]]
 
 

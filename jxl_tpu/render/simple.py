@@ -72,15 +72,19 @@ def _modular_to_f32(plane: np.ndarray, bit_depth) -> np.ndarray:
 def render_frame_channels(frame) -> list[np.ndarray]:
     """All stages up to (excluding) the color transform: returns 3+num_ec
     planes at size_upsampled (in XYB / YCbCr / raw color space)."""
-    planes, _ = render_frame_channels_ex(frame, fuse=False)
+    planes, _, _ = render_frame_channels_ex(frame, fuse=False)
     return planes
 
 
-def render_frame_channels_ex(frame, fuse: bool) -> tuple[list[np.ndarray], bool]:
+def render_frame_channels_ex(
+    frame, fuse: bool, out_format: str = "f32"
+) -> tuple[list[np.ndarray], bool, bool]:
     """Like render_frame_channels, but when `fuse` is set and no host-side
     stage (patches/splines/noise/upsampling/pre-CT saves) intervenes, the
-    filter chain AND the color transform run as one fused device program
-    (single upload + download). Returns (planes, color_transform_done)."""
+    filter chain AND the color transform (and, when nothing downstream needs
+    floats, the output pixel-format conversion) run as one fused device
+    program (single upload + download).
+    Returns (planes, color_transform_done, output_converted)."""
     header = frame.header
     meta = frame.file_header.image_metadata
     num_ec = len(meta.extra_channel_info)
@@ -118,6 +122,7 @@ def render_frame_channels_ex(frame, fuse: bool) -> tuple[list[np.ndarray], bool]
 
     rf = header.restoration_filter
     color_done = False
+    converted = False
     wu_f, hu_f = header.size_upsampled()
     can_fuse = (
         fuse
@@ -140,10 +145,21 @@ def render_frame_channels_ex(frame, fuse: bool) -> tuple[list[np.ndarray], bool]
         from .device_filters import run_filters, run_filters_and_color
 
         if can_fuse:
+            # output conversion can fuse too unless floats are needed
+            # downstream (blending with/as a reference, extra channels share
+            # the stacked output dtype on the host path)
+            fmt = out_format
+            if (
+                header.needs_blending()
+                or header.can_be_referenced
+                or num_ec > 0
+            ):
+                fmt = "f32"
             planes[:3] = run_filters_and_color(
-                frame, planes[:3], sigma_block, const_sigma, (hu_f, wu_f)
+                frame, planes[:3], sigma_block, const_sigma, (hu_f, wu_f), fmt
             )
             color_done = True
+            converted = fmt != "f32"
         else:
             planes[:3] = run_filters(
                 planes[:3], rf, sigma_block, const_sigma,
@@ -194,7 +210,11 @@ def render_frame_channels_ex(frame, fuse: bool) -> tuple[list[np.ndarray], bool]
             np, planes[:3], nf, frame.lf_global.noise,
             frame.lf_global.color_correlation_params,
         )
-    return [np.ascontiguousarray(p, dtype=np.float32) for p in planes], color_done
+    return (
+        [np.ascontiguousarray(p) if converted else np.ascontiguousarray(p, dtype=np.float32) for p in planes],
+        color_done,
+        converted,
+    )
 
 
 def color_transform(frame, planes, xp=np):
@@ -289,7 +309,7 @@ def blend_and_extend(frame, planes):
 def render_frame(frame) -> np.ndarray:
     """Single-frame render to (h, w, c) display floats (no orientation,
     no blending with other frames). Kept for tests and simple files."""
-    planes, color_done = render_frame_channels_ex(frame, fuse=True)
+    planes, color_done, _ = render_frame_channels_ex(frame, fuse=True)
     if not color_done:
         planes = color_transform(frame, planes)
     return np.stack(planes, axis=-1)

@@ -231,3 +231,59 @@ def upsample(xp, plane, kernels: np.ndarray, n: int, prepadded: bool = False):
     acc = xp.einsum("abij,ijhw->abhw", xp.asarray(kernels), stack)
     acc = xp.clip(acc, mins[None, None], maxs[None, None])
     return acc.transpose(2, 0, 3, 1).reshape(h * n, w * n)
+
+
+# -- output pixel-format conversion ------------------------------------------------
+
+_DITHER = None
+
+
+def dither_table() -> np.ndarray:
+    """32x32 blue-noise dither pattern (public data from
+    momentsingraphics.de/BlueNoise.html, as used by ref convert.rs:14-18)."""
+    global _DITHER
+    if _DITHER is None:
+        import os
+
+        _DITHER = np.load(os.path.join(os.path.dirname(__file__), "dither_table.npy"))
+    return _DITHER
+
+
+def f32_to_u8(xp, plane, bit_depth: int = 8, channel: int = 0, pos=(0, 0)):
+    """ConvertF32ToU8: scale, blue-noise dither, clamp, round
+    (ref stages/convert.rs:549-607). Dither indices computed with xp so the
+    table lowers to a 1K-entry gather under jit, not an HxW constant."""
+    h, w = plane.shape
+    maxv = np.float32((1 << bit_depth) - 1)
+    tab = xp.asarray(dither_table().reshape(-1))
+    ys = (xp.arange(h) + (pos[1] + 13 * channel)) % 32
+    xs = (xp.arange(w) + (pos[0] + 23 * channel)) % 32
+    idx = ys[:, None] * 32 + xs[None, :]
+    dith = xp.take(tab, idx)
+    out = xp.clip(plane * maxv + dith, np.float32(0.0), maxv)
+    return xp.round(out).astype(np.uint8)
+
+
+def f32_to_u16(xp, plane, bit_depth: int = 16):
+    """ConvertF32ToU16: clamp to [0,1], scale, round (ref convert.rs:738-760)."""
+    maxv = np.float32((1 << bit_depth) - 1)
+    out = xp.clip(plane, np.float32(0.0), np.float32(1.0)) * maxv
+    return xp.round(out).astype(np.uint16)
+
+
+def f32_to_f16(xp, plane):
+    """ConvertF32ToF16 with clamp to the f16 range (ref convert.rs:790-)."""
+    lim = np.float32(65504.0)
+    return xp.clip(plane, -lim, lim).astype(np.float16)
+
+
+def convert_output(xp, plane, fmt: str, channel: int = 0, bit_depth: int | None = None):
+    if fmt == "f32":
+        return plane
+    if fmt == "u8":
+        return f32_to_u8(xp, plane, bit_depth or 8, channel)
+    if fmt == "u16":
+        return f32_to_u16(xp, plane, bit_depth or 16)
+    if fmt == "f16":
+        return f32_to_f16(xp, plane)
+    raise ValueError(f"unknown pixel format {fmt!r}")
