@@ -41,6 +41,43 @@ def _rf_key(rf) -> tuple:
     )
 
 
+def _use_pallas(h: int, w: int) -> bool:
+    """The fused Pallas filter kernel runs on real TPU for frames large
+    enough to band (small frames keep the plain-XLA path)."""
+    import jax
+
+    return jax.default_backend() == "tpu" and h >= 72 and w >= 136
+
+
+def _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf_obj):
+    """Gaborish + EPF on 3 jnp planes: Pallas kernel on TPU, stage math
+    otherwise. Both produce the same values (interior bit-identical)."""
+    h, w = chans[0].shape
+    if (gab_weights is not None or epf_iters > 0) and _use_pallas(h, w):
+        from ..ops.pallas_epf import epf_gab_pallas
+
+        out = epf_gab_pallas(
+            jnp.stack(chans),
+            inv_sigma_px,
+            gab_weights,
+            epf_iters,
+            rf_obj.epf_pass0_sigma_scale,
+            rf_obj.epf_pass2_sigma_scale,
+            rf_obj.epf_border_sad_mul,
+            tuple(rf_obj.epf_channel_scale),
+        )
+        return [out[0], out[1], out[2]]
+    if gab_weights is not None:
+        chans = [st.gaborish(jnp, c, w1, w2) for c, (w1, w2) in zip(chans, gab_weights)]
+    if epf_iters >= 3:
+        chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 0)
+    if epf_iters >= 1:
+        chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 1)
+    if epf_iters >= 2:
+        chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 2)
+    return chans
+
+
 @functools.lru_cache(maxsize=64)
 def _filter_fn(gab_weights, epf_iters: int, rf_key: tuple):
     """Build + jit the filter program for one static configuration.
@@ -57,17 +94,7 @@ def _filter_fn(gab_weights, epf_iters: int, rf_key: tuple):
 
     def fn(planes, inv_sigma_px):
         chans = [planes[0], planes[1], planes[2]]
-        if gab_weights is not None:
-            chans = [
-                st.gaborish(jnp, c, w1, w2)
-                for c, (w1, w2) in zip(chans, gab_weights)
-            ]
-        if epf_iters >= 3:
-            chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf, 0)
-        if epf_iters >= 1:
-            chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf, 1)
-        if epf_iters >= 2:
-            chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf, 2)
+        chans = _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf)
         return jnp.stack(chans)
 
     return jax.jit(fn)
@@ -145,17 +172,7 @@ def run_filters_and_color(
             from . import simple as render_simple
 
             chans = [planes[0], planes[1], planes[2]]
-            if gab_weights is not None:
-                chans = [
-                    st.gaborish(jnp, c, w1, w2)
-                    for c, (w1, w2) in zip(chans, gab_weights)
-                ]
-            if epf_iters >= 3:
-                chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 0)
-            if epf_iters >= 1:
-                chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 1)
-            if epf_iters >= 2:
-                chans = st.epf_step_px(jnp, chans, inv_sigma_px, rf_obj, 2)
+            chans = _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf_obj)
             chans = [c[:oh, :ow] for c in chans]
             chans = render_simple.color_transform(frame, chans, xp=jnp)
             if out_format != "f32":
