@@ -585,6 +585,9 @@ class JxlDecoder:
                 "frame": [np.array(p, copy=True) for p in canvas],
                 "saved_before_color_transform": False,
             }
+        from ..render.simple import apply_spot_and_premultiply
+
+        canvas = apply_spot_and_premultiply(frame, canvas, self.options)
         if self.options.pixel_format != "f32" and not converted:
             from ..render.stages import core as st
 

@@ -135,6 +135,10 @@ def decode_image(
                 "saved_before_color_transform": False,
             }
 
+        from ..render.simple import apply_spot_and_premultiply
+
+        canvas = apply_spot_and_premultiply(frame, canvas)
+
         if pixel_format != "f32" and not converted:
             from ..render.stages import core as st
 

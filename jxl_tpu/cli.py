@@ -234,6 +234,11 @@ def main(argv=None) -> int:
     ap.add_argument("--num_reps", type=int, default=5)
     ap.add_argument("--warmup_reps", type=int, default=1)
     ap.add_argument("--icc_out", help="write the embedded/decoded ICC profile")
+    ap.add_argument(
+        "--to_srgb",
+        action="store_true",
+        help="apply the embedded ICC profile via lcms2, converting pixels to sRGB",
+    )
     ap.add_argument("--bits_per_sample", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -265,7 +270,19 @@ def main(argv=None) -> int:
         fmt = "u16"
     else:
         fmt = "f32"
+    if args.to_srgb:
+        fmt = "f32"  # CMS transforms run on f32 rows (ref dec/mod.rs:431 apply_cms)
     img = decode_image(data, pixel_format=fmt)
+    if args.to_srgb and img.icc_profile:
+        from .color.cms import JxlCms, srgb_profile
+
+        t = JxlCms.begin_transforms(img.icc_profile, srgb_profile(), 1)[0]
+        for i, fr in enumerate(img.frames):
+            # decoded frames carry 3 color channels (gray triplicated) + ECs
+            color = t.run(fr[..., : t.in_channels])
+            if fr.shape[-1] > 3:
+                color = np.concatenate([color, fr[..., 3:]], axis=-1)
+            img.frames[i] = color
     if args.icc_out and img.icc_profile:
         Path(args.icc_out).write_bytes(img.icc_profile)
     if not args.output:

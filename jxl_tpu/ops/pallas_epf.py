@@ -8,9 +8,10 @@ row bands through VMEM with a 7-pixel halo (1 gaborish + 3 epf0 + 2 epf1
 `border_pixels_per_stage`, low_memory_pipeline/mod.rs:184-200) and runs
 every stage on the band while it is resident.
 
-Grid: one program per row band. The padded planes stay in HBM (ANY);
-each program DMAs its (band + 2*halo) slice into VMEM scratch, computes
-the valid interior, and writes its band through a blocked out_spec.
+Grid: one program per (row band, column tile). The padded planes stay in
+HBM; each program DMAs its (band + 2*halo, ctile + 2*halo) slice into
+VMEM scratch, computes the valid interior, and writes its tile through a
+blocked out_spec. Column tiling caps VMEM on wide images.
 
 Capability reference: jxl/src/render/stages/{gaborish.rs,epf/*.rs}; the
 math matches render/stages/core.py (the jnp/oracle path) exactly.
@@ -125,18 +126,30 @@ class _Cfg:
 def _build(key, h: int, w: int, band: int, interpret: bool):
     (gab_weights, epf_iters, p0, p2, bsm, cs) = key
     cfg = _Cfg(gab_weights, epf_iters, p0, p2, bsm, cs)
+    # 2-D tiling: row bands x column tiles. Column tiles cap VMEM use on
+    # wide images (EPF0's intermediates cost ~128 B/px of tile area);
+    # CTILE output columns need CTILE + 2*HALO input, padded to a
+    # lane-aligned CTILE + 128 scratch width.
+    CTILE = 1024
+    num_ctiles = -(-w // CTILE)
     hp = -(-h // band) * band + 2 * HALO  # padded height
-    wp = -(-(w + 2 * HALO) // 128) * 128  # lane-dim aligned padded width
+    wp = num_ctiles * CTILE + 128  # padded width (128 >= 2*HALO, aligned)
     num_bands = -(-h // band)
     tile_h = band + 2 * HALO
+    tile_w = CTILE + 128
 
     def kernel(planes_hbm, sigma_hbm, out_ref, pscr, sscr, sems):
         i = pl.program_id(0)
+        j = pl.program_id(1)
         cp = pltpu.make_async_copy(
-            planes_hbm.at[:, pl.ds(i * band, tile_h), :], pscr, sems.at[0]
+            planes_hbm.at[:, pl.ds(i * band, tile_h), pl.ds(j * CTILE, tile_w)],
+            pscr,
+            sems.at[0],
         )
         cs_dma = pltpu.make_async_copy(
-            sigma_hbm.at[pl.ds(i * band, tile_h), :], sscr, sems.at[1]
+            sigma_hbm.at[pl.ds(i * band, tile_h), pl.ds(j * CTILE, tile_w)],
+            sscr,
+            sems.at[1],
         )
         cp.start()
         cs_dma.start()
@@ -145,7 +158,7 @@ def _build(key, h: int, w: int, band: int, interpret: bool):
 
         # tile origin in absolute image coords
         y0 = i * band - HALO
-        x0 = -HALO
+        x0 = j * CTILE - HALO
         chans = [pscr[c] for c in range(3)]
         sig = sscr[:, :]
         consumed = 0
@@ -171,24 +184,26 @@ def _build(key, h: int, w: int, band: int, interpret: bool):
         rem = HALO - consumed
         if rem > 0:
             chans = [c[rem:-rem, rem:-rem] for c in chans]
-        stacked = jnp.stack(chans)  # (3, band, wp - 2*HALO)
-        # pad back to the lane-aligned block width; run() crops to w
-        out_ref[:, :, :] = jnp.pad(stacked, ((0, 0), (0, 0), (0, 2 * HALO)))
+        # tile carries 128-8=120 extra right columns of halo slack; the
+        # valid output block is the first CTILE columns
+        out_ref[:, :, :] = jnp.stack(chans)[:, :, :CTILE]
 
     fn = pl.pallas_call(
         kernel,
-        grid=(num_bands,),
+        grid=(num_bands, num_ctiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (3, band, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (3, band, CTILE), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((3, num_bands * band, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, num_bands * band, num_ctiles * CTILE), jnp.float32
+        ),
         scratch_shapes=[
-            pltpu.VMEM((3, tile_h, wp), jnp.float32),
-            pltpu.VMEM((tile_h, wp), jnp.float32),
+            pltpu.VMEM((3, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -196,11 +211,14 @@ def _build(key, h: int, w: int, band: int, interpret: bool):
 
     @jax.jit
     def run(planes, inv_sigma):
-        # mirror-pad to (hp, wp); bottom/right pads cover halo + round-up
-        pad_b = hp - h - HALO
-        pad_r = wp - w - HALO
-        pp = jnp.pad(planes, ((0, 0), (HALO, pad_b), (HALO, pad_r)), mode="symmetric")
-        sp = jnp.pad(inv_sigma, ((HALO, pad_b), (HALO, pad_r)), mode="symmetric")
+        # mirror-pad the true halo, then edge-extend the alignment slack
+        # (slack columns/rows only feed outputs past the crop)
+        pad_b = hp - h - 2 * HALO
+        pad_r = wp - w - 2 * HALO
+        pp = jnp.pad(planes, ((0, 0), (HALO, HALO), (HALO, HALO)), mode="symmetric")
+        sp = jnp.pad(inv_sigma, ((HALO, HALO), (HALO, HALO)), mode="symmetric")
+        pp = jnp.pad(pp, ((0, 0), (0, pad_b), (0, pad_r)), mode="edge")
+        sp = jnp.pad(sp, ((0, pad_b), (0, pad_r)), mode="edge")
         out = fn(pp, sp)
         return out[:, :h, :w]
 

@@ -306,6 +306,37 @@ def blend_and_extend(frame, planes):
     return canvas
 
 
+def apply_spot_and_premultiply(frame, canvas, options=None):
+    """SpotColorStage + PremultiplyAlphaStage (ref stages/spot.rs:9-68,
+    stages/premultiply_alpha.rs:11-; inserted per frame/render.rs:773-846).
+
+    Spot channels mix their linear RGBA color into the color planes; with
+    premultiply_output the color planes are multiplied by a straight
+    (non-associated) alpha channel."""
+    meta = frame.file_header.image_metadata
+    render_spots = options is None or getattr(options, "render_spot_colors", True)
+    if render_spots:
+        for i, info in enumerate(meta.extra_channel_info):
+            if info.ec_type == ExtraChannel.SPOT_COLOR and 3 + i < len(canvas):
+                sc = [np.float32(v) for v in info.spot_color]
+                mix = sc[3] * canvas[3 + i]
+                for c in range(3):
+                    canvas[c] = mix * sc[c] + (np.float32(1.0) - mix) * canvas[c]
+    if options is not None and getattr(options, "premultiply_output", False):
+        alpha = next(
+            (
+                3 + i
+                for i, info in enumerate(meta.extra_channel_info)
+                if info.ec_type == ExtraChannel.ALPHA and not info.alpha_associated
+            ),
+            None,
+        )
+        if alpha is not None and alpha < len(canvas):
+            for c in range(3):
+                canvas[c] = canvas[c] * canvas[alpha]
+    return canvas
+
+
 def render_frame(frame) -> np.ndarray:
     """Single-frame render to (h, w, c) display floats (no orientation,
     no blending with other frames). Kept for tests and simple files."""
