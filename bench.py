@@ -35,12 +35,13 @@ def bench_one(path: pathlib.Path) -> tuple[float, float]:
     from jxl_tpu.api.simple import decode_image
 
     data = path.read_bytes()
-    decode_image(data)  # warmup: jit compile, table caches
+    # 8-bit output samples, like the reference CLI's default output path
+    decode_image(data, pixel_format="u8")  # warmup: jit compile, table caches
     best = float("inf")
     mp = 0.0
     for _ in range(REPS):
         t0 = time.perf_counter()
-        img = decode_image(data)
+        img = decode_image(data, pixel_format="u8")
         dt = time.perf_counter() - t0
         best = min(best, dt)
         mp = sum(f.shape[0] * f.shape[1] for f in img.frames) / 1e6

@@ -229,6 +229,18 @@ class Frame:
         pass_readers: list[tuple[int, BitReader]],
         render: bool = True,
     ) -> None:
+        from ..utils import trace
+
+        with trace.span("frame.decode_hf_group"):
+            self._decode_hf_group(group, pass_readers, render)
+        trace.metrics.add("hf_group_sections", len(pass_readers))
+
+    def _decode_hf_group(
+        self,
+        group: int,
+        pass_readers: list[tuple[int, BitReader]],
+        render: bool = True,
+    ) -> None:
         state = self.lf_global
         if self.header.encoding == Encoding.VARDCT:
             from ..vardct.group import decode_vardct_group

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
 
+import time
+
 import numpy as np
 
 from ..errors import InvalidBitstream, NotSupported
@@ -93,7 +95,10 @@ def decode_image(
         br.jump_to_byte_boundary()
         br.skip_bits(pframe.toc.total_size * 8)
 
+    from ..utils import trace
+
     out = DecodedImage(fh, [], icc_profile)
+    t_start = time.perf_counter()
     while True:
         br.jump_to_byte_boundary()
         start_byte = br.pos // 8
@@ -158,6 +163,8 @@ def decode_image(
                 break
         if header.is_last:
             break
+    trace.metrics.add("megapixels_decoded", sum(f.shape[0] * f.shape[1] for f in out.frames) / 1e6)
+    trace.metrics.add("decode_seconds", time.perf_counter() - t_start)
     return out
 
 

@@ -240,9 +240,26 @@ def main(argv=None) -> int:
         help="apply the embedded ICC profile via lcms2, converting pixels to sRGB",
     )
     ap.add_argument("--bits_per_sample", type=int, default=0)
+    ap.add_argument(
+        "--print_timings",
+        action="store_true",
+        help="print per-stage wall-clock + MP/s after decode (tracing subsystem)",
+    )
+    ap.add_argument(
+        "--profile_dir",
+        help="capture a JAX profiler trace (TensorBoard format) into this directory",
+    )
     args = ap.parse_args(argv)
 
     data = Path(args.input).read_bytes()
+
+    from .utils import trace
+
+    if args.print_timings:
+        trace.enable()
+    profile_cm = trace.device_trace(args.profile_dir) if args.profile_dir else None
+    if profile_cm is not None:
+        profile_cm.__enter__()
 
     if args.info:
         return cmd_info(data)
@@ -251,12 +268,12 @@ def main(argv=None) -> int:
 
     if args.speedtest:
         for _ in range(args.warmup_reps):
-            decode_image(data)
+            decode_image(data, pixel_format="u8")
         times = []
         mp = None
         for _ in range(args.num_reps):
             t0 = time.perf_counter()
-            img = decode_image(data)
+            img = decode_image(data, pixel_format="u8")
             times.append(time.perf_counter() - t0)
             mp = sum(f.shape[0] * f.shape[1] for f in img.frames) / 1e6
         best = min(times)
@@ -302,6 +319,10 @@ def main(argv=None) -> int:
         for i, fr in enumerate(img.frames):
             writer(str(base.with_stem(base.stem + f"_{i:03d}")), fr)
     print(f"wrote {args.output}")
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+    if args.print_timings:
+        print(trace.report())
     return 0
 
 

@@ -135,6 +135,9 @@ def render_frame_channels_ex(
         and not (header.can_be_referenced and header.save_before_ct)
         and header.lf_level == 0
     )
+    # frames below ~0.16 MP aren't worth a device round trip: the host
+    # numpy stage path beats dispatch+transfer latency (animation frames)
+    small_frame = planes[0].size < 160_000
     if rf.gab or rf.epf_iters > 0:
         if rf.epf_iters > 0 and header.encoding == Encoding.VARDCT:
             sigma_block = st.compute_sigma_image(frame)
@@ -144,7 +147,23 @@ def render_frame_channels_ex(
             const_sigma = st.INV_SIGMA_NUM / rf.epf_sigma_for_modular
         from .device_filters import run_filters, run_filters_and_color
 
-        if can_fuse:
+        if small_frame:
+            rgb3 = planes[:3]
+            if rf.gab:
+                gw = [
+                    (rf.gab_x_weight1, rf.gab_x_weight2),
+                    (rf.gab_y_weight1, rf.gab_y_weight2),
+                    (rf.gab_b_weight1, rf.gab_b_weight2),
+                ]
+                rgb3 = [st.gaborish(np, c, w1, w2) for c, (w1, w2) in zip(rgb3, gw)]
+            if rf.epf_iters >= 3:
+                rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 0, constant_sigma=const_sigma)
+            if rf.epf_iters >= 1:
+                rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 1, constant_sigma=const_sigma)
+            if rf.epf_iters >= 2:
+                rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 2, constant_sigma=const_sigma)
+            planes[:3] = rgb3
+        elif can_fuse:
             # output conversion can fuse too unless floats are needed
             # downstream (blending with/as a reference, extra channels share
             # the stacked output dtype on the host path)
