@@ -91,3 +91,80 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("groups",))
+
+
+# -- production sharded program ---------------------------------------------------
+
+HALO = 8  # filter border 7 (gaborish+EPF) + 1 row of stage-remirror margin
+
+
+def sharded_filters_and_color(mesh: Mesh, frame, rows: int, cols: int,
+                              out_format: str = "f32"):
+    """Build the jitted PRODUCTION multi-chip render step for `frame`:
+    row-band shards, one ppermute halo exchange, then the same filter
+    chain + color transform (+ output conversion) as the single-chip
+    fused program (render/device_filters.py). Border pixels are computed
+    redundantly on both shards so the result matches the whole-image
+    program on the interior.
+
+    rows must be divisible by n_devices and the per-shard rows by 8 (to
+    keep the EPF 8x8-block sad_mul phase aligned without threading pos).
+    """
+    from ..render import device_filters as df
+    from ..render import simple as render_simple
+    from ..render.stages import core as st
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    assert rows % n == 0 and (rows // n) % 8 == 0, (rows, n)
+    shard_rows = rows // n
+
+    rf = frame.header.restoration_filter
+    gab_weights = df._gab_key(rf)
+    epf_iters = int(rf.epf_iters)
+    rfk = df._rf_key(rf)
+    rf_obj = df._Rf()
+    rf_obj.epf_channel_scale = list(rfk[0])
+    rf_obj.epf_pass0_sigma_scale = rfk[1]
+    rf_obj.epf_pass2_sigma_scale = rfk[2]
+    rf_obj.epf_border_sad_mul = rfk[3]
+    rf_obj.epf_sharp_lut = None
+
+    def local_fn(planes, sigma_px):
+        # planes: (3, shard_rows, cols); sigma_px: (shard_rows, cols)
+        chans = [planes[0], planes[1], planes[2]]
+        if gab_weights is not None or epf_iters > 0:
+            chans = [exchange_halo_rows(c, HALO, axis) for c in chans]
+            sig = exchange_halo_rows(sigma_px, HALO, axis)
+            # force the stage-math path: the pallas kernel pads its own
+            # halo and would double-count the exchanged one
+            if gab_weights is not None:
+                chans = [
+                    st.gaborish(jnp, c, w1, w2)
+                    for c, (w1, w2) in zip(chans, gab_weights)
+                ]
+            if epf_iters >= 3:
+                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 0)
+            if epf_iters >= 1:
+                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 1)
+            if epf_iters >= 2:
+                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 2)
+            chans = [c[HALO:-HALO, :] for c in chans]
+        chans = render_simple.color_transform(frame, chans, xp=jnp)
+        if out_format != "f32":
+            y0 = jax.lax.axis_index(axis) * shard_rows
+            chans = [
+                st.convert_output(jnp, c, out_format, channel=i)
+                if out_format != "u8"
+                else st.f32_to_u8(jnp, c, 8, i, pos=(0, y0))
+                for i, c in enumerate(chans)
+            ]
+        return jnp.stack(chans)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis, None)),
+        out_specs=P(None, axis, None),
+    )
+    return jax.jit(fn)
