@@ -35,6 +35,24 @@ class DecodedImage:
     icc_profile: bytes | None = None
     durations: list = dfield(default_factory=list)
 
+    def output_icc(self) -> bytes:
+        """The output color profile: the embedded ICC if present, else one
+        synthesized from the color encoding (ref JxlColorProfile::as_icc,
+        api/color.rs:1201 + maybe_create_profile :768)."""
+        if self.icc_profile is not None:
+            return self.icc_profile
+        from ..color.icc_synth import synthesize_icc
+        from ..io.headers import ColorSpace
+
+        meta = self.file_header.image_metadata
+        enc = meta.color_encoding
+        if enc.color_space == ColorSpace.XYB:
+            # decoded output is sRGB when the encoding is XYB-only
+            from ..io.headers.image import default_color_encoding
+
+            enc = default_color_encoding()
+        return synthesize_icc(enc, meta.tone_mapping.intensity_target)
+
 
 def parse_frame(br: BitReader, file_header: FileHeader, decoder_state=None, preview=False) -> Frame:
     if preview:

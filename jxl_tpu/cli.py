@@ -290,18 +290,18 @@ def main(argv=None) -> int:
     if args.to_srgb:
         fmt = "f32"  # CMS transforms run on f32 rows (ref dec/mod.rs:431 apply_cms)
     img = decode_image(data, pixel_format=fmt)
-    if args.to_srgb and img.icc_profile:
+    if args.to_srgb:
         from .color.cms import JxlCms, srgb_profile
 
-        t = JxlCms.begin_transforms(img.icc_profile, srgb_profile(), 1)[0]
+        t = JxlCms.begin_transforms(img.output_icc(), srgb_profile(), 1)[0]
         for i, fr in enumerate(img.frames):
             # decoded frames carry 3 color channels (gray triplicated) + ECs
             color = t.run(fr[..., : t.in_channels])
             if fr.shape[-1] > 3:
                 color = np.concatenate([color, fr[..., 3:]], axis=-1)
             img.frames[i] = color
-    if args.icc_out and img.icc_profile:
-        Path(args.icc_out).write_bytes(img.icc_profile)
+    if args.icc_out:
+        Path(args.icc_out).write_bytes(img.output_icc())
     if not args.output:
         print(f"decoded {len(img.frames)} frame(s), {img.frames[0].shape}")
         return 0
