@@ -70,6 +70,9 @@ def bench_device_render(reps: int = 20) -> float:
 
 
 def main():
+    from jxl_tpu import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     detail = {}
     total_mp = 0.0
     total_s = 0.0

@@ -12,6 +12,22 @@ the architecture is host-planner + pure device programs per frame shape.
 
 __version__ = "0.1.0"
 
+
+def enable_persistent_jit_cache(path: str | None = None) -> None:
+    """Persist compiled XLA executables across processes. Remote TPU
+    compiles cost tens of seconds per (config, shape-bucket); the disk
+    cache removes that for repeat CLI/bench invocations."""
+    import os
+
+    import jax
+
+    cache = path or os.environ.get(
+        "JXL_TPU_JIT_CACHE", os.path.expanduser("~/.cache/jxl_tpu_jit")
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 GROUP_DIM = 256        # pixels per (HF) group side; ref: jxl/src/lib.rs:24
 LF_GROUP_DIM = 2048    # pixels per LF group side (GROUP_DIM * 8)
 BLOCK_DIM = 8

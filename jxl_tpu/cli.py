@@ -253,7 +253,10 @@ def main(argv=None) -> int:
 
     data = Path(args.input).read_bytes()
 
+    from . import enable_persistent_jit_cache
     from .utils import trace
+
+    enable_persistent_jit_cache()
 
     if args.print_timings:
         trace.enable()

@@ -168,12 +168,11 @@ def run_filters_and_color(
         rf_obj.epf_border_sad_mul = rfk[3]
         rf_obj.epf_sharp_lut = None
 
-        def program(planes, inv_sigma_px, oh, ow):
+        def program(planes, inv_sigma_px):
             from . import simple as render_simple
 
             chans = [planes[0], planes[1], planes[2]]
             chans = _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf_obj)
-            chans = [c[:oh, :ow] for c in chans]
             chans = render_simple.color_transform(frame, chans, xp=jnp)
             if out_format != "f32":
                 chans = [
@@ -182,13 +181,30 @@ def run_filters_and_color(
                 ]
             return jnp.stack(chans)
 
-        fn = jax.jit(program, static_argnums=(2, 3))
+        fn = jax.jit(program)
         _FUSED_CACHE[key] = fn
 
     inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
-    out = fn(jnp.asarray(np.stack(planes3)), jnp.asarray(inv_sigma_px), oh, ow)
+    # bucket shapes to multiples of 128 so animations with varying frame
+    # sizes reuse one compiled program (remote compiles cost tens of
+    # seconds): mirror-pad the filter halo, edge-pad the slack, crop after
+    hp = -(-h // 128) * 128
+    wp = -(-w // 128) * 128
+    stacked = np.stack(planes3)
+    if hp != h or wp != w:
+        mh = min(8, hp - h, h - 1)
+        mw = min(8, wp - w, w - 1)
+        stacked = np.pad(stacked, ((0, 0), (0, mh), (0, mw)), mode="symmetric")
+        stacked = np.pad(
+            stacked, ((0, 0), (0, hp - h - mh), (0, wp - w - mw)), mode="edge"
+        )
+        inv_sigma_px = np.pad(inv_sigma_px, ((0, mh), (0, mw)), mode="symmetric")
+        inv_sigma_px = np.pad(
+            inv_sigma_px, ((0, hp - h - mh), (0, wp - w - mw)), mode="edge"
+        )
+    out = fn(jnp.asarray(stacked), jnp.asarray(inv_sigma_px))
     out = np.array(jax.device_get(out))  # writable copy
-    return [out[0], out[1], out[2]]
+    return [out[0, :oh, :ow], out[1, :oh, :ow], out[2, :oh, :ow]]
 
 
 def run_filters(planes3, rf, sigma_block, constant_sigma, encoding_vardct: bool):
