@@ -90,6 +90,7 @@ class Histograms:
         "uint_configs",
         "codes",
         "use_prefix_code",
+        "_native_packed",  # memoized native-decoder table pack
     )
 
     @staticmethod

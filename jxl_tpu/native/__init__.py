@@ -63,7 +63,22 @@ def _ptr(arr, typ):
 
 
 def pack_entropy(histograms):
-    """Pack a Histograms bundle into flat arrays for the native decoder."""
+    """Pack a Histograms bundle into flat arrays for the native decoder.
+
+    Memoized per Histograms object: modular decodes reuse one bundle for
+    hundreds of substreams."""
+    cached = getattr(histograms, "_native_packed", None)
+    if cached is not None:
+        return cached
+    packed = _pack_entropy(histograms)
+    try:
+        histograms._native_packed = packed
+    except AttributeError:  # foreign histogram-like object without the slot
+        pass
+    return packed
+
+
+def _pack_entropy(histograms):
     n_clusters = histograms.num_histograms
     use_prefix = histograms.use_prefix_code
     if use_prefix:

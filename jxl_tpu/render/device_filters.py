@@ -79,11 +79,12 @@ def _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf_obj):
 
 
 @functools.lru_cache(maxsize=64)
-def _filter_fn(gab_weights, epf_iters: int, rf_key: tuple):
+def _filter_fn(gab_weights, epf_iters: int, rf_key: tuple, wire_f16: bool = False):
     """Build + jit the filter program for one static configuration.
 
-    Signature of the returned fn: (planes (3,H,W) f32, inv_sigma_px (H,W)
-    f32) -> (3,H,W) f32. Compiled once per (config, shape) by jax.jit.
+    Signature of the returned fn: (planes (3,H,W), inv_sigma_px (H,W)) ->
+    (3,H,W). With wire_f16 the in/out arrays are f16 on the wire while the
+    filter math runs in f32 on device. Compiled once per (config, shape).
     """
     rf = _Rf()
     rf.epf_channel_scale = list(rf_key[0])
@@ -93,9 +94,13 @@ def _filter_fn(gab_weights, epf_iters: int, rf_key: tuple):
     rf.epf_sharp_lut = None  # sigma already expanded to per-pixel
 
     def fn(planes, inv_sigma_px):
+        if wire_f16:
+            planes = planes.astype(jnp.float32)
+            inv_sigma_px = inv_sigma_px.astype(jnp.float32)
         chans = [planes[0], planes[1], planes[2]]
         chans = _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf)
-        return jnp.stack(chans)
+        out = jnp.stack(chans)
+        return out.astype(jnp.float16) if wire_f16 else out
 
     return jax.jit(fn)
 
@@ -211,6 +216,9 @@ def run_filters(planes3, rf, sigma_block, constant_sigma, encoding_vardct: bool)
     """Apply gaborish + EPF to the 3 color planes on device.
 
     planes3: list of 3 (H, W) float32 numpy arrays. Returns 3 numpy arrays.
+    For lossy (VarDCT) frames the host<->device wire format is f16: the
+    tunnel transfer halves and the ~1e-3 relative rounding is far inside
+    the lossy PSNR gates (compute stays f32 on device).
     """
     h, w = planes3[0].shape
     gab_weights = _gab_key(rf)
@@ -219,7 +227,12 @@ def run_filters(planes3, rf, sigma_block, constant_sigma, encoding_vardct: bool)
         return planes3
 
     inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
-    fn = _filter_fn(gab_weights, epf_iters, _rf_key(rf))
-    out = fn(jnp.asarray(np.stack(planes3)), jnp.asarray(inv_sigma_px))
+    wire_f16 = encoding_vardct and h * w >= 1 << 21  # >=2 MP: transfer-bound
+    fn = _filter_fn(gab_weights, epf_iters, _rf_key(rf), wire_f16)
+    stacked = np.stack(planes3)
+    if wire_f16:
+        stacked = stacked.astype(np.float16)
+        inv_sigma_px = inv_sigma_px.astype(np.float16)
+    out = fn(jnp.asarray(stacked), jnp.asarray(inv_sigma_px))
     out = np.array(jax.device_get(out), dtype=np.float32)  # writable copy
     return [out[0], out[1], out[2]]

@@ -366,6 +366,21 @@ def _render_group(frame, group, bl, coeffs):
                 lfy = gby[sel] >> vshift[c]
             # LF tiles: (Nc, cy, cx)
             lf_plane = frame.lf_image[c]
+            outp = frame.vardct_pixels[c]
+            if cx == 1 and cy == 1:
+                # dominant case (DCT8/DCT4x4/DCT2/identity/AFV): fully
+                # vectorized gather + scatter, no per-block python loop
+                tiles = lf_plane[lfy, lfx][:, None, None]
+                pix = transform_to_pixels_batch(np, tid, tiles, dq[sel, c])
+                ph, pw = pix.shape[1], pix.shape[2]
+                if ph == BLOCK_DIM and pw == BLOCK_DIM:
+                    oh, ow = outp.shape
+                    v = outp.reshape(oh // BLOCK_DIM, BLOCK_DIM, ow // BLOCK_DIM, BLOCK_DIM)
+                    v[lfy, :, lfx, :] = pix
+                    continue
+                for i, (x, y) in enumerate(zip(lfx.tolist(), lfy.tolist())):
+                    outp[y * BLOCK_DIM : y * BLOCK_DIM + ph, x * BLOCK_DIM : x * BLOCK_DIM + pw] = pix[i]
+                continue
             tiles = np.stack(
                 [
                     lf_plane[y : y + cy, x : x + cx]
@@ -373,7 +388,6 @@ def _render_group(frame, group, bl, coeffs):
                 ]
             )
             pix = transform_to_pixels_batch(np, tid, tiles, dq[sel, c])
-            outp = frame.vardct_pixels[c]
             ph, pw = pix.shape[1], pix.shape[2]
             for i, (x, y) in enumerate(zip(lfx.tolist(), lfy.tolist())):
                 outp[y * BLOCK_DIM : y * BLOCK_DIM + ph, x * BLOCK_DIM : x * BLOCK_DIM + pw] = pix[i]
