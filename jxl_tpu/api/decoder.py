@@ -369,6 +369,19 @@ class JxlDecoder:
                     (meta.preview.xsize, meta.preview.ysize) if meta.preview else None
                 ),
             )
+            if self.options.sample_limit is not None:
+                # DoS guard (ref codestream_parser/mod.rs:61-74): untrusted
+                # headers must not trigger huge downstream allocations
+                from ..errors import LimitExceeded
+
+                xs = max(self.file_header.xsize, 16)
+                total = xs * self.file_header.ysize * (
+                    3 + len(meta.extra_channel_info)
+                )
+                if total >= self.options.sample_limit:
+                    raise LimitExceeded(
+                        f"image needs {total} samples, limit {self.options.sample_limit}"
+                    )
             self.state = DecoderState(self.file_header, self.options)
             self._preview_pending = meta.preview is not None
             self.stage = "frame_header"
