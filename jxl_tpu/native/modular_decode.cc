@@ -23,13 +23,20 @@ struct BitReader {
   uint64_t pos;        // bit position (may exceed size*8 on overrun)
 
   uint64_t Peek(int n) const {
-    // little-endian, LSB-first; zero-padded past the end
+    // little-endian, LSB-first; zero-padded past the end.
+    // Fast path: one unaligned 64-bit load gives >=57 valid bits after the
+    // sub-byte shift, enough for every caller (n <= 32).
     uint64_t byte0 = pos >> 3;
-    uint64_t v = 0;
-    int need = ((int)(pos & 7) + n + 7) >> 3;
-    for (int i = 0; i < need && i < 8; i++) {
-      uint64_t b = byte0 + i < size ? data[byte0 + i] : 0;
-      v |= b << (8 * i);
+    uint64_t v;
+    if (byte0 + 8 <= size) {
+      std::memcpy(&v, data + byte0, 8);
+    } else {
+      v = 0;
+      int need = ((int)(pos & 7) + n + 7) >> 3;
+      for (int i = 0; i < need && i < 8; i++) {
+        uint64_t b = byte0 + i < size ? data[byte0 + i] : 0;
+        v |= b << (8 * i);
+      }
     }
     v >>= (pos & 7);
     return n >= 64 ? v : v & ((1ull << n) - 1);
@@ -456,6 +463,9 @@ int jxl_decode_modular(
     }
   }
 
+  const bool need_pos_props = (used_props & (1u << 3)) != 0;
+  const bool need_px_props = (used_props & 0x7ff0u) != 0;  // props 4..14
+
   // Fast-lossless path (ref decode/bitstream.rs:22-137): channel-split
   // gradient-only tree + RLE prefix codes.
   bool is_rle = lz77_enabled && dec.use_prefix &&
@@ -617,19 +627,25 @@ int jxl_decode_modular(
         if (single_leaf) {
           leaf = &tree[0];
         } else {
-          props[3] = x;
-          props[4] = top < 0 ? -top : top;
-          props[5] = left < 0 ? -left : left;
-          props[6] = top;
-          props[7] = left;
-          int32_t old9 = props[9];
-          props[8] = (int32_t)((uint32_t)left - (uint32_t)old9);
-          props[9] = (int32_t)((uint32_t)left + (uint32_t)top - (uint32_t)topleft);
-          props[10] = (int32_t)((uint32_t)left - (uint32_t)topleft);
-          props[11] = (int32_t)((uint32_t)topleft - (uint32_t)top);
-          props[12] = (int32_t)((uint32_t)top - (uint32_t)topright);
-          props[13] = (int32_t)((uint32_t)top - (uint32_t)toptop);
-          props[14] = (int32_t)((uint32_t)left - (uint32_t)leftleft);
+          // compute only the properties the tree actually tests (the
+          // prop-15-only WP tree from effort-3 encodes skips all of these)
+          if (need_pos_props) {
+            props[3] = x;
+          }
+          if (need_px_props) {
+            props[4] = top < 0 ? -top : top;
+            props[5] = left < 0 ? -left : left;
+            props[6] = top;
+            props[7] = left;
+            int32_t old9 = props[9];
+            props[8] = (int32_t)((uint32_t)left - (uint32_t)old9);
+            props[9] = (int32_t)((uint32_t)left + (uint32_t)top - (uint32_t)topleft);
+            props[10] = (int32_t)((uint32_t)left - (uint32_t)topleft);
+            props[11] = (int32_t)((uint32_t)topleft - (uint32_t)top);
+            props[12] = (int32_t)((uint32_t)top - (uint32_t)topright);
+            props[13] = (int32_t)((uint32_t)top - (uint32_t)toptop);
+            props[14] = (int32_t)((uint32_t)left - (uint32_t)leftleft);
+          }
           props[15] = wp_prop;
           if (num_ref_props)
             std::memcpy(props.data() + kNumNonrefProps,
