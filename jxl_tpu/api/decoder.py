@@ -543,11 +543,14 @@ class JxlDecoder:
                 )
                 ensure_pixel_buffers(frame)
                 num_passes = header.passes.num_passes
+                device_mode = getattr(frame, "_device_vardct", False)
                 for g in range(header.num_groups):
                     done = frame._passes_done[g]
                     if done == 0:
                         upsample_lf_group(frame, g, frame.vardct_pixels)
-                    elif done < num_passes:
+                    elif done < num_passes or device_mode:
+                        # device-mode frames defer all rendering to frame
+                        # completion, so flush re-renders from coefficients
                         frame.render_group_from_coeffs(g)
             planes, color_done, _ = render_frame_channels_ex(frame, fuse=True)
             if header.frame_type != FrameType.REFERENCE_ONLY and not color_done:

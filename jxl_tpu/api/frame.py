@@ -307,6 +307,7 @@ class Frame:
                     self.decode_lf_group(g, sec)
                 self.decode_hf_global(sec)
                 self.finalize_lf()
+                self._maybe_enable_device_render()
                 self._lf_finalized = True
                 for g in range(header.num_groups):
                     self.decode_hf_group(
@@ -315,6 +316,7 @@ class Frame:
                     self._passes_done[g] = header.passes.num_passes
                 self._sec_decoded[0] = True
             if not self._transforms_done:
+                self._finish_device_render()
                 self.lf_global.modular_global.run_transforms()
                 self._transforms_done = True
             return None
@@ -346,6 +348,7 @@ class Frame:
         ) and self._sec_decoded[i_hfg]
         if lf_all and not self._lf_finalized:
             self.finalize_lf()
+            self._maybe_enable_device_render()
             self._lf_finalized = True
 
         if self._lf_finalized:
@@ -366,6 +369,7 @@ class Frame:
 
         if all(self._sec_decoded):
             if not self._transforms_done:
+                self._finish_device_render()
                 self.lf_global.modular_global.run_transforms()
                 self._transforms_done = True
             return None
@@ -377,6 +381,33 @@ class Frame:
 
     # -- whole-frame decode (non-streaming driver) -----------------------------------------
 
+    def _maybe_enable_device_render(self) -> None:
+        """After LF/HfGlobal: route the numeric VarDCT path (dequant + CfL
+        + IDCT) to one whole-frame device program when eligible — planes
+        stay device-resident into the filter program."""
+        if self.header.encoding != Encoding.VARDCT:
+            return
+        rf = self.header.restoration_filter
+        if not (rf.gab or rf.epf_iters > 0):
+            return
+        bw, bh = self.header.size_blocks()
+        if bw * bh * 64 < 160_000:  # small frames stay on the host path
+            return
+        from ..vardct.device_frame import eligible
+
+        if eligible(self):
+            self.render_after_decode = False
+            self._device_vardct = True
+
+    def _finish_device_render(self) -> None:
+        if not getattr(self, "_device_vardct", False):
+            return
+        from ..vardct.device_frame import render_vardct_frame_device
+
+        self.vardct_pixels_dev = render_vardct_frame_device(
+            self, self.hf_global.hf_coefficients
+        )
+
     def decode_all_sections(self, br: BitReader) -> None:
         header = self.header
         if header.num_toc_entries == 1:
@@ -386,6 +417,7 @@ class Frame:
                 self.decode_lf_group(g, sec)
             self.decode_hf_global(sec)
             self.finalize_lf()
+            self._maybe_enable_device_render()
             for g in range(header.num_groups):
                 self.decode_hf_group(
                     g, [(p, sec) for p in range(header.passes.num_passes)]
@@ -397,12 +429,14 @@ class Frame:
                 self.decode_lf_group(g, sections[self.section_index("lf", group=g)])
             self.decode_hf_global(sections[self.section_index("hf_global")])
             self.finalize_lf()
+            self._maybe_enable_device_render()
             for g in range(header.num_groups):
                 readers = [
                     (p, sections[self.section_index("hf", group=g, pass_idx=p)])
                     for p in range(header.passes.num_passes)
                 ]
                 self.decode_hf_group(g, readers)
+        self._finish_device_render()
         self.lf_global.modular_global.run_transforms()
 
     def finalize_lf(self) -> None:

@@ -195,12 +195,14 @@ def run_filters_and_color(
     # seconds): mirror-pad the filter halo, edge-pad the slack, crop after
     hp = -(-h // 128) * 128
     wp = -(-w // 128) * 128
-    stacked = np.stack(planes3)
+    on_device = isinstance(planes3[0], jax.Array)
+    xp = jnp if on_device else np
+    stacked = xp.stack(planes3)
     if hp != h or wp != w:
         mh = min(8, hp - h, h - 1)
         mw = min(8, wp - w, w - 1)
-        stacked = np.pad(stacked, ((0, 0), (0, mh), (0, mw)), mode="symmetric")
-        stacked = np.pad(
+        stacked = xp.pad(stacked, ((0, 0), (0, mh), (0, mw)), mode="symmetric")
+        stacked = xp.pad(
             stacked, ((0, 0), (0, hp - h - mh), (0, wp - w - mw)), mode="edge"
         )
         inv_sigma_px = np.pad(inv_sigma_px, ((0, mh), (0, mw)), mode="symmetric")
@@ -227,9 +229,12 @@ def run_filters(planes3, rf, sigma_block, constant_sigma, encoding_vardct: bool)
         return planes3
 
     inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
-    wire_f16 = encoding_vardct and h * w >= 1 << 21  # >=2 MP: transfer-bound
+    on_device = isinstance(planes3[0], jax.Array)
+    wire_f16 = (
+        not on_device and encoding_vardct and h * w >= 1 << 21
+    )  # >=2 MP host planes: transfer-bound
     fn = _filter_fn(gab_weights, epf_iters, _rf_key(rf), wire_f16)
-    stacked = np.stack(planes3)
+    stacked = jnp.stack(planes3) if on_device else np.stack(planes3)
     if wire_f16:
         stacked = stacked.astype(np.float16)
         inv_sigma_px = inv_sigma_px.astype(np.float16)

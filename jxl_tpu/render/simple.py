@@ -90,7 +90,13 @@ def render_frame_channels_ex(
     num_ec = len(meta.extra_channel_info)
 
     if header.encoding == Encoding.VARDCT:
-        planes = [p.copy() for p in frame.vardct_pixels]
+        dev = getattr(frame, "vardct_pixels_dev", None)
+        if dev is not None:
+            # whole-frame device render: planes are jax arrays and stay on
+            # device through the filter program (no pixel upload)
+            planes = [dev[0], dev[1], dev[2]]
+        else:
+            planes = [p.copy() for p in frame.vardct_pixels]
     elif meta.xyb_encoded:
         # modular XYB order is [Y, X, B]; B has Y added (ref convert.rs:278)
         mg = frame.lf_global.modular_global

@@ -1,0 +1,245 @@
+"""Whole-frame VarDCT dequant + CfL + IDCT as one device program.
+
+The TPU-native formulation of the reference's per-group numeric path
+(frame/group.rs:138-237 dequant_and_transform_to_pixels): the host ships
+quantized coefficients + per-block metadata once, the device gathers,
+dequantizes (with quant bias), applies chroma-from-luma, runs the IDCTs
+as batched MXU matmuls (transforms_batch with xp=jnp), and scatters the
+pixels — and the resulting planes stay device-resident, feeding straight
+into the fused filter/color program with no pixel round trip.
+
+Scope: 4:4:4 frames, every transform class (multi-block DCT16/32/...
+included: LF patches gather and pixels scatter through flat indices
+computed on-device from the block coordinates). Chroma-subsampled frames
+keep the host path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import GROUP_DIM
+from .transform_map import covered_blocks_x, covered_blocks_y
+from .transforms_batch import transform_to_pixels_batch
+
+BLOCK_DIM = 8
+BLOCK_SIZE = 64
+COLOR_TILE_DIM_IN_BLOCKS = 8
+
+
+def eligible(frame) -> bool:
+    """Gate: 4:4:4 frames (chroma-subsampled layouts keep the host path)."""
+    if frame.hf_meta is None or not frame.header.is444:
+        return False
+    tmap = frame.hf_meta["transform"]
+    return bool((tmap >= 128).any())
+
+
+def _frame_blocks(frame, coeffs_by_group: dict):
+    """Host prep: per-tid whole-frame block arrays (all cheap numpy)."""
+    header = frame.header
+    hf = frame.hf_meta
+    tmap = hf["transform"]
+    by_tid: dict[int, list] = {}
+    group_ids = sorted(coeffs_by_group)
+    gindex = {g: i for i, g in enumerate(group_ids)}
+    for g in group_ids:
+        (gx0, gy0), (gw, gh) = header.block_group_rect(g)
+        sub = tmap[gy0 : gy0 + gh, gx0 : gx0 + gw]
+        ys, xs = np.nonzero(sub >= 128)
+        tids = sub[ys, xs] & 127
+        # per-group coefficient offsets follow raster placement order
+        order = np.argsort(ys * gw + xs, kind="stable")
+        offs = np.zeros(len(ys), dtype=np.int64)
+        acc = 0
+        for i in order:
+            offs[i] = acc
+            cx = covered_blocks_x(int(tids[i]))
+            cy = covered_blocks_y(int(tids[i]))
+            acc += cx * cy * BLOCK_SIZE
+        for t in np.unique(tids):
+            sel = tids == t
+            rec = by_tid.setdefault(int(t), [[], [], [], []])
+            rec[0].append(xs[sel] + gx0)
+            rec[1].append(ys[sel] + gy0)
+            rec[2].append(np.full(sel.sum(), gindex[g], dtype=np.int64))
+            rec[3].append(offs[sel])
+    out = {}
+    for t, (bx, by, gi, off) in by_tid.items():
+        out[t] = (
+            np.concatenate(bx).astype(np.int32),
+            np.concatenate(by).astype(np.int32),
+            np.concatenate(gi).astype(np.int32),
+            np.concatenate(off).astype(np.int32),
+        )
+    return out, group_ids
+
+
+# program cache: key = static frame config + per-tid counts
+_CACHE: dict = {}
+
+
+def render_vardct_frame_device(frame, coeffs_by_group: dict):
+    """Returns device planes (3, bh*8, bw*8) f32 (jax arrays, no download)."""
+    header = frame.header
+    hf = frame.hf_meta
+    lf_global = frame.lf_global
+    ccp = lf_global.color_correlation_params
+    qp = lf_global.quant_params
+    dqm = frame.hf_global.dequant_matrices
+    biases = np.asarray(
+        frame.file_header.transform_data.opsin_inverse_matrix.quant_biases,
+        dtype=np.float32,
+    )
+    x_dm = np.float32((1.0 / 1.25) ** (header.x_qm_scale - 2.0))
+    b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
+    bw, bh = header.size_blocks()
+
+    blocks, group_ids = _frame_blocks(frame, coeffs_by_group)
+    tids = tuple(sorted(blocks))
+    counts = tuple(len(blocks[t][0]) for t in tids)
+    # pad per-tid counts to power-of-two buckets for compile reuse
+    pads = tuple(1 << max(4, int(np.ceil(np.log2(max(c, 1))))) for c in counts)
+
+    ncs = {
+        t: covered_blocks_x(t) * covered_blocks_y(t) * BLOCK_SIZE for t in tids
+    }
+    mats = {
+        t: np.stack(
+            [np.asarray(dqm.matrix(t, c)[: ncs[t]], np.float32) for c in range(3)]
+        )
+        for t in tids
+    }
+    key = (
+        tids,
+        pads,
+        bw,
+        bh,
+        float(qp.inv_global_scale),
+        float(x_dm),
+        float(b_dm),
+        float(ccp.base_correlation_x),
+        float(ccp.base_correlation_b),
+        float(ccp.color_factor),
+        tuple(float(b) for b in biases),
+        tuple(tuple(map(float, mats[t].ravel()[:8])) for t in tids),  # matrix fingerprint
+    )
+    fn = _CACHE.get(key)
+    if fn is None:
+        igs = np.float32(qp.inv_global_scale)
+        cf = np.float32(ccp.color_factor)
+        bcx = np.float32(ccp.base_correlation_x)
+        bcb = np.float32(ccp.base_correlation_b)
+        mats_c = {t: jnp.asarray(mats[t]) for t in tids}
+        b_c = jnp.asarray(biases)
+
+        W = bw * BLOCK_DIM
+
+        def program(coeffs, lf, rq, ytox, ytob, idx_args):
+            # TPU matmuls default to bf16 inputs; the IDCT einsums need f32
+            return _program_impl(coeffs, lf, rq, ytox, ytob, idx_args)
+
+        def _program_impl(coeffs, lf, rq, ytox, ytob, idx_args):
+            # coeffs: (G, 3, GROUP_DIM*GROUP_DIM) i32; lf: (3, bh, bw) f32;
+            # rq: (bh, bw) i32; ytox/ytob: (th, tw) i8
+            planes = jnp.zeros((3, bh * BLOCK_DIM * W), jnp.float32)
+            flat = coeffs.reshape(-1)
+            lf_flat = lf.reshape(3, -1)
+            stride_g = 3 * GROUP_DIM * GROUP_DIM
+            stride_c = GROUP_DIM * GROUP_DIM
+            for ti, t in enumerate(tids):
+                gbx, gby, gi, off = idx_args[ti]
+                n = gbx.shape[0]
+                nc = ncs[t]
+                cx = covered_blocks_x(t)
+                cy = covered_blocks_y(t)
+                base = gi.astype(jnp.int32) * stride_g + off.astype(jnp.int32)
+                lanes = jnp.arange(nc, dtype=jnp.int32)
+                gidx = base[:, None, None] + (
+                    jnp.arange(3, dtype=jnp.int32)[None, :, None] * stride_c
+                ) + lanes[None, None, :]
+                qb = jnp.take(flat, gidx.reshape(-1), mode="clip").reshape(n, 3, nc)
+                q = qb.astype(jnp.float32)
+                adj = jnp.where(
+                    jnp.abs(qb) < 2,
+                    q * b_c[:3][None, :, None],
+                    q - b_c[3] / jnp.where(qb == 0, 1.0, q),
+                )
+                adj = jnp.where(qb == 0, 0.0, adj)
+                rq_b = rq[gby, gbx].astype(jnp.float32)
+                scaled_y = igs / rq_b
+                tx = gbx // COLOR_TILE_DIM_IN_BLOCKS
+                ty = gby // COLOR_TILE_DIM_IN_BLOCKS
+                x_cc = bcx + ytox[ty, tx].astype(jnp.float32) / cf
+                b_cc = bcb + ytob[ty, tx].astype(jnp.float32) / cf
+                scales = jnp.stack(
+                    [scaled_y * x_dm, scaled_y, scaled_y * b_dm], axis=1
+                )
+                dq = adj * mats_c[t][None] * scales[:, :, None]
+                dq = dq.at[:, 0].add(x_cc[:, None] * dq[:, 1])
+                dq = dq.at[:, 2].add(b_cc[:, None] * dq[:, 1])
+                # LF patch gather: (N, cy, cx) from block coords + static grid
+                iy = jnp.arange(cy, dtype=jnp.int32)
+                ix = jnp.arange(cx, dtype=jnp.int32)
+                lf_idx = (
+                    (gby[:, None, None] + iy[None, :, None]) * bw
+                    + gbx[:, None, None]
+                    + ix[None, None, :]
+                ).reshape(-1)
+                ph, pw = cy * BLOCK_DIM, cx * BLOCK_DIM
+                # pixel scatter: flat indices from block coords + static grid
+                py = jnp.arange(ph, dtype=jnp.int32)
+                px = jnp.arange(pw, dtype=jnp.int32)
+                pidx = (
+                    (gby[:, None, None] * BLOCK_DIM + py[None, :, None]) * W
+                    + gbx[:, None, None] * BLOCK_DIM
+                    + px[None, None, :]
+                ).reshape(-1)
+                for c in (1, 0, 2):
+                    lf_tiles = jnp.take(lf_flat[c], lf_idx, mode="clip").reshape(
+                        n, cy, cx
+                    )
+                    pix = transform_to_pixels_batch(jnp, t, lf_tiles, dq[:, c])
+                    planes = planes.at[c, pidx].set(pix.reshape(-1))
+            return planes.reshape(3, bh * BLOCK_DIM, W)
+
+        def wrapped(*args):
+            with jax.default_matmul_precision("float32"):
+                return program(*args)
+
+        fn = jax.jit(wrapped)
+        _CACHE[key] = fn
+
+    # assemble inputs (pad per-tid arrays to bucket sizes; padded entries
+    # re-write block (0,0)'s pixels with clip-gathered data of block 0 —
+    # avoid by pointing them at the first real block so the scatter is a
+    # harmless duplicate write of identical values)
+    idx_args = []
+    for t, n, p in zip(tids, counts, pads):
+        gbx, gby, gi, off = blocks[t]
+        if p > n:
+            gbx = np.concatenate([gbx, np.full(p - n, gbx[0], np.int32)])
+            gby = np.concatenate([gby, np.full(p - n, gby[0], np.int32)])
+            gi = np.concatenate([gi, np.full(p - n, gi[0], np.int32)])
+            off = np.concatenate([off, np.full(p - n, off[0], np.int32)])
+        idx_args.append(
+            (jnp.asarray(gbx), jnp.asarray(gby), jnp.asarray(gi), jnp.asarray(off))
+        )
+
+    coeffs = np.stack([coeffs_by_group[g] for g in group_ids]).astype(np.int32)
+    th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
+    tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
+    out = fn(
+        jnp.asarray(coeffs),
+        jnp.asarray(np.stack(frame.lf_image)),
+        jnp.asarray(hf["raw_quant"].astype(np.int32)),
+        jnp.asarray(hf["ytox"][:th, :tw]),
+        jnp.asarray(hf["ytob"][:th, :tw]),
+        idx_args,
+    )
+    return out

@@ -108,12 +108,12 @@ def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = Tr
     bctx = lf_global.block_context_map
     num_histo_bits = _ceil_log2(hf_global.num_histograms)
 
-    multipass = header.passes.num_passes > 1
-    if multipass and group in hf_global.hf_coefficients:
+    keep = header.passes.num_passes > 1 or not frame.render_after_decode
+    if keep and group in hf_global.hf_coefficients:
         coeffs = hf_global.hf_coefficients[group]
     else:
         coeffs = np.zeros((3, GROUP_DIM * GROUP_DIM), dtype=np.int32)
-        if multipass:
+        if keep:
             hf_global.hf_coefficients[group] = coeffs
 
     from .. import native
