@@ -241,6 +241,17 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--bits_per_sample", type=int, default=0)
     ap.add_argument(
+        "--preview",
+        action="store_true",
+        help="extract the preview frame instead of the main image",
+    )
+    ap.add_argument(
+        "--render_interval",
+        type=int,
+        help="force a partial render (progressive flush) every N input bytes;"
+        " writes <output>_p000.., <output>_p001.. alongside the final output",
+    )
+    ap.add_argument(
         "--print_timings",
         action="store_true",
         help="print per-stage wall-clock + MP/s after decode (tracing subsystem)",
@@ -281,6 +292,45 @@ def main(argv=None) -> int:
             mp = sum(f.shape[0] * f.shape[1] for f in img.frames) / 1e6
         best = min(times)
         print(f"decoded {mp:.3f} MP in {best*1000:.2f} ms (best of {args.num_reps}): {mp/best:.3f} MP/s")
+        return 0
+
+    if args.preview or args.render_interval:
+        from .api.decoder import Event, JxlDecoder, JxlDecoderOptions
+
+        d = JxlDecoder(JxlDecoderOptions(skip_preview=not args.preview))
+        flushes = []
+        pos = 0
+        step = args.render_interval or len(data)
+        while pos < len(data) or pos == 0:
+            upto = min(pos + step, len(data))
+            d.feed(data[pos:upto])
+            pos = upto
+            if pos >= len(data):
+                d.end_input()
+            ev = d.process()
+            while ev not in (Event.NEED_MORE_INPUT, Event.COMPLETE):
+                ev = d.process()
+            if args.render_interval and ev is Event.NEED_MORE_INPUT:
+                fl = d.flush_pixels()
+                if fl is not None:
+                    flushes.append(fl)
+            if ev is Event.COMPLETE:
+                break
+        if args.preview:
+            if d.preview is None:
+                print("no preview frame in this file", file=sys.stderr)
+                return 1
+            out = args.output or "preview.png"
+            write_png(out, (np.clip(d.preview, 0, 1) * 255 + 0.5).astype(np.uint8))
+            print(f"wrote {out}")
+            return 0
+        base = Path(args.output) if args.output else Path("out.png")
+        for i, fl in enumerate(flushes):
+            p = base.with_stem(base.stem + f"_p{i:03d}")
+            write_png(str(p), (np.clip(fl, 0, 1) * 255 + 0.5).astype(np.uint8))
+        writer = _WRITERS.get(base.suffix.lower(), write_png)
+        writer(str(base), d.frames[0])
+        print(f"wrote {base} (+{len(flushes)} progressive renders)")
         return 0
 
     ext = Path(args.output).suffix.lower() if args.output else ""
