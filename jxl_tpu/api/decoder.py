@@ -255,7 +255,17 @@ class _BoxParser:
                 avail = len(self.buf) - self.pos
                 take = avail if self.remaining < 0 else min(avail, self.remaining)
                 chunk = bytes(self.buf[self.pos : self.pos + take])
+                streaming_part = (
+                    self.current_box == b"jxlp"
+                    and self._jxlp_index == self._jxlp_next
+                    and self._jxlp_index not in self.jxlp_parts
+                    and not any(k < self._jxlp_index for k in self.jxlp_parts)
+                )
                 if self.current_box == b"jxlc":
+                    self._append_codestream(chunk)
+                elif streaming_part:
+                    # in-order jxlp: stream payload straight into the
+                    # codestream so partial frames can decode progressively
                     self._append_codestream(chunk)
                 elif self.current_box == b"jxlp":
                     self.jxlp_parts.setdefault(self._jxlp_index, bytearray()).extend(chunk)
@@ -264,7 +274,10 @@ class _BoxParser:
                     self.remaining -= take
                 if self.remaining == 0:
                     if self.current_box == b"jxlp":
-                        self._jxlp_complete.add(self._jxlp_index)
+                        if streaming_part:
+                            self._jxlp_next += 1
+                        else:
+                            self._jxlp_complete.add(self._jxlp_index)
                         self._flush_jxlp()
                     self.state = "box_header"
                     continue
@@ -276,7 +289,7 @@ class _BoxParser:
         # append jxlp parts to the codestream in index order, each once its
         # box payload is fully consumed (ref box_parser.rs jxlp handling)
         while self._jxlp_next in self._jxlp_complete:
-            part = self.jxlp_parts.pop(self._jxlp_next)
+            part = self.jxlp_parts.pop(self._jxlp_next, b"")
             if self._jxlp_next in self._jxlp_ooo:
                 self.ooo_ranges.append(
                     (len(self.codestream), len(self.codestream) + len(part))

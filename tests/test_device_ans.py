@@ -118,3 +118,139 @@ def test_device_matches_host():
     toks, final = ans_decode_batch(buf, pack_table(h), LOG_BUCKET, n_tokens)
     assert np.array_equal(np.asarray(toks), np.array(expected))
     assert np.all(np.asarray(final) == FINAL_STATE)
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def write(self, value, nbits):
+        self.bits |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.bits & 0xFF)
+            self.bits >>= 8
+            self.n -= 8
+
+    def finish(self):
+        if self.n:
+            self.out.append(self.bits & 0xFF)
+        return bytes(self.out)
+
+
+def encode_uint_stream(values, clusters, hists, cfgs):
+    """Inverse of read_unsigned_clustered: ANS tokens (backward pass) with
+    interleaved HybridUint tail bits (forward emission)."""
+    invs = [inverse_map(h) for h in hists]
+    toks, raws = [], []
+    for v, c in zip(values, clusters):
+        cfg = cfgs[c]
+        if v < cfg.split_token:
+            toks.append(v)
+            raws.append((0, 0))
+        else:
+            # invert hybrid_uint: value -> token + nbits raw bits
+            n = v.bit_length() - 1  # index of the leading 1
+            nbits = n - cfg.msb_in_token - cfg.lsb_in_token
+            low = v & ((1 << cfg.lsb_in_token) - 1)
+            hi_all = v >> (cfg.lsb_in_token + nbits)
+            msb_bits = hi_all & ((1 << cfg.msb_in_token) - 1)
+            raw = (v >> cfg.lsb_in_token) & ((1 << nbits) - 1)
+            token = (
+                cfg.split_token
+                + (((n - cfg.split_exponent) << (cfg.msb_in_token + cfg.lsb_in_token))
+                   | (msb_bits << cfg.lsb_in_token) | low)
+            )
+            toks.append(token)
+            raws.append((nbits, raw))
+
+    state = FINAL_STATE
+    words = {}
+    for k in range(len(toks) - 1, -1, -1):
+        h = hists[clusters[k]]
+        freq = h.dist[toks[k]]
+        assert freq > 0, (k, toks[k])
+        if state >= (freq << 20):
+            words[k] = state & 0xFFFF
+            state >>= 16
+        state = (state // freq) * SUM_PROBS + invs[clusters[k]][(toks[k], state % freq)]
+
+    bw = BitWriter()
+    bw.write(state, 32)
+    for k in range(len(toks)):
+        if k in words:
+            bw.write(words[k], 16)
+        nbits, raw = raws[k]
+        if nbits:
+            bw.write(raw, nbits)
+    return bw.finish()
+
+
+def test_clustered_uint_device_matches_host():
+    from jxl_tpu.entropy.hybrid_uint import HybridUint
+    from jxl_tpu.ops.device_ans import (
+        ans_read_uint_batch,
+        pack_clustered_tables,
+        pack_uint_configs,
+    )
+
+    rng = np.random.default_rng(7)
+    hists = [make_hist(random_dist(rng, 64)) for _ in range(3)]
+    cfgs = [HybridUint(4, 2, 0), HybridUint(4, 1, 1), HybridUint(6, 2, 1)]
+
+    n_streams, n_tokens = 64, 200
+    bufs, clusters_all, expected = [], [], []
+    maxlen = 0
+    for _ in range(n_streams):
+        clusters = rng.integers(0, 3, n_tokens).tolist()
+        values = []
+        for c in clusters:
+            # mix of small tokens and multi-bit values
+            values.append(int(rng.integers(0, 4000)))
+        # clamp values whose token has zero probability in its cluster
+        vals = []
+        for v, c in zip(values, clusters):
+            h, cfg = hists[c], cfgs[c]
+            while True:
+                if v < cfg.split_token:
+                    tok = v
+                else:
+                    n = v.bit_length() - 1
+                    nb = n - cfg.msb_in_token - cfg.lsb_in_token
+                    if nb < 0:
+                        v = int(rng.integers(0, cfg.split_token))
+                        continue
+                    low = v & ((1 << cfg.lsb_in_token) - 1)
+                    msb_bits = (v >> (cfg.lsb_in_token + nb)) & (
+                        (1 << cfg.msb_in_token) - 1
+                    )
+                    tok = cfg.split_token + (
+                        ((n - cfg.split_exponent) << (cfg.msb_in_token + cfg.lsb_in_token))
+                        | (msb_bits << cfg.lsb_in_token) | low
+                    )
+                if tok < 64 and hists[c].dist[tok] > 0:
+                    break
+                v = int(rng.integers(0, 16))
+            vals.append(v)
+        data = encode_uint_stream(vals, clusters, hists, cfgs)
+        bufs.append(data)
+        clusters_all.append(clusters)
+        expected.append(vals)
+        maxlen = max(maxlen, len(data))
+
+    buf = np.zeros((n_streams, maxlen + 6), dtype=np.uint8)
+    for i, d in enumerate(bufs):
+        buf[i, : len(d)] = np.frombuffer(d, np.uint8)
+
+    vals, final = ans_read_uint_batch(
+        buf,
+        pack_clustered_tables(hists),
+        pack_uint_configs(cfgs),
+        np.array(clusters_all, dtype=np.int32),
+        LOG_BUCKET,
+        n_tokens,
+    )
+    assert np.array_equal(np.asarray(vals), np.array(expected, dtype=np.uint32))
+    assert np.all(np.asarray(final) == FINAL_STATE)
