@@ -62,14 +62,22 @@ def decode_context_map(num_contexts: int, br: BitReader) -> list[int]:
         return [0] * num_contexts
     use_mtf = br.read(1) != 0
     histograms = Histograms.decode(1, br, allow_lz77=num_contexts > 2)
-    reader = SymbolReader(histograms, br)
-    ctx_map = []
-    for _ in range(num_contexts):
-        mv = reader.read_unsigned(histograms, br, 0)
-        if mv > 255:
-            raise InvalidBitstream(f"context map value {mv} too large")
-        ctx_map.append(mv)
-    reader.check_final_state(histograms, br)
+    from .. import native
+
+    vals = native.read_unsigned_run(histograms, br, 0, num_contexts, check_final=True)
+    if vals is not None:
+        if vals.max(initial=0) > 255:
+            raise InvalidBitstream("context map value too large")
+        ctx_map = [int(v) for v in vals]
+    else:
+        reader = SymbolReader(histograms, br)
+        ctx_map = []
+        for _ in range(num_contexts):
+            mv = reader.read_unsigned(histograms, br, 0)
+            if mv > 255:
+                raise InvalidBitstream(f"context map value {mv} too large")
+            ctx_map.append(mv)
+        reader.check_final_state(histograms, br)
     if use_mtf:
         ctx_map = _move_to_front_inverse(ctx_map)
     num_histograms = max(ctx_map) + 1

@@ -49,6 +49,7 @@ def get_lib():
             return None
         lib = ctypes.CDLL(str(path))
         lib.jxl_decode_modular.restype = ctypes.c_int
+        lib.jxl_read_unsigned_run.restype = ctypes.c_int
         lib.jxl_decode_vardct_ac.restype = ctypes.c_int
         _lib = lib
     return _lib
@@ -150,6 +151,42 @@ def pack_tree(tree) -> np.ndarray:
         else:
             nodes[i] = (n.property, n.splitval, n.left, n.right, 0, 0, 1, 0)
     return nodes
+
+
+def read_unsigned_run(histograms, br, ctx: int, count: int,
+                      check_final: bool = False, dist_multiplier: int = 0):
+    """Decode `count` clustered unsigned values at a fixed context natively
+    (e.g. the entropy-coded context map). Returns a uint32 array or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import InvalidBitstream
+
+    ent = pack_entropy(histograms)
+    out = np.zeros(max(count, 1), dtype=np.uint32)
+    data = br.data
+    bit_pos = ctypes.c_uint64(br.pos)
+    ret = lib.jxl_read_unsigned_run(
+        data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+        ctypes.c_int(ent["use_prefix"]),
+        _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
+        ctypes.c_int(ent["log_bucket"]),
+        _ptr(ent["huff_offsets"], ctypes.c_int32),
+        _ptr(ent["huff_bits"], ctypes.c_int32),
+        _ptr(ent["huff_values"], ctypes.c_int32),
+        _ptr(ent["context_map"], ctypes.c_uint8), ctypes.c_int(len(ent["context_map"])),
+        _ptr(ent["uint_configs"], ctypes.c_int32),
+        ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
+        ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
+        ctypes.c_int(ent["lz_dist_cluster"]), ctypes.c_uint32(dist_multiplier),
+        ctypes.c_int(ctx), ctypes.c_int(count), _ptr(out, ctypes.c_uint32),
+        ctypes.c_int(1 if check_final else 0),
+    )
+    if ret != 0:
+        raise InvalidBitstream(f"native unsigned-run decode failed (code {ret})")
+    br.pos = bit_pos.value
+    return out
 
 
 def decode_modular_native(buffers, stream_id, header, tree, br, image_width) -> bool:

@@ -402,6 +402,52 @@ constexpr int kNumNonrefProps = 16;
 
 extern "C" {
 
+// Decode `count` clustered unsigned values at a FIXED context (e.g. the
+// entropy-coded context map, ref entropy_coding/context_map.rs:43-76).
+// Returns 0 on success; 1 = entropy error; 2 = overrun.
+int jxl_read_unsigned_run(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos,
+    int use_prefix, const int32_t* ans_tables, int ans_table_size,
+    int ans_log_bucket, const int32_t* huff_offsets, const int32_t* huff_bits,
+    const int32_t* huff_values, const uint8_t* context_map, int num_contexts,
+    const int32_t* uint_configs, int lz77_enabled, uint32_t min_symbol,
+    uint32_t min_length, const int32_t* lz_config, int lz_dist_cluster,
+    uint32_t dist_multiplier, int ctx, int count, uint32_t* out_vals,
+    int check_final) {
+  BitReader br{data, size, *bit_pos};
+  EntropyDecoder dec;
+  dec.use_prefix = use_prefix != 0;
+  dec.ans = AnsTables{ans_tables, ans_table_size, ans_log_bucket,
+                      (1 << ans_log_bucket) - 1};
+  dec.huff = HuffTables{huff_offsets, huff_bits, huff_values};
+  dec.context_map = context_map;
+  dec.num_contexts = num_contexts;
+  std::vector<UintConfig> cfgs;
+  {
+    int n_clusters = 0;
+    for (int i = 0; i < num_contexts; i++)
+      if (context_map[i] + 1 > n_clusters) n_clusters = context_map[i] + 1;
+    cfgs.resize(n_clusters);
+    for (int i = 0; i < n_clusters; i++)
+      cfgs[i] = UintConfig{uint_configs[3 * i], uint_configs[3 * i + 1],
+                           uint_configs[3 * i + 2]};
+  }
+  dec.uint_configs = cfgs.data();
+  dec.lz77 = lz77_enabled != 0;
+  dec.min_symbol = min_symbol;
+  dec.min_length = min_length;
+  dec.dist_multiplier = dist_multiplier;
+  dec.lz_dist_cluster = lz_dist_cluster;
+  if (lz77_enabled)
+    dec.lz_len_config = UintConfig{lz_config[0], lz_config[1], lz_config[2]};
+  dec.Init(br);
+  for (int i = 0; i < count; i++) out_vals[i] = dec.ReadUnsigned(br, ctx);
+  *bit_pos = br.pos;
+  if (dec.error || br.Overrun()) return br.Overrun() ? 2 : 1;
+  if (check_final && !dec.CheckFinal(br)) return 1;
+  return 0;
+}
+
 // Returns 0 on success; 1 = entropy error; 2 = overrun.
 // Decodes all channels of one modular sub-bitstream.
 int jxl_decode_modular(
