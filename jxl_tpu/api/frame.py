@@ -387,8 +387,21 @@ class Frame:
         stay device-resident into the filter program."""
         if self.header.encoding != Encoding.VARDCT:
             return
-        rf = self.header.restoration_filter
-        if not (rf.gab or rf.epf_iters > 0):
+        h = self.header
+        rf = h.restoration_filter
+        has_filters = rf.gab or rf.epf_iters > 0
+        fully_fusable = (
+            not h.has_patches
+            and not h.has_splines
+            and not h.has_noise
+            and h.upsampling == 1
+            and h.frame_type != FrameType.REFERENCE_ONLY
+            and not (h.can_be_referenced and h.save_before_ct)
+            and h.lf_level == 0
+        )
+        # device planes must feed a device consumer: either the filter
+        # chain or (for filterless frames) the fused color transform
+        if not (has_filters or fully_fusable):
             return
         bw, bh = self.header.size_blocks()
         if bw * bh * 64 < 160_000:  # small frames stay on the host path
@@ -402,11 +415,20 @@ class Frame:
     def _finish_device_render(self) -> None:
         if not getattr(self, "_device_vardct", False):
             return
-        from ..vardct.device_frame import render_vardct_frame_device
+        if self.header.is444:
+            from ..vardct.device_frame import render_vardct_frame_device
 
-        self.vardct_pixels_dev = render_vardct_frame_device(
-            self, self.hf_global.hf_coefficients
-        )
+            self.vardct_pixels_dev = render_vardct_frame_device(
+                self, self.hf_global.hf_coefficients
+            )
+        else:
+            from ..vardct.device_frame import (
+                render_vardct_frame_device_subsampled,
+            )
+
+            self.vardct_pixels_dev = render_vardct_frame_device_subsampled(
+                self, self.hf_global.hf_coefficients
+            )
 
     def decode_all_sections(self, br: BitReader) -> None:
         header = self.header

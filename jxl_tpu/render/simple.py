@@ -119,20 +119,23 @@ def render_frame_channels_ex(
         info = meta.extra_channel_info[i]
         planes.append(_modular_to_f32(mg.output_channel(3 + i), info.bit_depth))
 
-    # chroma upsampling (420/422/440 VarDCT)
-    for c in range(3):
-        for _ in range(header.hshift(c)):
-            planes[c] = st.chroma_upsample_h(np, planes[c])
-        for _ in range(header.vshift(c)):
-            planes[c] = st.chroma_upsample_v(np, planes[c])
+    # chroma upsampling (420/422/440 VarDCT); device-rendered planes are
+    # already upsampled in-program
+    if getattr(frame, "vardct_pixels_dev", None) is None:
+        for c in range(3):
+            for _ in range(header.hshift(c)):
+                planes[c] = st.chroma_upsample_h(np, planes[c])
+            for _ in range(header.vshift(c)):
+                planes[c] = st.chroma_upsample_v(np, planes[c])
 
     rf = header.restoration_filter
     color_done = False
     converted = False
     wu_f, hu_f = header.size_upsampled()
+    dev_planes = getattr(frame, "vardct_pixels_dev", None) is not None
     can_fuse = (
         fuse
-        and (rf.gab or rf.epf_iters > 0)
+        and (rf.gab or rf.epf_iters > 0 or dev_planes)
         and not header.has_patches
         and not header.has_splines
         and not header.has_noise
@@ -143,8 +146,8 @@ def render_frame_channels_ex(
     )
     # frames below ~0.16 MP aren't worth a device round trip: the host
     # numpy stage path beats dispatch+transfer latency (animation frames)
-    small_frame = planes[0].size < 160_000
-    if rf.gab or rf.epf_iters > 0:
+    small_frame = planes[0].size < 160_000 and not dev_planes
+    if rf.gab or rf.epf_iters > 0 or (can_fuse and dev_planes):
         if rf.epf_iters > 0 and header.encoding == Encoding.VARDCT:
             sigma_block = st.compute_sigma_image(frame)
             const_sigma = None

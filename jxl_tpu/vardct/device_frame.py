@@ -33,8 +33,9 @@ COLOR_TILE_DIM_IN_BLOCKS = 8
 
 
 def eligible(frame) -> bool:
-    """Gate: 4:4:4 frames (chroma-subsampled layouts keep the host path)."""
-    if frame.hf_meta is None or not frame.header.is444:
+    """Any VarDCT frame with placed transforms (non-444 frames only carry
+    1x1-coverage transforms per the spec's big-blocks-are-444-only rule)."""
+    if frame.hf_meta is None:
         return False
     tmap = frame.hf_meta["transform"]
     return bool((tmap >= 128).any())
@@ -243,3 +244,210 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
         idx_args,
     )
     return out
+
+
+# -- chroma-subsampled frames (ref: big blocks are 444-only, so all
+# -- transforms here cover exactly one 8x8 block) ---------------------------
+
+_SUB_CACHE: dict = {}
+
+
+def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
+    """Device render for non-444 frames: per-channel aligned-block
+    selection, per-channel planes, and in-program chroma upsampling so the
+    output is full-resolution (3, bh*8, bw*8) like the 444 path."""
+    from ..render.stages import core as st
+
+    header = frame.header
+    hf = frame.hf_meta
+    lf_global = frame.lf_global
+    ccp = lf_global.color_correlation_params
+    qp = lf_global.quant_params
+    dqm = frame.hf_global.dequant_matrices
+    biases = np.asarray(
+        frame.file_header.transform_data.opsin_inverse_matrix.quant_biases,
+        dtype=np.float32,
+    )
+    x_dm = np.float32((1.0 / 1.25) ** (header.x_qm_scale - 2.0))
+    b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
+    bw, bh = header.size_blocks()
+    hs = [header.hshift(c) for c in range(3)]
+    vs = [header.vshift(c) for c in range(3)]
+
+    blocks, group_ids = _frame_blocks(frame, coeffs_by_group)
+    tids = tuple(sorted(blocks))
+    for t in tids:
+        assert covered_blocks_x(t) == 1 and covered_blocks_y(t) == 1, t
+
+    # per-(tid, channel) aligned-block selections + padded bucket sizes
+    sel_arrays = {}
+    pads = []
+    for t in tids:
+        gbx, gby, gi, off = blocks[t]
+        per_c = []
+        for c in range(3):
+            m = (((gbx >> hs[c]) << hs[c]) == gbx) & (
+                ((gby >> vs[c]) << vs[c]) == gby
+            )
+            per_c.append((gbx[m], gby[m], gi[m], off[m]))
+        sel_arrays[t] = per_c
+        pads.append(
+            tuple(
+                1 << max(4, int(np.ceil(np.log2(max(len(a[0]), 1)))))
+                for a in per_c
+            )
+        )
+    pads = tuple(pads)
+
+    ncs = {t: BLOCK_SIZE for t in tids}
+    mats = {
+        t: np.stack(
+            [np.asarray(dqm.matrix(t, c)[:BLOCK_SIZE], np.float32) for c in range(3)]
+        )
+        for t in tids
+    }
+    key = (
+        "sub",
+        tids,
+        pads,
+        bw,
+        bh,
+        tuple(hs),
+        tuple(vs),
+        float(qp.inv_global_scale),
+        float(x_dm),
+        float(b_dm),
+        float(ccp.base_correlation_x),
+        float(ccp.base_correlation_b),
+        float(ccp.color_factor),
+        tuple(float(b) for b in biases),
+        tuple(tuple(map(float, mats[t].ravel()[:8])) for t in tids),
+    )
+    fn = _SUB_CACHE.get(key)
+    if fn is None:
+        igs = np.float32(qp.inv_global_scale)
+        cf = np.float32(ccp.color_factor)
+        bcx = np.float32(ccp.base_correlation_x)
+        bcb = np.float32(ccp.base_correlation_b)
+        mats_c = {t: jnp.asarray(mats[t]) for t in tids}
+        b_c = jnp.asarray(biases)
+        W = bw * BLOCK_DIM
+        H = bh * BLOCK_DIM
+        plane_dims = [((H >> vs[c]), (W >> hs[c])) for c in range(3)]
+
+        def dequant_channel(flat, rq, ytox, ytob, t, c, gbx, gby, gi, off):
+            stride_g = 3 * GROUP_DIM * GROUP_DIM
+            stride_c = GROUP_DIM * GROUP_DIM
+            lanes = jnp.arange(BLOCK_SIZE, dtype=jnp.int32)
+
+            def gather(ch):
+                gidx = (
+                    gi.astype(jnp.int32) * stride_g
+                    + ch * stride_c
+                    + off.astype(jnp.int32)
+                )[:, None] + lanes[None, :]
+                return jnp.take(flat, gidx.reshape(-1), mode="clip").reshape(
+                    gbx.shape[0], BLOCK_SIZE
+                )
+
+            def adj_of(qb):
+                q = qb.astype(jnp.float32)
+                a = jnp.where(
+                    jnp.abs(qb) < 2,
+                    q * b_c[c][None, None],
+                    q - b_c[3] / jnp.where(qb == 0, 1.0, q),
+                )
+                return jnp.where(qb == 0, 0.0, a)
+
+            rq_b = rq[gby, gbx].astype(jnp.float32)
+            scaled_y = igs / rq_b
+            dm = {0: x_dm, 1: np.float32(1.0), 2: b_dm}[c]
+            qb_c = gather(c)
+            dq_c = adj_of(qb_c) * mats_c[t][c][None] * (scaled_y * dm)[:, None]
+            if c != 1:
+                # CfL adds the y-channel dequant of the same block
+                qb_y = gather(1)
+                qy = qb_y.astype(jnp.float32)
+                adj_y = jnp.where(
+                    jnp.abs(qb_y) < 2,
+                    qy * b_c[1][None, None],
+                    qy - b_c[3] / jnp.where(qb_y == 0, 1.0, qy),
+                )
+                adj_y = jnp.where(qb_y == 0, 0.0, adj_y)
+                dq_y = adj_y * mats_c[t][1][None] * scaled_y[:, None]
+                tx = gbx // COLOR_TILE_DIM_IN_BLOCKS
+                ty = gby // COLOR_TILE_DIM_IN_BLOCKS
+                cc = (
+                    (bcx + ytox[ty, tx].astype(jnp.float32) / cf)
+                    if c == 0
+                    else (bcb + ytob[ty, tx].astype(jnp.float32) / cf)
+                )
+                dq_c = dq_c + cc[:, None] * dq_y
+            return dq_c
+
+        def program(coeffs, lf, rq, ytox, ytob, idx_args):
+            flat = coeffs.reshape(-1)
+            lf_flat = lf.reshape(3, -1)
+            chans = []
+            for c in range(3):
+                hc, wc = plane_dims[c]
+                plane = jnp.zeros(hc * wc, jnp.float32)
+                for ti, t in enumerate(tids):
+                    gbx, gby, gi, off = idx_args[ti][c]
+                    dq = dequant_channel(flat, rq, ytox, ytob, t, c, gbx, gby, gi, off)
+                    cbx = gbx >> hs[c]
+                    cby = gby >> vs[c]
+                    lf_idx = cby * bw + cbx
+                    lf_tiles = jnp.take(lf_flat[c], lf_idx, mode="clip")
+                    pix = transform_to_pixels_batch(
+                        jnp, t, lf_tiles[:, None, None], dq
+                    )
+                    py = jnp.arange(BLOCK_DIM, dtype=jnp.int32)
+                    px = jnp.arange(BLOCK_DIM, dtype=jnp.int32)
+                    rows = cby[:, None, None] * BLOCK_DIM + py[None, :, None]
+                    cols = cbx[:, None, None] * BLOCK_DIM + px[None, None, :]
+                    pidx = jnp.where(
+                        (rows < hc) & (cols < wc), rows * wc + cols, -1
+                    ).reshape(-1)
+                    plane = plane.at[pidx].set(pix.reshape(-1), mode="drop")
+                ch = plane.reshape(hc, wc)
+                for _ in range(hs[c]):
+                    ch = st.chroma_upsample_h(jnp, ch)
+                for _ in range(vs[c]):
+                    ch = st.chroma_upsample_v(jnp, ch)
+                chans.append(ch[:H, :W])
+            return jnp.stack(chans)
+
+        fn = jax.jit(program)
+        _SUB_CACHE[key] = fn
+
+    idx_args = []
+    for ti, t in enumerate(tids):
+        per_c = []
+        for c in range(3):
+            gbx, gby, gi, off = sel_arrays[t][c]
+            p = pads[ti][c]
+            n = len(gbx)
+            if p > n:
+                fillx = gbx[0] if n else 0
+                filly = gby[0] if n else 0
+                gbx = np.concatenate([gbx, np.full(p - n, fillx, np.int32)])
+                gby = np.concatenate([gby, np.full(p - n, filly, np.int32)])
+                gi = np.concatenate([gi, np.full(p - n, gi[0] if n else 0, np.int32)])
+                off = np.concatenate([off, np.full(p - n, off[0] if n else 0, np.int32)])
+            per_c.append(
+                (jnp.asarray(gbx), jnp.asarray(gby), jnp.asarray(gi), jnp.asarray(off))
+            )
+        idx_args.append(tuple(per_c))
+
+    coeffs = np.stack([coeffs_by_group[g] for g in group_ids]).astype(np.int32)
+    th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
+    tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
+    return fn(
+        jnp.asarray(coeffs),
+        jnp.asarray(np.stack(frame.lf_image)),
+        jnp.asarray(hf["raw_quant"].astype(np.int32)),
+        jnp.asarray(hf["ytox"][:th, :tw]),
+        jnp.asarray(hf["ytob"][:th, :tw]),
+        tuple(idx_args),
+    )
