@@ -80,7 +80,12 @@ def run_one(path: pathlib.Path) -> dict:
             )
     if path.name in EXPECT_FAIL:
         rec["expected_failure"] = True
-        rec["success"] = not rec["success"]  # failing is the pass condition
+        rec["raw_success"] = rec["success"]
+        # pass = rejected with a *typed* error (ref expects Error::InvalidBox,
+        # not an arbitrary crash)
+        rec["success"] = (not rec["raw_success"]) and not rec.get(
+            "error", ""
+        ).startswith("CRASH")
     return rec
 
 

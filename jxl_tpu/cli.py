@@ -274,7 +274,18 @@ def main(argv=None) -> int:
     profile_cm = trace.device_trace(args.profile_dir) if args.profile_dir else None
     if profile_cm is not None:
         profile_cm.__enter__()
+    try:
+        return _dispatch(args, data)
+    finally:
+        # every exit path (--info/--speedtest/--preview/... or an exception)
+        # must finalize the profiler trace and print timings
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
+        if args.print_timings:
+            print(trace.report())
 
+
+def _dispatch(args, data):
     if args.info:
         return cmd_info(data)
 
@@ -372,10 +383,6 @@ def main(argv=None) -> int:
         for i, fr in enumerate(img.frames):
             writer(str(base.with_stem(base.stem + f"_{i:03d}")), fr)
     print(f"wrote {args.output}")
-    if profile_cm is not None:
-        profile_cm.__exit__(None, None, None)
-    if args.print_timings:
-        print(trace.report())
     return 0
 
 

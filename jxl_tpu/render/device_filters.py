@@ -195,6 +195,13 @@ def run_filters_and_color(
     # seconds): mirror-pad the filter halo, edge-pad the slack, crop after
     hp = -(-h // 128) * 128
     wp = -(-w // 128) * 128
+    # the mirror halo below must cover the full 7-pixel filter support; if
+    # the bucket leaves < 8 pixels of slack, bump it one bucket up so the
+    # edge behavior matches the oracle's mirror-at-image-edge
+    if 0 < hp - h < 8:
+        hp += 128
+    if 0 < wp - w < 8:
+        wp += 128
     on_device = isinstance(planes3[0], jax.Array)
     xp = jnp if on_device else np
     stacked = xp.stack(planes3)

@@ -17,6 +17,7 @@ keep the host path.
 from __future__ import annotations
 
 import functools
+import hashlib
 
 import numpy as np
 
@@ -128,7 +129,7 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
         float(ccp.base_correlation_b),
         float(ccp.color_factor),
         tuple(float(b) for b in biases),
-        tuple(tuple(map(float, mats[t].ravel()[:8])) for t in tids),  # matrix fingerprint
+        tuple(hashlib.sha1(mats[t].tobytes()).hexdigest() for t in tids),
     )
     fn = _CACHE.get(key)
     if fn is None:
@@ -321,7 +322,7 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
         float(ccp.base_correlation_b),
         float(ccp.color_factor),
         tuple(float(b) for b in biases),
-        tuple(tuple(map(float, mats[t].ravel()[:8])) for t in tids),
+        tuple(hashlib.sha1(mats[t].tobytes()).hexdigest() for t in tids),
     )
     fn = _SUB_CACHE.get(key)
     if fn is None:

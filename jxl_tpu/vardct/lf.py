@@ -245,7 +245,8 @@ def upsample_lf_group(frame, group: int, pixels: list) -> None:
             continue
 
         def mirror(idx, n):
-            idx = np.abs(idx)
+            # edge-duplicating mirror (ref util/mirror.rs): -1 -> 0, -2 -> 1
+            idx = np.where(idx < 0, -idx - 1, idx)
             idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
             return np.clip(idx, 0, n - 1)
 
