@@ -51,6 +51,7 @@ def get_lib():
         lib.jxl_decode_modular.restype = ctypes.c_int
         lib.jxl_read_unsigned_run.restype = ctypes.c_int
         lib.jxl_decode_vardct_ac.restype = ctypes.c_int
+        lib.jxl_place_transforms.restype = ctypes.c_int
         _lib = lib
     return _lib
 

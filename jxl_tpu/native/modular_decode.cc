@@ -842,6 +842,48 @@ int jxl_decode_vardct_ac(
   return 0;
 }
 
+// Place VarDCT transforms into the block maps (ref modular/mod.rs:1028-1080):
+// raster scan over the LF-group rect, claiming cy x cx rects per entry and
+// skipping already-covered cells. Returns 0 ok; 4 = count mismatch;
+// 5 = invalid transform; 6 = big block with subsampling; 7 = out of bounds.
+int jxl_place_transforms(
+    const int32_t* raw_transforms, const int32_t* raw_quants, int count,
+    uint8_t* tmap, int32_t* rqmap, int64_t stride, int w, int h, int ox,
+    int oy, int is444, const int32_t* cbx, const int32_t* cby,
+    int num_transform_types) {
+  int num = 0;
+  for (int y = 0; y < h; y++) {
+    uint8_t* trow = tmap + (int64_t)(oy + y) * stride + ox;
+    for (int x = 0; x < w; x++) {
+      if (trow[x] != num_transform_types) continue;  // INVALID marker
+      if (num >= count) return 4;
+      int raw_transform = raw_transforms[num];
+      int rq = raw_quants[num];
+      int raw_quant = 1 + (rq < 0 ? 0 : (rq > 255 ? 255 : rq));
+      if (raw_transform < 0 || raw_transform >= num_transform_types) return 5;
+      int cx = cbx[raw_transform];
+      int cyv = cby[raw_transform];
+      if ((cx > 1 || cyv > 1) && !is444) return 6;
+      int next_gx = (x / 32 + 1) * 32;
+      int next_gy = (y / 32 + 1) * 32;
+      if (x + cx > (w < next_gx ? w : next_gx) ||
+          y + cyv > (h < next_gy ? h : next_gy))
+        return 7;
+      num++;
+      for (int iy = 0; iy < cyv; iy++) {
+        uint8_t* t2 = tmap + (int64_t)(oy + y + iy) * stride + ox + x;
+        int32_t* q2 = rqmap + (int64_t)(oy + y + iy) * stride + ox + x;
+        for (int ix = 0; ix < cx; ix++) {
+          t2[ix] = (uint8_t)raw_transform;
+          q2[ix] = raw_quant;
+        }
+      }
+      trow[x] = (uint8_t)(raw_transform | 128);
+    }
+  }
+  return 0;
+}
+
 // -------------------------------------------------------------- unsqueeze
 
 static inline int64_t SmoothTendency(int64_t b, int64_t a, int64_t n) {

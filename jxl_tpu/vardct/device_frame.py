@@ -85,6 +85,35 @@ def _frame_blocks(frame, coeffs_by_group: dict):
 # program cache: key = static frame config + per-tid counts
 _CACHE: dict = {}
 
+_GROUP_STRIDE = 3 * GROUP_DIM * GROUP_DIM
+
+
+def _sparse_coeffs(coeffs_by_group: dict, group_ids: list):
+    """COO-pack the per-group coefficient buffers (mostly zeros) so the
+    host->device wire carries ~8 bytes per nonzero instead of the dense
+    (G, 3, 64k) int32 block — the tunnel upload is the dominant cost of
+    the device render dispatch. Padding indices point one past the end;
+    the device scatter drops them."""
+    idx_parts, val_parts = [], []
+    for i, g in enumerate(group_ids):
+        flat = coeffs_by_group[g].reshape(-1)
+        nz = np.flatnonzero(flat).astype(np.int32)
+        idx_parts.append(nz + np.int32(i * _GROUP_STRIDE))
+        val_parts.append(flat[nz])
+    total = len(group_ids) * _GROUP_STRIDE
+    idx = (
+        np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
+    )
+    vals = (
+        np.concatenate(val_parts) if val_parts else np.zeros(0, np.int32)
+    )
+    n = len(idx)
+    bucket = 1 << max(10, (max(n, 1) - 1).bit_length())
+    if bucket > n:
+        idx = np.concatenate([idx, np.full(bucket - n, total, np.int32)])
+        vals = np.concatenate([vals, np.zeros(bucket - n, np.int32)])
+    return idx, vals.astype(np.int32), total, bucket
+
 
 def render_vardct_frame_device(frame, coeffs_by_group: dict):
     """Returns device planes (3, bh*8, bw*8) f32 (jax arrays, no download)."""
@@ -103,6 +132,7 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
     bw, bh = header.size_blocks()
 
     blocks, group_ids = _frame_blocks(frame, coeffs_by_group)
+    nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(coeffs_by_group, group_ids)
     tids = tuple(sorted(blocks))
     counts = tuple(len(blocks[t][0]) for t in tids)
     # pad per-tid counts to power-of-two buckets for compile reuse
@@ -120,6 +150,8 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
     key = (
         tids,
         pads,
+        nz_bucket,
+        len(group_ids),
         bw,
         bh,
         float(qp.inv_global_scale),
@@ -142,15 +174,18 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
 
         W = bw * BLOCK_DIM
 
-        def program(coeffs, lf, rq, ytox, ytob, idx_args):
-            # TPU matmuls default to bf16 inputs; the IDCT einsums need f32
-            return _program_impl(coeffs, lf, rq, ytox, ytob, idx_args)
+        total_c = total
 
-        def _program_impl(coeffs, lf, rq, ytox, ytob, idx_args):
-            # coeffs: (G, 3, GROUP_DIM*GROUP_DIM) i32; lf: (3, bh, bw) f32;
-            # rq: (bh, bw) i32; ytox/ytob: (th, tw) i8
+        def program(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
+            # TPU matmuls default to bf16 inputs; the IDCT einsums need f32
+            return _program_impl(nz_i, nz_v, lf, rq, ytox, ytob, idx_args)
+
+        def _program_impl(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
+            # nz_i/nz_v: COO coefficients (padding scatters to the sentinel
+            # slot past the end); lf: (3, bh, bw) f32; rq: (bh, bw) i32;
+            # ytox/ytob: (th, tw) i8
             planes = jnp.zeros((3, bh * BLOCK_DIM * W), jnp.float32)
-            flat = coeffs.reshape(-1)
+            flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
             lf_flat = lf.reshape(3, -1)
             stride_g = 3 * GROUP_DIM * GROUP_DIM
             stride_c = GROUP_DIM * GROUP_DIM
@@ -233,11 +268,11 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
             (jnp.asarray(gbx), jnp.asarray(gby), jnp.asarray(gi), jnp.asarray(off))
         )
 
-    coeffs = np.stack([coeffs_by_group[g] for g in group_ids]).astype(np.int32)
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
     out = fn(
-        jnp.asarray(coeffs),
+        jnp.asarray(nz_idx),
+        jnp.asarray(nz_vals),
         jnp.asarray(np.stack(frame.lf_image)),
         jnp.asarray(hf["raw_quant"].astype(np.int32)),
         jnp.asarray(hf["ytox"][:th, :tw]),
@@ -276,6 +311,7 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
     vs = [header.vshift(c) for c in range(3)]
 
     blocks, group_ids = _frame_blocks(frame, coeffs_by_group)
+    nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(coeffs_by_group, group_ids)
     tids = tuple(sorted(blocks))
     for t in tids:
         assert covered_blocks_x(t) == 1 and covered_blocks_y(t) == 1, t
@@ -311,6 +347,8 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
         "sub",
         tids,
         pads,
+        nz_bucket,
+        len(group_ids),
         bw,
         bh,
         tuple(hs),
@@ -386,8 +424,10 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
                 dq_c = dq_c + cc[:, None] * dq_y
             return dq_c
 
-        def program(coeffs, lf, rq, ytox, ytob, idx_args):
-            flat = coeffs.reshape(-1)
+        total_c = total
+
+        def program(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
+            flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
             lf_flat = lf.reshape(3, -1)
             chans = []
             for c in range(3):
@@ -441,11 +481,11 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
             )
         idx_args.append(tuple(per_c))
 
-    coeffs = np.stack([coeffs_by_group[g] for g in group_ids]).astype(np.int32)
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
     return fn(
-        jnp.asarray(coeffs),
+        jnp.asarray(nz_idx),
+        jnp.asarray(nz_vals),
         jnp.asarray(np.stack(frame.lf_image)),
         jnp.asarray(hf["raw_quant"].astype(np.int32)),
         jnp.asarray(hf["ytox"][:th, :tw]),

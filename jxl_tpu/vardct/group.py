@@ -66,8 +66,17 @@ def adjust_quant_bias(quant: np.ndarray, c: int, biases) -> np.ndarray:
     )
 
 
+_CBX_ARR = np.array([covered_blocks_x(t) for t in range(27)], dtype=np.int32)
+_CBY_ARR = np.array([covered_blocks_y(t) for t in range(27)], dtype=np.int32)
+_SHAPE_ARR = np.array([block_shape_id(t) for t in range(27)], dtype=np.int32)
+
+
 class _BlockList:
-    """Geometry of all transform blocks in a group, precomputed once."""
+    """Geometry of all transform blocks in a group, precomputed once.
+
+    Vectorized over the group's transform map: per-block arrays (raster
+    order, matching the reference's by/bx scan in frame/group.rs:418).
+    """
 
     def __init__(self, frame, group):
         header = frame.header
@@ -75,23 +84,32 @@ class _BlockList:
         (gx0, gy0), (gw, gh) = header.block_group_rect(group)
         self.origin = (gx0, gy0)
         self.size = (gw, gh)
-        hshift = [header.hshift(c) for c in range(3)]
-        vshift = [header.vshift(c) for c in range(3)]
-        self.hshift, self.vshift = hshift, vshift
-        tmap = hf["transform"]
-        self.blocks = []  # (bx, by, tid, cx, cy, shape_id, coeffs_offset)
-        coeffs_offset = 0
-        for by in range(gh):
-            for bx in range(gw):
-                raw = int(tmap[gy0 + by, gx0 + bx])
-                if raw < 128:
-                    continue
-                tid = raw & 127
-                cx, cy = covered_blocks_x(tid), covered_blocks_y(tid)
-                self.blocks.append(
-                    (bx, by, tid, cx, cy, block_shape_id(tid), coeffs_offset)
-                )
-                coeffs_offset += cx * cy * BLOCK_SIZE
+        self.hshift = [header.hshift(c) for c in range(3)]
+        self.vshift = [header.vshift(c) for c in range(3)]
+        region = np.asarray(hf["transform"][gy0 : gy0 + gh, gx0 : gx0 + gw])
+        bys, bxs = np.nonzero(region >= 128)
+        self.bys = bys.astype(np.int32)
+        self.bxs = bxs.astype(np.int32)
+        self.tids = (region[bys, bxs] & 127).astype(np.int32)
+        self.cxs = _CBX_ARR[self.tids]
+        self.cys = _CBY_ARR[self.tids]
+        self.shape_ids = _SHAPE_ARR[self.tids]
+        sizes = self.cxs * self.cys * BLOCK_SIZE
+        self.offs = np.zeros(len(sizes), dtype=np.int32)
+        if len(sizes) > 1:
+            np.cumsum(sizes[:-1], out=self.offs[1:])
+        self._pass_cache = {}
+
+    @property
+    def blocks(self):
+        """(bx, by, tid, cx, cy, shape_id, coeffs_offset) tuples (oracle path)."""
+        return list(
+            zip(
+                self.bxs.tolist(), self.bys.tolist(), self.tids.tolist(),
+                self.cxs.tolist(), self.cys.tolist(), self.shape_ids.tolist(),
+                self.offs.tolist(),
+            )
+        )
 
 
 def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = True) -> None:
@@ -151,45 +169,98 @@ def _block_contexts(frame, bl, bctx, bx, by, tid, shape_id):
     return rq, qlf
 
 
-def _decode_pass_native(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx, native):
-    header = frame.header
+def _build_pass_items(frame, bl, bctx):
+    """Pass-independent item table for the native AC decoder, vectorized.
+
+    Rows interleave channels (1, 0, 2) per block in raster order, matching
+    the bitstream token order (ref frame/group.rs:418-446). Column 6
+    (ctx_off) is filled per pass; column 7 holds an index into the ordered
+    (shape_id, c) key list, rewritten to a byte offset once the pass's
+    concatenated coeff orders are known.
+    """
+    hshift, vshift = bl.hshift, bl.vshift
     (gx0, gy0) = bl.origin
+    hf = frame.hf_meta
+    n = len(bl.tids)
+    rq = np.asarray(hf["raw_quant"])[gy0 + bl.bys, gx0 + bl.bxs].astype(np.int64)
+    qlf = np.asarray(hf["quant_lf"])[gy0 + bl.bys, gx0 + bl.bxs].astype(np.int64)
+    if bctx.qf_thresholds:
+        thr = np.asarray(bctx.qf_thresholds, dtype=np.int64)
+        qf_idx = (rq[:, None] > thr[None, :]).sum(axis=1)
+    else:
+        qf_idx = np.zeros(n, dtype=np.int64)
+    cmap = np.asarray(bctx.context_map, dtype=np.int32)
+    nq1 = len(bctx.qf_thresholds) + 1
+    num_blocks = bl.cxs * bl.cys
+    num_coeffs = num_blocks * BLOCK_SIZE
+
+    cols = np.zeros((n, 3, 11), dtype=np.int32)
+    valid = np.zeros((n, 3), dtype=bool)
+    keys = np.zeros((n, 3), dtype=np.int32)
+    for j, c in enumerate((1, 0, 2)):
+        hs, vs = hshift[c], vshift[c]
+        sbx = bl.bxs >> hs
+        sby = bl.bys >> vs
+        valid[:, j] = ((sbx << hs) == bl.bxs) & ((sby << vs) == bl.bys)
+        cidx = (c ^ 1) if c < 2 else 2
+        midx = (cidx * 13 + bl.shape_ids.astype(np.int64)) * nq1 + qf_idx
+        midx = midx * bctx.num_lf_contexts + qlf
+        block_context = cmap[midx]
+        keys[:, j] = bl.shape_ids * 3 + c
+        cols[:, j, 0] = c
+        cols[:, j, 1] = sbx
+        cols[:, j, 2] = sby
+        cols[:, j, 3] = num_blocks
+        cols[:, j, 4] = num_coeffs
+        cols[:, j, 5] = block_context
+        cols[:, j, 8] = c * GROUP_DIM * GROUP_DIM + bl.offs
+        cols[:, j, 9] = bl.cxs
+        cols[:, j, 10] = bl.cys
+    vmask = valid.reshape(-1)
+    items = cols.reshape(-1, 11)[vmask]
+    flat_keys = keys.reshape(-1)[vmask]
+    # (shape_id, c) keys in first-occurrence order; order lengths are fixed
+    # per shape so the concatenated-offset layout is identical across passes
+    _, first = np.unique(flat_keys, return_index=True)
+    ordered_keys = flat_keys[np.sort(first)]
+    return items, flat_keys, ordered_keys.tolist()
+
+
+def _decode_pass_native(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx, native):
     (gw, gh) = bl.size
     hshift, vshift = bl.hshift, bl.vshift
-    hf = frame.hf_meta
 
-    # concatenated per-(shape,channel) orders used by this pass
-    order_keys = {}
-    order_parts = []
-    order_pos = 0
-    items = []
-    for (bx, by, tid, cx, cy, shape_id, off) in bl.blocks:
-        rq, qlf = _block_contexts(frame, bl, bctx, bx, by, tid, shape_id)
-        num_blocks = cx * cy
-        num_coeffs = num_blocks * BLOCK_SIZE
-        sbx = [bx >> hshift[c] for c in range(3)]
-        sby = [by >> vshift[c] for c in range(3)]
-        for c in (1, 0, 2):
-            if (sbx[c] << hshift[c]) != bx or (sby[c] << vshift[c]) != by:
-                continue
-            key = (shape_id, c)
-            if key not in order_keys:
-                order = pstate.coeff_orders[shape_id * 3 + c]
-                order_keys[key] = order_pos
-                order_parts.append(np.array(order, dtype=np.int32))
-                order_pos += len(order)
-            block_context = bctx.block_context(qlf, rq, shape_id, c)
-            items.append(
-                (
-                    c, sbx[c], sby[c], num_blocks, num_coeffs, block_context,
-                    ctx_off, order_keys[key], c * GROUP_DIM * GROUP_DIM + off,
-                    cx, cy,
-                )
-            )
-    items_arr = np.array(items, dtype=np.int32).reshape(-1, 11)
-    orders_arr = (
-        np.concatenate(order_parts) if order_parts else np.zeros(1, dtype=np.int32)
-    )
+    cached = bl._pass_cache.get("items")
+    if cached is None:
+        cached = _build_pass_items(frame, bl, bctx)
+        bl._pass_cache["items"] = cached
+    items_base, flat_keys, ordered_keys = cached
+
+    # per-pass: concatenated coeff orders for the keys, in key order
+    pkey = id(pstate)
+    pc = bl._pass_cache.get(pkey)
+    if pc is None:
+        order_parts = []
+        offsets = {}
+        pos = 0
+        for k in ordered_keys:
+            order = np.asarray(pstate.coeff_orders[k], dtype=np.int32)
+            offsets[k] = pos
+            order_parts.append(order)
+            pos += len(order)
+        orders_arr = (
+            np.concatenate(order_parts) if order_parts else np.zeros(1, np.int32)
+        )
+        off_lut = np.zeros(max(ordered_keys, default=0) + 1, dtype=np.int32)
+        for k, v in offsets.items():
+            off_lut[k] = v
+        pc = (orders_arr, off_lut)
+        bl._pass_cache[pkey] = pc
+    orders_arr, off_lut = pc
+
+    items_arr = items_base.copy()
+    items_arr[:, 6] = ctx_off
+    items_arr[:, 7] = off_lut[flat_keys]
 
     nz_dims = np.zeros((3, 3), dtype=np.int32)
     off = 0
@@ -305,19 +376,16 @@ def _render_group(frame, group, bl, coeffs):
 
     from .transforms_batch import transform_to_pixels_batch
 
-    # bucket blocks by transform type
-    by_tid: dict[int, list] = {}
-    for blk in bl.blocks:
-        by_tid.setdefault(blk[2], []).append(blk)
-
-    for tid, blks in by_tid.items():
+    # bucket blocks by transform type (vectorized over the block arrays)
+    for tid in np.unique(bl.tids).tolist():
+        m = bl.tids == tid
         cx = covered_blocks_x(tid)
         cy = covered_blocks_y(tid)
         num_coeffs = cx * cy * BLOCK_SIZE
-        n = len(blks)
-        bxs = np.array([b[0] for b in blks])
-        bys = np.array([b[1] for b in blks])
-        offs = np.array([b[6] for b in blks])
+        n = int(m.sum())
+        bxs = bl.bxs[m]
+        bys = bl.bys[m]
+        offs = bl.offs[m]
         gbx = bxs + gx0
         gby = bys + gy0
         tx = gbx // COLOR_TILE_DIM_IN_BLOCKS

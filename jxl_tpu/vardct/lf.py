@@ -158,6 +158,46 @@ def decode_hf_metadata(frame, group: int, br: BitReader) -> None:
 
     tmap = hf["transform"]
     rqmap = hf["raw_quant"]
+    _place_transforms(
+        frame, tmap, rqmap, transform_image, count, ox, oy, w, h, header
+    )
+
+
+_PLACE_ERRORS = {
+    4: "invalid VarDCT transform map",
+    5: "invalid transform",
+    6: "big block with chroma subsampling",
+    7: "HF block out of bounds",
+}
+
+
+def _place_transforms(frame, tmap, rqmap, transform_image, count, ox, oy, w, h, header):
+    from .. import native
+    from .transform_map import _CBX, _CBY
+
+    lib = native.get_lib() if native.available() else None
+    if lib is not None:
+        import ctypes
+
+        raw_t = np.ascontiguousarray(transform_image[0], dtype=np.int32)
+        raw_q = np.ascontiguousarray(transform_image[1], dtype=np.int32)
+        cbx = np.asarray(_CBX, dtype=np.int32)
+        cby = np.asarray(_CBY, dtype=np.int32)
+        ret = lib.jxl_place_transforms(
+            native._ptr(raw_t, ctypes.c_int32), native._ptr(raw_q, ctypes.c_int32),
+            ctypes.c_int(count),
+            tmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rqmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(tmap.shape[1]), ctypes.c_int(w), ctypes.c_int(h),
+            ctypes.c_int(ox), ctypes.c_int(oy),
+            ctypes.c_int(1 if header.is444 else 0),
+            native._ptr(cbx, ctypes.c_int32), native._ptr(cby, ctypes.c_int32),
+            ctypes.c_int(INVALID_TRANSFORM),
+        )
+        if ret != 0:
+            raise InvalidBitstream(_PLACE_ERRORS.get(ret, f"transform placement failed ({ret})"))
+        return
+
     num = 0
     raw_transforms = transform_image[0].tolist()
     raw_quants = transform_image[1].tolist()
