@@ -13,20 +13,31 @@ the architecture is host-planner + pure device programs per frame shape.
 __version__ = "0.1.0"
 
 
+_jit_cache_enabled = False
+
+
 def enable_persistent_jit_cache(path: str | None = None) -> None:
     """Persist compiled XLA executables across processes. Remote TPU
     compiles cost tens of seconds per (config, shape-bucket); the disk
-    cache removes that for repeat CLI/bench invocations."""
+    cache removes that for repeat CLI/bench invocations. Called
+    automatically at every API entry point; set JXL_TPU_JIT_CACHE=off to
+    disable."""
+    global _jit_cache_enabled
+    if _jit_cache_enabled:
+        return
     import os
 
     import jax
 
-    cache = path or os.environ.get(
-        "JXL_TPU_JIT_CACHE", os.path.expanduser("~/.cache/jxl_tpu_jit")
-    )
+    env = os.environ.get("JXL_TPU_JIT_CACHE", "")
+    if env == "off":
+        _jit_cache_enabled = True
+        return
+    cache = path or env or os.path.expanduser("~/.cache/jxl_tpu_jit")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jit_cache_enabled = True
 
 GROUP_DIM = 256        # pixels per (HF) group side; ref: jxl/src/lib.rs:24
 LF_GROUP_DIM = 2048    # pixels per LF group side (GROUP_DIM * 8)

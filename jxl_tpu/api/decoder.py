@@ -304,6 +304,9 @@ class JxlDecoder:
     COMPLETE; rendered frames accumulate in `frames`."""
 
     def __init__(self, options: JxlDecoderOptions | None = None):
+        from .. import enable_persistent_jit_cache
+
+        enable_persistent_jit_cache()
         self.options = options or JxlDecoderOptions()
         self.boxes = _BoxParser()
         self.stage = "file_header"

@@ -86,6 +86,9 @@ def decode_image(
 
     pixel_format: "f32" (default), "u8", "u16", or "f16" — the output sample
     format (ref JxlDataFormat + ConvertF32To* stages, convert.rs:549-)."""
+    from .. import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     from ..render.simple import (
         apply_orientation,
         blend_and_extend,
