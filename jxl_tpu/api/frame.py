@@ -94,6 +94,14 @@ class LfGlobalState:
     noise: object = None
 
 
+def _device_ac_profitable(header) -> bool:
+    """Heuristic for JXL_TPU_AC=auto: the lane-lockstep device decoder
+    amortizes its per-token step cost over the number of concurrently
+    decoding sections; below this the native host path wins on one chip."""
+    lanes = header.num_groups * header.passes.num_passes
+    return lanes >= 64
+
+
 class Frame:
     """One frame's decode state."""
 
@@ -415,20 +423,24 @@ class Frame:
     def _finish_device_render(self) -> None:
         if not getattr(self, "_device_vardct", False):
             return
-        if self.header.is444:
-            from ..vardct.device_frame import render_vardct_frame_device
+        from ..vardct.device_frame import (
+            render_vardct_frame_device,
+            render_vardct_frame_device_subsampled,
+        )
 
-            self.vardct_pixels_dev = render_vardct_frame_device(
-                self, self.hf_global.hf_coefficients
-            )
+        render = (
+            render_vardct_frame_device
+            if self.header.is444
+            else render_vardct_frame_device_subsampled
+        )
+        flat = getattr(self, "_device_ac_flat", None)
+        if flat is not None:
+            self.vardct_pixels_dev = render(self, device_flat=flat)
+            from ..vardct.device_group import check_device_ac_ok
+
+            check_device_ac_ok(self)
         else:
-            from ..vardct.device_frame import (
-                render_vardct_frame_device_subsampled,
-            )
-
-            self.vardct_pixels_dev = render_vardct_frame_device_subsampled(
-                self, self.hf_global.hf_coefficients
-            )
+            self.vardct_pixels_dev = render(self, self.hf_global.hf_coefficients)
 
     def decode_all_sections(self, br: BitReader) -> None:
         header = self.header
@@ -452,14 +464,41 @@ class Frame:
             self.decode_hf_global(sections[self.section_index("hf_global")])
             self.finalize_lf()
             self._maybe_enable_device_render()
-            for g in range(header.num_groups):
-                readers = [
-                    (p, sections[self.section_index("hf", group=g, pass_idx=p)])
-                    for p in range(header.passes.num_passes)
-                ]
-                self.decode_hf_group(g, readers)
+            if not self._try_device_ac(sections):
+                for g in range(header.num_groups):
+                    readers = [
+                        (p, sections[self.section_index("hf", group=g, pass_idx=p)])
+                        for p in range(header.passes.num_passes)
+                    ]
+                    self.decode_hf_group(g, readers)
         self._finish_device_render()
         self.lf_global.modular_global.run_transforms()
+
+    def _try_device_ac(self, sections) -> bool:
+        """Decode all HF sections' AC coefficients on device (lanes =
+        sections); see vardct/device_group.py. Falls back to the host
+        path (returns False) for ineligible frames."""
+        import os
+
+        mode = os.environ.get("JXL_TPU_AC", "auto")
+        if mode == "host":
+            return False
+        from ..vardct.device_group import (
+            decode_ac_sections_device,
+            eligible_for_device_ac,
+        )
+
+        if not eligible_for_device_ac(self):
+            return False
+        header = self.header
+        if mode == "auto" and not _device_ac_profitable(header):
+            return False
+        readers = {
+            (g, p): sections[self.section_index("hf", group=g, pass_idx=p)]
+            for g in range(header.num_groups)
+            for p in range(header.passes.num_passes)
+        }
+        return decode_ac_sections_device(self, readers)
 
     def finalize_lf(self) -> None:
         if self.header.should_do_adaptive_lf_smoothing and self.lf_image is not None:

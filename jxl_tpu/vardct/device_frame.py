@@ -42,13 +42,12 @@ def eligible(frame) -> bool:
     return bool((tmap >= 128).any())
 
 
-def _frame_blocks(frame, coeffs_by_group: dict):
+def _frame_blocks(frame, group_ids: list):
     """Host prep: per-tid whole-frame block arrays (all cheap numpy)."""
     header = frame.header
     hf = frame.hf_meta
     tmap = hf["transform"]
     by_tid: dict[int, list] = {}
-    group_ids = sorted(coeffs_by_group)
     gindex = {g: i for i, g in enumerate(group_ids)}
     for g in group_ids:
         (gx0, gy0), (gw, gh) = header.block_group_rect(g)
@@ -79,7 +78,7 @@ def _frame_blocks(frame, coeffs_by_group: dict):
             np.concatenate(gi).astype(np.int32),
             np.concatenate(off).astype(np.int32),
         )
-    return out, group_ids
+    return out
 
 
 # program cache: key = static frame config + per-tid counts
@@ -115,8 +114,13 @@ def _sparse_coeffs(coeffs_by_group: dict, group_ids: list):
     return idx, vals.astype(np.int32), total, bucket
 
 
-def render_vardct_frame_device(frame, coeffs_by_group: dict):
-    """Returns device planes (3, bh*8, bw*8) f32 (jax arrays, no download)."""
+def render_vardct_frame_device(frame, coeffs_by_group=None, device_flat=None):
+    """Returns device planes (3, bh*8, bw*8) f32 (jax arrays, no download).
+
+    Coefficients come either host-side via `coeffs_by_group` ({group:
+    (3, GD*GD) int32}, COO-packed for the upload) or device-resident via
+    `device_flat` ((G*3*GD*GD,) int32 from the device AC decoder — no
+    upload at all)."""
     header = frame.header
     hf = frame.hf_meta
     lf_global = frame.lf_global
@@ -131,8 +135,17 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
     b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
     bw, bh = header.size_blocks()
 
-    blocks, group_ids = _frame_blocks(frame, coeffs_by_group)
-    nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(coeffs_by_group, group_ids)
+    dense = device_flat is not None
+    if dense:
+        group_ids = list(range(header.num_groups))
+        total = len(group_ids) * _GROUP_STRIDE
+        nz_bucket = 0
+    else:
+        group_ids = sorted(coeffs_by_group)
+        nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(
+            coeffs_by_group, group_ids
+        )
+    blocks = _frame_blocks(frame, group_ids)
     tids = tuple(sorted(blocks))
     counts = tuple(len(blocks[t][0]) for t in tids)
     # pad per-tid counts to power-of-two buckets for compile reuse
@@ -150,6 +163,7 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
     key = (
         tids,
         pads,
+        dense,
         nz_bucket,
         len(group_ids),
         bw,
@@ -175,6 +189,7 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
         W = bw * BLOCK_DIM
 
         total_c = total
+        dense_c = dense
 
         def program(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
             # TPU matmuls default to bf16 inputs; the IDCT einsums need f32
@@ -182,10 +197,13 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
 
         def _program_impl(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
             # nz_i/nz_v: COO coefficients (padding scatters to the sentinel
-            # slot past the end); lf: (3, bh, bw) f32; rq: (bh, bw) i32;
-            # ytox/ytob: (th, tw) i8
+            # slot past the end), or (dense) the flat device buffer itself;
+            # lf: (3, bh, bw) f32; rq: (bh, bw) i32; ytox/ytob: (th, tw) i8
             planes = jnp.zeros((3, bh * BLOCK_DIM * W), jnp.float32)
-            flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
+            if dense_c:
+                flat = nz_i
+            else:
+                flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
             lf_flat = lf.reshape(3, -1)
             stride_g = 3 * GROUP_DIM * GROUP_DIM
             stride_c = GROUP_DIM * GROUP_DIM
@@ -270,9 +288,13 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
 
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
+    if dense:
+        a1, a2 = device_flat, jnp.zeros(1, jnp.int32)
+    else:
+        a1, a2 = jnp.asarray(nz_idx), jnp.asarray(nz_vals)
     out = fn(
-        jnp.asarray(nz_idx),
-        jnp.asarray(nz_vals),
+        a1,
+        a2,
         jnp.asarray(np.stack(frame.lf_image)),
         jnp.asarray(hf["raw_quant"].astype(np.int32)),
         jnp.asarray(hf["ytox"][:th, :tw]),
@@ -288,7 +310,9 @@ def render_vardct_frame_device(frame, coeffs_by_group: dict):
 _SUB_CACHE: dict = {}
 
 
-def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
+def render_vardct_frame_device_subsampled(
+    frame, coeffs_by_group=None, device_flat=None
+):
     """Device render for non-444 frames: per-channel aligned-block
     selection, per-channel planes, and in-program chroma upsampling so the
     output is full-resolution (3, bh*8, bw*8) like the 444 path."""
@@ -310,8 +334,17 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
     hs = [header.hshift(c) for c in range(3)]
     vs = [header.vshift(c) for c in range(3)]
 
-    blocks, group_ids = _frame_blocks(frame, coeffs_by_group)
-    nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(coeffs_by_group, group_ids)
+    dense = device_flat is not None
+    if dense:
+        group_ids = list(range(header.num_groups))
+        total = len(group_ids) * _GROUP_STRIDE
+        nz_bucket = 0
+    else:
+        group_ids = sorted(coeffs_by_group)
+        nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(
+            coeffs_by_group, group_ids
+        )
+    blocks = _frame_blocks(frame, group_ids)
     tids = tuple(sorted(blocks))
     for t in tids:
         assert covered_blocks_x(t) == 1 and covered_blocks_y(t) == 1, t
@@ -347,6 +380,7 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
         "sub",
         tids,
         pads,
+        dense,
         nz_bucket,
         len(group_ids),
         bw,
@@ -425,9 +459,13 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
             return dq_c
 
         total_c = total
+        dense_c = dense
 
         def program(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
-            flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
+            if dense_c:
+                flat = nz_i
+            else:
+                flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
             lf_flat = lf.reshape(3, -1)
             chans = []
             for c in range(3):
@@ -483,9 +521,13 @@ def render_vardct_frame_device_subsampled(frame, coeffs_by_group: dict):
 
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
+    if dense:
+        a1, a2 = device_flat, jnp.zeros(1, jnp.int32)
+    else:
+        a1, a2 = jnp.asarray(nz_idx), jnp.asarray(nz_vals)
     return fn(
-        jnp.asarray(nz_idx),
-        jnp.asarray(nz_vals),
+        a1,
+        a2,
         jnp.asarray(np.stack(frame.lf_image)),
         jnp.asarray(hf["raw_quant"].astype(np.int32)),
         jnp.asarray(hf["ytox"][:th, :tw]),
