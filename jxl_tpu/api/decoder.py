@@ -534,13 +534,19 @@ class JxlDecoder:
         if (
             self.stage != "frame_sections"
             or frame is None
-            or frame.lf_global is None
             or not getattr(frame, "_sec_decoded", None)
         ):
             return None
         header = frame.header
+        partial_lf = False
+        if frame.lf_global is None:
+            if not self._try_partial_lf_global(frame):
+                return None
+            partial_lf = True
         is_vardct = header.encoding == Encoding.VARDCT
         if is_vardct and not frame._lf_finalized:
+            if partial_lf:
+                frame.lf_global = None
             return None
 
         # snapshot mutable pieces, render, then restore
@@ -581,8 +587,58 @@ class JxlDecoder:
                 arr = apply_orientation(arr, self.file_header.image_metadata.orientation)
             return arr
         finally:
-            frame.lf_global.modular_global = saved_mg
-            frame.vardct_pixels = saved_px
+            if partial_lf:
+                # the partial LfGlobal was decoded only for this flush; the
+                # real decode re-reads it when the section completes
+                frame.lf_global = None
+                frame.vardct_pixels = saved_px
+            else:
+                frame.lf_global.modular_global = saved_mg
+                frame.vardct_pixels = saved_px
+
+    def _try_partial_lf_global(self, frame) -> bool:
+        """Flush-time partial decode of an incomplete LfGlobal section
+        (ref frame_info.rs:607-652 has_partial_lf + decode_lf_global
+        allow_partial). Modular regular/LF frames only; re-attempted when
+        the available bytes grew by >= 1.5x since the last attempt."""
+        from ..errors import JxlError
+        from ..io.bit_reader import BitReader
+        from ..io.headers.frame import Encoding, FrameType
+
+        header = frame.header
+        if header.encoding != Encoding.MODULAR:
+            return False
+        if header.frame_type not in (FrameType.REGULAR, FrameType.LF_FRAME):
+            return False
+        codestream = bytes(self.boxes.codestream)
+        toc_end = (self.cursor + 7) // 8
+        stored = (
+            frame.toc.permutation[0]
+            if frame.toc.permuted
+            else 0
+        ) if header.num_toc_entries > 1 else 0
+        start = frame._stored_end[stored] - frame.toc.entries[stored]
+        end = frame._stored_end[stored]
+        avail = min(len(codestream) - toc_end, end) - start
+        if avail <= 0:
+            return False
+        last = getattr(self, "_lf_flush_len", 0)
+        if 2 * avail <= 3 * last:
+            return False
+        self._lf_flush_len = avail
+        br = BitReader(codestream[toc_end + start : toc_end + start + avail])
+        try:
+            frame.decode_lf_global(br, allow_partial=True)
+        except JxlError:
+            frame.lf_global = None
+            return False
+        if (
+            frame.lf_global is None
+            or not frame.lf_global.modular_global.early_render_ok
+        ):
+            frame.lf_global = None
+            return False
+        return True
 
     def _finish_frame(self) -> None:
         from ..render.simple import (

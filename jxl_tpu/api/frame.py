@@ -152,8 +152,11 @@ class Frame:
 
     # -- LfGlobal ----------------------------------------------------------------
 
-    def decode_lf_global(self, br: BitReader) -> None:
-        """ref frame/decode.rs:314-434."""
+    def decode_lf_global(self, br: BitReader, allow_partial: bool = False) -> None:
+        """ref frame/decode.rs:314-434. With allow_partial (progressive
+        flush of an incomplete LfGlobal section), section-0 modular
+        channels decode as far as the bytes allow; completed channels are
+        kept (modular_global.early_render_ok gates rendering)."""
         header = self.header
         state = LfGlobalState()
 
@@ -203,7 +206,9 @@ class Frame:
             self.modular_color_channels,
             br,
         )
-        state.modular_global.read_section0(header, state.tree, br)
+        state.modular_global.read_section0(
+            header, state.tree, br, allow_partial=allow_partial
+        )
         self.lf_global = state
 
     # -- LF group -------------------------------------------------------------------

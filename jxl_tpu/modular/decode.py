@@ -191,14 +191,20 @@ def decode_modular_subbitstream(
     header: GroupHeader | None,
     global_tree: Tree | None,
     br: BitReader,
+    partial_out: list | None = None,
 ) -> None:
     """Decode one modular sub-bitstream into `buffers` (in coded order).
 
     If `header` is None it is read from the stream, and any local
     transforms are applied (inverse) after decoding.
+    With `partial_out` (a 1-element list), errors still raise but the
+    number of channels decoded with a safety margin is recorded and their
+    data kept (ref decode/bitstream.rs last_safe_buf semantics).
     ref: decode/bitstream.rs:142-243.
     """
     if all(b.data.size == 0 for b in buffers):
+        if partial_out is not None:
+            partial_out[0] = len(buffers)
         return
 
     from .transforms import inverse_apply_steps, meta_apply_local
@@ -227,14 +233,31 @@ def decode_modular_subbitstream(
     from .. import native
 
     if not native.decode_modular_native(
-        local_buffers, stream_id, header, tree, br, image_width
+        local_buffers, stream_id, header, tree, br, image_width, partial_out
     ):
         reader = SymbolReader(tree.histograms, br, image_width)
+        last_safe = 0
         for i, b in enumerate(local_buffers):
             if b.data.size == 0:
                 continue
-            decode_modular_channel(local_buffers, i, stream_id, header, tree, reader, br)
-        reader.check_final_state(tree.histograms, br)
+            if br.total_bits_available() >= 32:  # DECODE_SAFETY_MARGIN
+                last_safe = i
+            try:
+                decode_modular_channel(
+                    local_buffers, i, stream_id, header, tree, reader, br
+                )
+            except (InvalidBitstream, OutOfBounds):
+                if partial_out is not None:
+                    partial_out[0] = last_safe
+                raise
+        try:
+            reader.check_final_state(tree.histograms, br)
+        except (InvalidBitstream, OutOfBounds):
+            if partial_out is not None:
+                partial_out[0] = last_safe
+            raise
+        if partial_out is not None:
+            partial_out[0] = len(local_buffers)
 
     if transform_steps:
         inverse_apply_steps(transform_steps, storage)

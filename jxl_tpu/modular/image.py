@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..errors import JxlError
 from ..io.bit_reader import BitReader
 from ..io.headers.frame import Encoding, FrameHeader
 from ..io.headers.modular import GroupHeader
@@ -43,6 +44,13 @@ class FullModularImage:
         self.grid_kind: list[str] = []  # 'none' | 'lf' | 'hf' per buffer
         self.num_input_channels = 0
         self.transforms_applied = False
+        # early partial render (ref modular/mod.rs:489-492): progressive
+        # flushes may decode section 0 partially only for squeeze-coded
+        # images without multi-channel/delta palettes, and only render once
+        # at least one full level of channels is in (green-martians guard)
+        self.can_do_early_partial_render = False
+        self.needed_section0_channels = 0
+        self.early_render_ok = False
 
     # -- planning ---------------------------------------------------------
 
@@ -131,6 +139,24 @@ class FullModularImage:
             ModularChannel(info.size, info.shift, info.bit_depth_bits)
             for info in self.buffer_infos
         ]
+
+        from ..io.headers.modular import TransformId
+
+        has_problematic_palette = any(
+            t.id == TransformId.PALETTE
+            and (t.num_channels > 1 or t.predictor_id != 0)
+            for t in header.transforms
+        )
+        has_squeeze = any(t.id == TransformId.SQUEEZE for t in header.transforms)
+        num_meta = sum(
+            1
+            for b in self.coded
+            if self.buffer_infos[b].is_meta
+        )
+        self.can_do_early_partial_render = (
+            not has_problematic_palette and has_squeeze
+        )
+        self.needed_section0_channels = len(channels) + num_meta
         return self
 
     # -- decoding -----------------------------------------------------------
@@ -161,13 +187,37 @@ class FullModularImage:
             return mc.view(0, 0, 0, 0)
         return mc.view(x0, y0, w, h)
 
-    def read_section0(self, frame_header, global_tree, br: BitReader) -> None:
+    def read_section0(
+        self, frame_header, global_tree, br: BitReader, allow_partial: bool = False
+    ) -> None:
         if not self.buffer_infos:
             return
         bufs = [self.storage[b] for b in self.section_buffer_indices[0]]
+        if allow_partial and self.can_do_early_partial_render:
+            partial = [0]
+            try:
+                decode_modular_subbitstream(
+                    bufs,
+                    ModularStreamId.global_data(),
+                    self.global_header,
+                    global_tree,
+                    br,
+                    partial_out=partial,
+                )
+                num_decoded = len(bufs)
+            except JxlError:
+                num_decoded = partial[0]
+                # zero the unsafe tail so stale garbage never renders
+                for b in bufs[num_decoded:]:
+                    b.data[...] = 0
+            self.early_render_ok = (
+                num_decoded > 0 and num_decoded >= self.needed_section0_channels
+            )
+            return
         decode_modular_subbitstream(
             bufs, ModularStreamId.global_data(), self.global_header, global_tree, br
         )
+        self.early_render_ok = True
 
     def read_lf_stream(self, frame_header, global_tree, group: int, br: BitReader):
         if not self.buffer_infos:

@@ -190,11 +190,18 @@ def read_unsigned_run(histograms, br, ctx: int, count: int,
     return out
 
 
-def decode_modular_native(buffers, stream_id, header, tree, br, image_width) -> bool:
+def decode_modular_native(
+    buffers, stream_id, header, tree, br, image_width, partial_out=None
+) -> bool:
     """Decode all channels of a modular sub-bitstream natively.
 
     Returns True on success (br.pos advanced, buffers filled); raises on
     bitstream errors. Falls back (returns False) if unavailable.
+
+    With `partial_out` (a 1-element list), bitstream errors still raise but
+    partial_out[0] receives the number of channels decoded with a safety
+    margin before the failure, and those channels' data is kept (ref
+    decode/bitstream.rs last_safe_buf partial-decode semantics).
     """
     lib = get_lib()
     if lib is None:
@@ -223,6 +230,7 @@ def decode_modular_native(buffers, stream_id, header, tree, br, image_width) -> 
 
     data = br.data
     bit_pos = ctypes.c_uint64(br.pos)
+    num_decoded = ctypes.c_int64(0)
     ret = lib.jxl_decode_modular(
         data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
         ctypes.c_int(ent["use_prefix"]),
@@ -241,8 +249,17 @@ def decode_modular_native(buffers, stream_id, header, tree, br, image_width) -> 
         _ptr(wp_params, ctypes.c_int32),
         ctypes.c_int(len(buffers)), _ptr(chan_info, ctypes.c_int64),
         _ptr(out, ctypes.c_int32), ctypes.c_int(stream_id),
+        ctypes.byref(num_decoded),
     )
     if ret != 0:
+        if partial_out is not None:
+            partial_out[0] = int(num_decoded.value)
+            off = 0
+            for i, b in enumerate(buffers):
+                h, w = b.data.shape
+                if i < num_decoded.value:
+                    b.data[...] = out[off : off + h * w].reshape(h, w)
+                off += h * w
         raise InvalidBitstream(f"native modular decode failed (code {ret})")
     br.pos = bit_pos.value
     off = 0

@@ -464,7 +464,10 @@ int jxl_decode_modular(
     // wp
     const int32_t* wp_params,
     // channels
-    int num_channels, const int64_t* chan_info, int32_t* out, int stream_id) {
+    int num_channels, const int64_t* chan_info, int32_t* out, int stream_id,
+    // partial decode: number of channels decoded with a safety margin
+    // before the first error (ref decode/bitstream.rs last_safe_buf)
+    int64_t* num_decoded_out) {
   BitReader br{data, size, *bit_pos};
   EntropyDecoder dec;
   dec.use_prefix = use_prefix != 0;
@@ -522,6 +525,19 @@ int jxl_decode_modular(
     int base = dec.huff.offsets[dec.lz_dist_cluster];
     if (!(dec.huff.bits[base] == 0 && dec.huff.values[base] == 1)) is_rle = false;
   }
+  int64_t last_safe = 0;
+  if (num_decoded_out) *num_decoded_out = 0;
+  // margin semantics (ref bitstream.rs:20,68,220): a channel only counts as
+  // safely decoded if >= 32 bits remained when its decode started
+  auto mark_safe = [&](int ci) {
+    if ((int64_t)br.size * 8 - (int64_t)br.pos >= 32) last_safe = ci;
+  };
+  auto fail_partial = [&](int code) {
+    if (num_decoded_out) *num_decoded_out = last_safe;
+    *bit_pos = br.pos;
+    return code;
+  };
+
   if (gradient_only && is_rle) {
     uint32_t rle_len = 0;
     int32_t rle_sym = 0;
@@ -529,6 +545,7 @@ int jxl_decode_modular(
       const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
       int w = (int)cd.w, h = (int)cd.h;
       if (w == 0 || h == 0) continue;
+      mark_safe(ci);
       int32_t* base_ptr = out + cd.offset;
       int64_t stride = cd.row_stride;
       // walk tree on property 0 = channel index
@@ -587,9 +604,11 @@ int jxl_decode_modular(
           topleft = top;
         }
       }
+      if (br.Overrun()) return fail_partial(2);
     }
     *bit_pos = br.pos;
-    if (br.Overrun()) return 2;
+    if (br.Overrun()) return fail_partial(2);
+    if (num_decoded_out) *num_decoded_out = num_channels;
     return 0;
   }
   int num_ref_props = 0;
@@ -606,6 +625,7 @@ int jxl_decode_modular(
     const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
     int w = (int)cd.w, h = (int)cd.h;
     if (w == 0 || h == 0) continue;
+    mark_safe(ci);
     int32_t* base = out + cd.offset;
     int64_t stride = cd.row_stride;
     props[0] = ci;
@@ -712,10 +732,12 @@ int jxl_decode_modular(
         row[x] = val;
       }
     }
+    if (dec.error || br.Overrun()) return fail_partial(br.Overrun() ? 2 : 1);
   }
 
   *bit_pos = br.pos;
-  if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  if (!dec.CheckFinal(br)) return fail_partial(br.Overrun() ? 2 : 1);
+  if (num_decoded_out) *num_decoded_out = num_channels;
   return 0;
 }
 
