@@ -32,8 +32,18 @@ class Event(enum.Enum):
     NEED_MORE_INPUT = "need_more_input"
     IMAGE_INFO = "image_info"
     FRAME_START = "frame_start"
+    FRAME_PROGRESSION = "frame_progression"  # new flushable data (see progressive_mode)
     FRAME_DONE = "frame_done"
     COMPLETE = "complete"
+
+
+class ProgressiveMode(enum.Enum):
+    """When process() reports FRAME_PROGRESSION so the caller can
+    flush_pixels() (ref api/options.rs:16-44 JxlProgressiveMode)."""
+
+    EAGER = "eager"          # whenever new sections decoded
+    PASSES = "passes"        # when a full AC pass completes across groups
+    FULL_FRAME = "full_frame"  # never (frames only)
 
 
 @dataclass
@@ -47,6 +57,7 @@ class JxlDecoderOptions:
     scan_frames_only: bool = False
     skip_preview: bool = True
     pixel_format: str = "f32"  # "f32" | "u8" | "u16" | "f16"
+    progressive_mode: ProgressiveMode = ProgressiveMode.FULL_FRAME
 
 
 @dataclass(frozen=True)
@@ -327,6 +338,11 @@ class JxlDecoder:
         self._scan_frozen = False
         self._skip_visible = 0
         self.preview: np.ndarray | None = None
+        # size hint carried by the last NEED_MORE_INPUT (ref api/mod.rs:36-54
+        # ProcessingResult::NeedsMoreInput{size_hint}): feed at least this
+        # many more bytes before the next process() can progress
+        self.bytes_needed: int | None = None
+        self._progress_marker = (0, 0)  # (#decoded sections, min pass done)
 
     # -- input ----------------------------------------------------------------
 
@@ -340,7 +356,9 @@ class JxlDecoder:
     # -- processing ------------------------------------------------------------
 
     def _reader(self) -> BitReader:
-        br = BitReader(bytes(self.boxes.codestream))
+        # zero-copy over the live (append-only) codestream buffer; a fresh
+        # reader is built per step so the length snapshot stays current
+        br = BitReader(self.boxes.codestream)
         br.pos = self.cursor
         return br
 
@@ -353,7 +371,9 @@ class JxlDecoder:
             except OutOfBounds as e:
                 if self._input_ended:
                     raise InvalidBitstream("truncated input") from e
+                self.bytes_needed = e.needed
                 return Event.NEED_MORE_INPUT
+            self.bytes_needed = None
             if ev is not None:
                 return ev
 
@@ -471,12 +491,16 @@ class JxlDecoder:
             frame = self.frame
             if not hasattr(frame, "_sec_decoded"):
                 frame.begin_sections()
+                self._progress_marker = (0, 0)
             toc_end = (self.cursor + 7) // 8
-            codestream = bytes(self.boxes.codestream)
+            codestream = self.boxes.codestream
             need = frame.process_sections_incremental(
                 codestream, toc_end, len(codestream)
             )
             if need is not None:
+                ev = self._progression_event(frame)
+                if ev is not None:
+                    return ev  # next process() re-enters and reports the need
                 if self._input_ended:
                     raise InvalidBitstream("truncated frame")
                 raise OutOfBounds(need - len(codestream))
@@ -491,6 +515,25 @@ class JxlDecoder:
         if self.stage == "done":
             return Event.COMPLETE
         raise AssertionError(self.stage)
+
+    def _progression_event(self, frame) -> Event | None:
+        """FRAME_PROGRESSION per the configured progressive mode."""
+        mode = self.options.progressive_mode
+        if mode is ProgressiveMode.FULL_FRAME:
+            return None
+        from ..io.headers.frame import Encoding
+
+        if frame.lf_global is None or (
+            frame.header.encoding == Encoding.VARDCT and not frame._lf_finalized
+        ):
+            return None  # nothing renderable yet
+        n_dec = sum(frame._sec_decoded)
+        min_pass = min(frame._passes_done) if frame._passes_done else 0
+        prev = self._progress_marker
+        self._progress_marker = (n_dec, min_pass)
+        if mode is ProgressiveMode.EAGER:
+            return Event.FRAME_PROGRESSION if n_dec > prev[0] else None
+        return Event.FRAME_PROGRESSION if min_pass > prev[1] else None
 
     @property
     def scanned_frames(self) -> list[VisibleFrameInfo]:
@@ -610,7 +653,7 @@ class JxlDecoder:
             return False
         if header.frame_type not in (FrameType.REGULAR, FrameType.LF_FRAME):
             return False
-        codestream = bytes(self.boxes.codestream)
+        codestream = self.boxes.codestream
         toc_end = (self.cursor + 7) // 8
         stored = (
             frame.toc.permutation[0]

@@ -63,6 +63,23 @@ class Xorshift128Plus:
         self.s0 = np.array(s0, dtype=np.uint64)
         self.s1 = np.array(s1, dtype=np.uint64)
 
+    @classmethod
+    def from_single_seed(cls, seed: int) -> "Xorshift128Plus":
+        """Single-seed construction with interleaved lane chaining (ref
+        util/xorshift128plus.rs new_with_seed; exercised by the in-tree
+        golden vectors)."""
+        self = cls.__new__(cls)
+        s0 = [0] * cls.N
+        s1 = [0] * cls.N
+        s0[0] = cls._split_mix((seed + 0x9E3779B97F4A7C15) & _M64)
+        s1[0] = cls._split_mix(s0[0])
+        for i in range(1, cls.N):
+            s0[i] = cls._split_mix(s1[i - 1])
+            s1[i] = cls._split_mix(s0[i])
+        self.s0 = np.array(s0, dtype=np.uint64)
+        self.s1 = np.array(s1, dtype=np.uint64)
+        return self
+
     def fill(self) -> np.ndarray:
         """Returns 8 u64 of random bits, advancing the state."""
         new_s1 = self.s0.copy()

@@ -25,7 +25,12 @@ class BitReader:
     def __init__(self, data):
         if not isinstance(data, (bytes, bytearray, memoryview)):
             raise TypeError("BitReader needs a bytes-like object")
-        self.data = bytes(data)
+        # bytearray input is wrapped zero-copy: the streaming decoder builds
+        # a fresh reader over its (append-only) codestream buffer every
+        # process() call, and copying the whole stream each time would make
+        # byte-at-a-time feeding O(N^2). len_bits snapshots the length at
+        # construction; appended bytes become visible to the next reader.
+        self.data = data if isinstance(data, (bytes, bytearray)) else bytes(data)
         self.pos = 0
         self.len_bits = len(self.data) * 8
 
@@ -102,11 +107,11 @@ class BitReader:
         end = start + n_bytes
         if end * 8 > self.len_bits:
             raise OutOfBounds(end - (self.len_bits >> 3))
-        ret = BitReader(self.data[start:end])
+        ret = BitReader(bytes(self.data[start:end]))
         self.pos = end * 8
         return ret
 
     def remaining_bytes(self) -> bytes:
         """Bytes from the current (byte-aligned) position to the end."""
         assert self.pos % 8 == 0
-        return self.data[self.pos >> 3 :]
+        return bytes(self.data[self.pos >> 3 :])

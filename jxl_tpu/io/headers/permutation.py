@@ -58,6 +58,9 @@ def decode_permutation(
     """Entropy-coded permutation of 0..size-1, identity on the first `skip`."""
     end = reader.read_unsigned(histograms, br, _context(size))
     if end > size - skip:
+        # distinguish truncated input (optimistic reads return zero-padded
+        # garbage) from a genuinely invalid stream, so streaming resume works
+        br.check_no_overrun()
         raise InvalidBitstream(f"invalid permutation size {end} > {size - skip}")
     lehmer = []
     prev = 0
@@ -65,6 +68,7 @@ def decode_permutation(
         val = reader.read_unsigned(histograms, br, _context(prev))
         lehmer.append(val)
         prev = val
+    br.check_no_overrun()
     perm = list(range(size))
     if end > 0:
         perm[skip:] = decode_lehmer_code(lehmer, perm[skip:])

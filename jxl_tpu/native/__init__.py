@@ -166,7 +166,7 @@ def read_unsigned_run(histograms, br, ctx: int, count: int,
 
     ent = pack_entropy(histograms)
     out = np.zeros(max(count, 1), dtype=np.uint32)
-    data = br.data
+    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
     bit_pos = ctypes.c_uint64(br.pos)
     ret = lib.jxl_read_unsigned_run(
         data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
@@ -228,7 +228,7 @@ def decode_modular_native(
         chan_info[i] = (w, h, shift[0], shift[1], w, off)
         off += h * w
 
-    data = br.data
+    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
     bit_pos = ctypes.c_uint64(br.pos)
     num_decoded = ctypes.c_int64(0)
     ret = lib.jxl_decode_modular(

@@ -194,7 +194,7 @@ def decode_ac_sections_device(frame, group_readers: dict) -> bool:
             lane_n_items[li] = n_items_per_group[g]
             lane_end_bits[li] = len(br.data) * 8
             start_bits[li] = br.pos
-            datas.append(br.data)
+            datas.append(bytes(br.data))
             li += 1
 
     l_max = _next_pow2(max(len(d) for d in datas) + 8, 64)

