@@ -343,6 +343,7 @@ class JxlDecoder:
         # many more bytes before the next process() can progress
         self.bytes_needed: int | None = None
         self._progress_marker = (0, 0)  # (#decoded sections, min pass done)
+        self._lf_preview: np.ndarray | None = None
 
     # -- input ----------------------------------------------------------------
 
@@ -555,6 +556,13 @@ class JxlDecoder:
         self._skip_visible = seek_target.visible_frames_to_skip
         self.stage = "frame_header"
 
+    def lf_preview(self) -> np.ndarray | None:
+        """1/8-scale preview rendered from a decoded lf_level-1 frame
+        (ref frame/lf_preview.rs:279 maybe_preview_lf_frame). Available for
+        XYB images without extra channels once the LF frame has been
+        decoded, before any main-frame section arrives; None otherwise."""
+        return self._lf_preview
+
     def flush_pixels(self) -> np.ndarray | None:
         """Render the current partial frame state (ref api/decoder.rs:176
         flush_pixels + frame_info.rs:607 do_flush). Pure re-render: decode
@@ -584,13 +592,13 @@ class JxlDecoder:
         partial_lf = False
         if frame.lf_global is None:
             if not self._try_partial_lf_global(frame):
-                return None
+                return self._flush_lf_frame_preview(frame)
             partial_lf = True
         is_vardct = header.encoding == Encoding.VARDCT
         if is_vardct and not frame._lf_finalized:
             if partial_lf:
                 frame.lf_global = None
-            return None
+            return self._flush_lf_frame_preview(frame)
 
         # snapshot mutable pieces, render, then restore
         saved_mg = frame.lf_global.modular_global
@@ -638,6 +646,38 @@ class JxlDecoder:
             else:
                 frame.lf_global.modular_global = saved_mg
                 frame.vardct_pixels = saved_px
+
+    def _flush_lf_frame_preview(self, frame) -> np.ndarray | None:
+        """Flush fallback for frames that reference a stored LF frame
+        before their own sections are renderable: 8x-upsample the LF frame
+        into a full-size canvas (ref frame/lf_preview.rs:279 + the
+        Upsample8x flush path)."""
+        from ..io.headers.frame import Encoding
+
+        header = frame.header
+        if (
+            header.encoding != Encoding.VARDCT
+            or not header.has_lf_frame
+            or self.state is None
+        ):
+            return None
+        lf = self.state.lf_frames[header.lf_level]
+        if lf is None:
+            return None
+        from ..render.simple import apply_orientation, color_transform
+        from ..render.stages import core as st
+
+        kern = st.build_upsample_kernels(
+            self.file_header.transform_data.weights8, 8
+        )
+        planes = [st.upsample(np, np.asarray(p), kern, 8) for p in lf]
+        img_w, img_h = self.file_header.xsize, self.file_header.ysize
+        planes = [p[:img_h, :img_w] for p in planes]
+        planes = color_transform(frame, planes)
+        arr = np.stack(planes, axis=-1)
+        if self.options.apply_orientation:
+            arr = apply_orientation(arr, self.file_header.image_metadata.orientation)
+        return arr
 
     def _try_partial_lf_global(self, frame) -> bool:
         """Flush-time partial decode of an incomplete LfGlobal section
@@ -699,6 +739,19 @@ class JxlDecoder:
         )
         if header.lf_level != 0:
             state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
+            if (
+                header.lf_level == 1
+                and not header.needs_blending()
+                and self.file_header.image_metadata.xyb_encoded
+                and not self.file_header.image_metadata.extra_channel_info
+                and not color_done
+            ):
+                # 1/8-scale preview from the LF frame (ref
+                # frame/lf_preview.rs:279 maybe_preview_lf_frame): color
+                # transform the LF planes so callers can show progress
+                # before any main-frame section arrives
+                pv = color_transform(frame, [p.copy() for p in planes[:3]])
+                self._lf_preview = np.stack(pv, axis=-1)
         if header.can_be_referenced and header.save_before_ct:
             state.reference_frames[header.save_as_reference] = {
                 "frame": [p.copy() for p in planes],

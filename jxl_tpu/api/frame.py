@@ -220,11 +220,36 @@ class Frame:
             from ..vardct.lf import decode_vardct_lf
 
             decode_vardct_lf(self, group, br)
+        elif header.encoding == Encoding.VARDCT and header.has_lf_frame:
+            self._adopt_lf_frame()
         state.modular_global.read_lf_stream(header, state.tree, group, br)
         if header.encoding == Encoding.VARDCT:
             from ..vardct.lf import decode_hf_metadata
 
             decode_hf_metadata(self, group, br)
+
+    def _adopt_lf_frame(self) -> None:
+        """has_lf_frame: the LF image comes from the stored lf_level+1
+        frame instead of coded LF coefficients (ref decode.rs:744-750)."""
+        if self.lf_image is not None and getattr(self, "_lf_adopted", False):
+            return
+        from ..vardct.lf import ensure_vardct_buffers
+
+        ensure_vardct_buffers(self)
+        lf = (
+            self.decoder_state.lf_frames[self.header.lf_level]
+            if self.decoder_state
+            else None
+        )
+        if lf is None:
+            raise InvalidBitstream("frame references a missing LF frame")
+        for c in range(3):
+            dst = self.lf_image[c]
+            src = np.asarray(lf[c])
+            h = min(dst.shape[0], src.shape[0])
+            w = min(dst.shape[1], src.shape[1])
+            dst[:h, :w] = src[:h, :w]
+        self._lf_adopted = True
 
     # -- HfGlobal ---------------------------------------------------------------------
 

@@ -177,6 +177,9 @@ def _cicp_tag(enc) -> bytes | None:
 
 def describe(enc) -> str:
     """Color encoding description string (ref color.rs:611-681)."""
+    ri = {0: "Per", 1: "Rel", 2: "Sat", 3: "Abs"}[int(enc.rendering_intent)]
+    if enc.color_space == ColorSpace.XYB:
+        return f"XYB_{ri}"
     wp_s = {
         WhitePoint.D65: "D65",
         WhitePoint.E: "EER",
@@ -229,7 +232,7 @@ def _header(enc) -> bytearray:
     h = bytearray(128)
     h[4:8] = b"jxl "  # CMM
     struct.pack_into(">I", h, 8, 0x04400000)  # v4.4
-    h[12:16] = b"mntr"
+    h[12:16] = b"scnr" if enc.color_space == ColorSpace.XYB else b"mntr"
     h[16:20] = b"GRAY" if enc.color_space == ColorSpace.GRAY else b"RGB "
     h[20:24] = b"XYZ "  # PCS
     struct.pack_into(">HHHHHH", h, 24, 2019, 12, 1, 0, 0, 0)  # fixed date
@@ -241,13 +244,108 @@ def _header(enc) -> bytearray:
     return h
 
 
-def synthesize_icc(enc, intensity_target: float = 255.0) -> bytes:
-    """Create an ICC profile for a (non-ICC) JXL color encoding.
+# -- XYB output profile (A2B0 LUT) --------------------------------------------
+# Constants mirror the normative opsin math (ref api/xyb_constants.rs).
 
-    ref api/color.rs:768 maybe_create_profile; XYB output profiles (A2B0
-    LUT) are not synthesized here."""
+_OPSIN_BIAS = 0.0037930732552754493
+_SCALED_XYB_OFFSET = (0.015386134, 0.0, 0.27770459)
+_SCALED_XYB_SCALE = (22.995788804, 1.183000077, 1.502141333)
+_XYB_ICC_MATRIX = (
+    1.5170095, -1.1065225, 0.071623,
+    -0.050022, 0.5683655, -0.018344,
+    -1.387676, 1.1145555, 0.6857255,
+)
+
+
+def _xyb_offset():
+    so, ss = _SCALED_XYB_OFFSET, _SCALED_XYB_SCALE
+    return (so[0] + so[1], so[1] - so[0] + 1.0 / ss[0], so[1] + so[2])
+
+
+def _xyb_scale():
+    ss = _SCALED_XYB_SCALE
+
+    def rsum(a, b):
+        return (a * b) / (a + b)
+
+    return (rsum(ss[0], ss[1]), rsum(ss[0], ss[1]), rsum(ss[1], ss[2]))
+
+
+def _para_curve_bytes(curve_type: int, params) -> bytes:
+    out = bytearray(b"para" + b"\0" * 4)
+    out += struct.pack(">HH", curve_type, 0)
+    for p in params:
+        out += _s15f16(p)
+    return bytes(out)
+
+
+def _xyb_a2b0_tag() -> bytes:
+    """'mAB ' LUT tag mapping XYB samples to PCS XYZ via a 2^3 CLUT +
+    cube-root M curves + opsin matrix (ref color.rs:2045-2143)."""
+    off, scale = _xyb_offset(), _xyb_scale()
+    t = bytearray(b"mAB " + b"\0" * 4)
+    t += bytes([3, 3]) + b"\0\0"
+    t += struct.pack(">IIIII", 32, 244, 148, 80, 32)
+    # offset 32: B curves = A curves = 3 identity gamma curves (12 B each)
+    for _ in range(3):
+        t += _para_curve_bytes(0, [1.0])
+    # offset 80: CLUT header (16 grid-point bytes, precision 2, pad)
+    t += bytes([2, 2, 2] + [0] * 13) + bytes([2, 0]) + b"\0\0"
+    # 2x2x2 cube of unscaled XYB corners
+    so, ss = _SCALED_XYB_OFFSET, _SCALED_XYB_SCALE
+
+    def corner(x, y, b, idx):
+        v = (x, y, b)[idx]
+        return v / ss[idx] - so[idx]
+
+    for x in range(2):
+        for y in range(2):
+            for b in range(2):
+                vals = (
+                    (corner(x, y, b, 1) + corner(x, y, b, 0) + off[0]) * scale[0],
+                    (corner(x, y, b, 1) - corner(x, y, b, 0) + off[1]) * scale[1],
+                    (corner(x, y, b, 2) + corner(x, y, b, 1) + off[2]) * scale[2],
+                )
+                for v in vals:
+                    t += struct.pack(">H", int(np.clip(round(65535.0 * v), 0, 65535)))
+    # offset 148: M curves — type-3 parametric cube curves.
+    # b = -XYB_OFFSET[i] - cbrt(NEG_OPSIN_ABSORBANCE_BIAS); the bias is
+    # negative, so the sign-preserving cube root applies
+    neg_bias = -_OPSIN_BIAS
+    cbrt_bias = -((-neg_bias) ** (1.0 / 3.0))
+    for i in range(3):
+        b = -off[i] - cbrt_bias
+        t += _para_curve_bytes(
+            3, [3.0, 1.0 / scale[i], b, 0.0, max(-b * scale[i], 0.0)]
+        )
+    # offset 244: matrix (9 values + 3 intercepts)
+    for v in _XYB_ICC_MATRIX:
+        t += _s15f16(v)
+    for i in range(3):
+        intercept = sum(
+            _XYB_ICC_MATRIX[i * 3 + j] * (-_OPSIN_BIAS) for j in range(3)
+        )
+        t += _s15f16(intercept)
+    return bytes(t)
+
+
+def _noop_b2a0_tag() -> bytes:
+    """'mBA ' identity tag (required by Apple software, ref color.rs:2209)."""
+    t = bytearray(b"mBA " + b"\0" * 4)
+    t += bytes([3, 3]) + b"\0\0"
+    t += struct.pack(">IIIII", 32, 0, 0, 0, 0)
+    for _ in range(3):
+        t += _para_curve_bytes(0, [1.0])
+    return bytes(t)
+
+
+def synthesize_icc(enc, intensity_target: float = 255.0) -> bytes:
+    """Create an ICC profile for a (non-ICC) JXL color encoding, including
+    XYB output profiles (A2B0 LUT).
+
+    ref api/color.rs:768 maybe_create_profile."""
     if enc.color_space == ColorSpace.XYB:
-        raise ValueError("XYB output ICC synthesis not supported")
+        return _synthesize_xyb_icc(enc)
     is_gray = enc.color_space == ColorSpace.GRAY
     wx, wy = white_point_xy(enc)
 
@@ -284,6 +382,24 @@ def synthesize_icc(enc, intensity_target: float = 255.0) -> bytes:
         tags.append((b"gTRC", b"", rtrc_idx))
         tags.append((b"bTRC", b"", rtrc_idx))
 
+    return _assemble_profile(enc, tags)
+
+
+def _synthesize_xyb_icc(enc) -> bytes:
+    """XYB output profile: scnr class, A2B0 LUT + noop B2A0
+    (ref color.rs:940-962)."""
+    tags: list[tuple[bytes, bytes, int | None]] = []
+    tags.append((b"desc", _mluc(describe(enc)), None))
+    tags.append((b"cprt", _mluc("CC0"), None))
+    tags.append((b"wtpt", _xyz_tag(D50_XYZ), None))
+    # chromatic adaptation for D65 (XYB white point)
+    tags.append((b"chad", _chad_tag(adapt_to_xyz_d50(0.3127, 0.3290)), None))
+    tags.append((b"A2B0", _xyb_a2b0_tag(), None))
+    tags.append((b"B2A0", _noop_b2a0_tag(), None))
+    return _assemble_profile(enc, tags)
+
+
+def _assemble_profile(enc, tags) -> bytes:
     header = _header(enc)
     table_size = 4 + 12 * len(tags)
     blob = bytearray()

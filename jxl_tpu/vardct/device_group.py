@@ -21,6 +21,10 @@ from .block_context import ZERO_DENSITY_CONTEXT_COUNT, ZERO_DENSITY_CONTEXT_LIMI
 from .group import _BlockList, _CBX_ARR, _CBY_ARR, BLOCK_SIZE, GROUP_DIM
 
 
+# observability: frames decoded through the device AC path this process
+STATS = {"device_ac_frames": 0}
+
+
 def _ceil_log2(x: int) -> int:
     return (x - 1).bit_length() if x > 1 else 0
 
@@ -226,6 +230,7 @@ def decode_ac_sections_device(frame, group_readers: dict) -> bool:
     frame._device_ac_flat = coeffs
     frame._device_ac_ok = ok
     frame._device_ac_groups = list(range(num_groups))
+    STATS["device_ac_frames"] += 1
     return True
 
 

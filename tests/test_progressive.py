@@ -70,10 +70,10 @@ def check_file(name, ckpts):
             # nothing renderable yet: the reference's output buffers hold
             # zeros at this point and its recorded threshold reflects that
             fl = np.zeros_like(final)
-        if fl.shape[-1] > final.shape[-1]:
-            fl = fl[..., : final.shape[-1]]
-        assert fl.shape == final.shape
-        mse = float(np.mean((fl - final) ** 2))
+        nc = min(fl.shape[-1], final.shape[-1])
+        fl, final_c = fl[..., :nc], final[..., :nc]
+        assert fl.shape == final_c.shape
+        mse = float(np.mean((fl - final_c) ** 2))
         assert mse <= thr * 1.02 + 1e-6, f"{name} @{byte}: mse={mse} thr={thr}"
     # finish the stream; incremental result must equal one-shot exactly
     d.feed(data[pos:])

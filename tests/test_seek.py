@@ -69,3 +69,34 @@ def test_scan_records_durations():
     d = scan(path.read_bytes())
     assert all(f.duration_ms > 0 for f in d.scanned_frames[:-1])
     assert d.scanned_frames[-1].is_last
+
+
+@pytest.mark.slow
+def test_lf_preview():
+    """An lf_level-1 frame yields a 1/8-scale preview before main-frame
+    sections (ref frame/lf_preview.rs:279)."""
+    import numpy as np
+
+    from jxl_tpu.api.decoder import Event, JxlDecoder
+
+    data = (CORPUS / "conformance_test_images/progressive.jxl").read_bytes()
+    d = JxlDecoder()
+    d.feed(data)
+    d.end_input()
+    preview = None
+    while True:
+        ev = d.process()
+        if preview is None and d.lf_preview() is not None:
+            preview = d.lf_preview()
+        if ev is Event.COMPLETE:
+            break
+    assert preview is not None
+    H, W, _ = d.frames[0].shape
+    assert preview.shape == (-(-H // 8), -(-W // 8), 3)
+    assert np.isfinite(preview).all()
+    # the preview approximates the 8x box-downsampled final image
+    ph, pw = preview.shape[:2]
+    crop = d.frames[0][: ph * 8 - 8, : pw * 8 - 8, :3]
+    ds = crop.reshape(ph - 1, 8, pw - 1, 8, 3).mean(axis=(1, 3))
+    mse = float(np.mean((preview[: ph - 1, : pw - 1] - ds) ** 2))
+    assert mse < 0.01, mse
