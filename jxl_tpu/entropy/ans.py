@@ -286,3 +286,64 @@ class AnsCodes:
 
     def single_symbol(self, ctx: int):
         return self.histograms[ctx].single_symbol
+
+
+class NativeAnsCodes:
+    """AnsCodes over tables decoded by the native library: one contiguous
+    (C, 5, table_size) int32 array (dist, alias_symbol/offset/cutoff/dist
+    rows — the exact wire layout of pack_entropy and the device kernels)."""
+
+    __slots__ = ("tables", "singles", "log_bucket_size", "_hists")
+
+    def __init__(self, tables, singles, log_bucket_size: int):
+        self.tables = tables
+        self.singles = singles
+        self.log_bucket_size = log_bucket_size
+        self._hists = None
+
+    @property
+    def histograms(self):
+        if self._hists is None:
+            self._hists = [
+                _NativeHistView(self.tables[c], int(self.singles[c]), self.log_bucket_size)
+                for c in range(self.tables.shape[0])
+            ]
+        return self._hists
+
+    def single_symbol(self, ctx: int):
+        s = int(self.singles[ctx])
+        return None if s < 0 else s
+
+
+class _NativeHistView:
+    """Per-cluster view with AnsHistogram's attribute surface."""
+
+    __slots__ = ("dist", "alias_symbol", "alias_offset", "alias_cutoff",
+                 "alias_dist", "single_symbol", "log_bucket_size", "bucket_mask")
+
+    def __init__(self, rows, single: int, log_bucket_size: int):
+        self.dist = rows[0]
+        self.alias_symbol = rows[1]
+        self.alias_offset = rows[2]
+        self.alias_cutoff = rows[3]
+        self.alias_dist = rows[4]
+        self.single_symbol = None if single < 0 else single
+        self.log_bucket_size = log_bucket_size
+        self.bucket_mask = (1 << log_bucket_size) - 1
+
+    def read(self, br: BitReader, state: int) -> tuple[int, int]:
+        idx = state & 0xFFF
+        i = idx >> self.log_bucket_size
+        pos = idx & self.bucket_mask
+        if pos >= self.alias_cutoff[i]:
+            sym = int(self.alias_symbol[i])
+            off = int(self.alias_offset[i]) + pos
+            d = int(self.alias_dist[i])
+        else:
+            sym = i
+            off = pos
+            d = int(self.dist[i])
+        state = (state >> LOG_SUM_PROBS) * d + off
+        if state < (1 << 16):
+            state = (state << 16) | br.read_opt(16)
+        return sym, state

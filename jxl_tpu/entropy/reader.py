@@ -103,6 +103,16 @@ class Histograms:
 
     @staticmethod
     def decode(num_contexts: int, br: BitReader, allow_lz77: bool) -> "Histograms":
+        from .. import native
+
+        if native.available():
+            h = native.decode_histograms_native(br, num_contexts, allow_lz77)
+            if h is not None:
+                return h
+        return Histograms._decode_py(num_contexts, br, allow_lz77)
+
+    @staticmethod
+    def _decode_py(num_contexts: int, br: BitReader, allow_lz77: bool) -> "Histograms":
         h = Histograms.__new__(Histograms)
         h.lz77_enabled = br.read(1) != 0
         if h.lz77_enabled:

@@ -52,6 +52,7 @@ def get_lib():
         lib.jxl_read_unsigned_run.restype = ctypes.c_int
         lib.jxl_decode_vardct_ac.restype = ctypes.c_int
         lib.jxl_place_transforms.restype = ctypes.c_int
+        lib.jxl_decode_histograms.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -81,8 +82,40 @@ def pack_entropy(histograms):
 
 
 def _pack_entropy(histograms):
+    from ..entropy.ans import NativeAnsCodes
+
     n_clusters = histograms.num_histograms
     use_prefix = histograms.use_prefix_code
+    if isinstance(histograms.codes, NativeAnsCodes):
+        # natively-decoded tables are already in the packed wire layout
+        ctx_map = np.array(histograms.context_map, dtype=np.uint8)
+        cfgs = np.zeros((n_clusters, 3), dtype=np.int32)
+        for c in range(n_clusters):
+            u = histograms.uint_configs[c]
+            cfgs[c] = (u.split_exponent, u.msb_in_token, u.lsb_in_token)
+        if histograms.lz77_enabled:
+            lz = histograms.lz77_length_uint
+            lz_cfg = np.array(
+                [lz.split_exponent, lz.msb_in_token, lz.lsb_in_token], np.int32
+            )
+        else:
+            lz_cfg = np.zeros(3, dtype=np.int32)
+        return {
+            "use_prefix": 0,
+            "ans_tables": histograms.codes.tables,
+            "table_size": histograms.codes.tables.shape[2],
+            "log_bucket": histograms.codes.log_bucket_size,
+            "huff_offsets": np.zeros(1, dtype=np.int32),
+            "huff_bits": np.zeros(1, dtype=np.int32),
+            "huff_values": np.zeros(1, dtype=np.int32),
+            "context_map": ctx_map,
+            "uint_configs": cfgs,
+            "lz77": int(histograms.lz77_enabled),
+            "min_symbol": histograms.lz77_min_symbol,
+            "min_length": histograms.lz77_min_length,
+            "lz_cfg": lz_cfg,
+            "lz_dist_cluster": histograms.lz_dist_cluster,
+        }
     if use_prefix:
         offsets = np.zeros(n_clusters, dtype=np.int32)
         bits_l, values_l = [], []
@@ -142,6 +175,73 @@ def _pack_entropy(histograms):
         "lz_cfg": lz_cfg,
         "lz_dist_cluster": histograms.lz_dist_cluster,
     }
+
+
+def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
+    """Decode a Histograms bundle natively. Returns the filled Histograms
+    object, None when the native library is unavailable or the bundle uses
+    prefix codes (caller falls back to the Python oracle); raises on
+    bitstream errors."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import InvalidBitstream, OutOfBounds
+    from ..entropy.ans import NativeAnsCodes
+    from ..entropy.hybrid_uint import HybridUint
+    from ..entropy.reader import Histograms
+
+    max_clusters = min(num_contexts + 1, 256)
+    meta = np.zeros(16, dtype=np.int32)
+    lz_cfg = np.zeros(3, dtype=np.int32)
+    cmap = np.zeros(num_contexts + 1, dtype=np.uint8)
+    cfgs = np.zeros((max_clusters, 3), dtype=np.int32)
+    tables = np.zeros((max_clusters, 5, 256), dtype=np.int32)
+    singles = np.zeros(max_clusters, dtype=np.int32)
+    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    bit_pos = ctypes.c_uint64(br.pos)
+    ret = lib.jxl_decode_histograms(
+        data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+        ctypes.c_int(num_contexts), ctypes.c_int(1 if allow_lz77 else 0),
+        _ptr(meta, ctypes.c_int32), _ptr(lz_cfg, ctypes.c_int32),
+        _ptr(cmap, ctypes.c_uint8), _ptr(cfgs, ctypes.c_int32),
+        _ptr(tables, ctypes.c_int32), _ptr(singles, ctypes.c_int32),
+    )
+    if ret == 8:
+        return None  # prefix codes: python path
+    if ret == 2:
+        raise OutOfBounds(1)
+    if ret != 0:
+        raise InvalidBitstream(f"native histogram decode failed (code {ret})")
+    br.pos = bit_pos.value
+
+    h = Histograms.__new__(Histograms)
+    h.lz77_enabled = bool(meta[0])
+    h.lz77_min_symbol = int(meta[1])
+    h.lz77_min_length = int(meta[2])
+    h.lz77_length_uint = (
+        HybridUint(int(lz_cfg[0]), int(lz_cfg[1]), int(lz_cfg[2]))
+        if h.lz77_enabled
+        else None
+    )
+    n_ctx = num_contexts + (1 if h.lz77_enabled else 0)
+    h.context_map = cmap[:n_ctx].tolist()
+    h.lz_dist_cluster = h.context_map[-1] if h.lz77_enabled else 0
+    h.use_prefix_code = False
+    h.log_alpha_size = int(meta[6])
+    num_clusters = int(meta[7])
+    table_size = int(meta[8])
+    h.uint_configs = [
+        HybridUint(int(cfgs[c, 0]), int(cfgs[c, 1]), int(cfgs[c, 2]))
+        for c in range(num_clusters)
+    ]
+    # the native decoder packs clusters contiguously at stride table_size
+    packed = (
+        tables.reshape(-1)[: num_clusters * 5 * table_size]
+        .reshape(num_clusters, 5, table_size)
+        .copy()
+    )
+    h.codes = NativeAnsCodes(packed, singles[:num_clusters].copy(), int(meta[9]))
+    return h
 
 
 def pack_tree(tree) -> np.ndarray:

@@ -864,6 +864,365 @@ int jxl_decode_vardct_ac(
   return 0;
 }
 
+// --------------------------------------------- histogram table decode
+// Native decode of a Histograms bundle (ref entropy_coding/{decode,ans,
+// context_map}.rs; python oracle jxl_tpu/entropy/*). ANS only — prefix-
+// coded bundles return NEEDS_PYTHON and the caller falls back.
+
+namespace {
+
+constexpr int kNeedsPython = 8;
+
+int ReadU8v(BitReader& br) {
+  if (!br.Read(1)) return 0;
+  int n = (int)br.Read(3);
+  return (1 << n) + (int)br.Read(n);
+}
+
+struct LogCountLut {
+  uint8_t sym[128];
+  uint8_t len[128];
+  LogCountLut() {
+    static const int codes[14][2] = {
+        {0b10001, 5}, {0b1011, 4}, {0b1111, 4}, {0b0011, 4}, {0b1001, 4},
+        {0b0111, 4},  {0b100, 3},  {0b010, 3},  {0b101, 3},  {0b110, 3},
+        {0b000, 3},   {0b100001, 6}, {0b0000001, 7}, {0b1000001, 7}};
+    for (int i = 0; i < 128; i++) { sym[i] = 0; len[i] = 0; }
+    for (int s = 0; s < 14; s++) {
+      int code = codes[s][0], length = codes[s][1];
+      for (int high = 0; high < (1 << (7 - length)); high++) {
+        int idx = (high << length) | code;
+        sym[idx] = (uint8_t)s;
+        len[idx] = (uint8_t)length;
+      }
+    }
+  }
+};
+
+// Decode one distribution summing to 4096 (ref ans.rs / python
+// decode_distribution). Returns 0 ok / 1 error.
+int DecodeDistribution(BitReader& br, int table_size, int32_t* dist) {
+  static const LogCountLut lut;
+  for (int i = 0; i < table_size; i++) dist[i] = 0;
+  if (br.Read(1)) {
+    if (br.Read(1)) {
+      int v0 = ReadU8v(br);
+      int v1 = ReadU8v(br);
+      if (v0 == v1 || v0 >= table_size || v1 >= table_size) return 1;
+      int prob = (int)br.Read(12);
+      dist[v0] = prob;
+      dist[v1] = 4096 - prob;
+    } else {
+      int val = ReadU8v(br);
+      if (val >= table_size) return 1;
+      dist[val] = 4096;
+    }
+    return 0;
+  }
+  if (br.Read(1)) {
+    int alphabet = ReadU8v(br) + 1;
+    if (alphabet > table_size) return 1;
+    int base = 4096 / alphabet, rem = 4096 % alphabet;
+    for (int i = 0; i < alphabet; i++) dist[i] = base + (i < rem ? 1 : 0);
+    return 0;
+  }
+  // complex with RLE
+  int length = 0;
+  while (length < 3 && br.Read(1)) length++;
+  int shift = (int)br.Read(length) + (1 << length) - 1;
+  if (shift > 13) return 1;
+  int alphabet = ReadU8v(br) + 3;
+  if (alphabet > table_size) return 1;
+  int logcounts[256];
+  bool same[256];
+  for (int i = 0; i < alphabet; i++) { logcounts[i] = 0; same[i] = false; }
+  int omit_pos = -1, omit_log = -1;
+  int idx = 0;
+  while (idx < alphabet) {
+    uint32_t peek = (uint32_t)br.Peek(7);
+    int sym = lut.sym[peek];
+    br.pos += lut.len[peek];
+    if (sym == 13) {
+      int repeat = ReadU8v(br) + 4;
+      if (idx + repeat > alphabet) return 1;
+      for (int i = idx; i < idx + repeat; i++) same[i] = true;
+      idx += repeat;
+      continue;
+    }
+    logcounts[idx] = sym;
+    if (sym > omit_log) { omit_log = sym; omit_pos = idx; }
+    idx++;
+  }
+  if (omit_pos < 0 || (omit_pos + 1 < alphabet && same[omit_pos + 1])) return 1;
+  int64_t acc = 0;
+  int prev = 0;
+  for (int i = 0; i < alphabet; i++) {
+    if (same[i]) {
+      dist[i] = prev;
+      acc += prev;
+      if (acc >= 4096) return 1;
+      continue;
+    }
+    int code = logcounts[i];
+    if (code == 0) { prev = 0; continue; }
+    if (i == omit_pos) { prev = 0; continue; }
+    if (code > 1) {
+      int zeros = code - 1;
+      int bitcount = shift - ((12 - zeros) >> 1);
+      if (bitcount < 0) bitcount = 0;
+      if (bitcount > zeros) bitcount = zeros;
+      code = (1 << zeros) + ((int)br.Read(bitcount) << (zeros - bitcount));
+    }
+    dist[i] = code;
+    prev = code;
+    acc += code;
+    if (acc >= 4096) return 1;
+  }
+  dist[omit_pos] = (int32_t)(4096 - acc);
+  return 0;
+}
+
+// Vose alias build (mirror python _build_alias_map exactly, incl. LIFO
+// stack order). rows: dist, alias_symbol, alias_offset, alias_cutoff,
+// alias_dist, each table_size long, laid out contiguously.
+void BuildAliasMap(int table_size, int bucket_size, int32_t* t) {
+  int32_t* dist = t;
+  int32_t* a_sym = t + table_size;
+  int32_t* a_off = t + 2 * table_size;
+  int32_t* a_cut = t + 3 * table_size;
+  int32_t* a_dst = t + 4 * table_size;
+  // degenerate single-symbol
+  for (int i = 0; i < table_size; i++) {
+    if (dist[i] == 4096) {
+      for (int j = 0; j < table_size; j++) {
+        a_sym[j] = i;
+        a_cut[j] = 0;
+        a_off[j] = bucket_size * j;
+        a_dst[j] = 4096;
+      }
+      return;
+    }
+  }
+  int32_t cutoff[256];
+  int32_t symbol[256];
+  int32_t offset[256];
+  for (int i = 0; i < table_size; i++) {
+    cutoff[i] = dist[i];
+    symbol[i] = i;
+    offset[i] = 0;
+  }
+  int under[256], over[256];
+  int nu = 0, no = 0;
+  for (int i = 0; i < table_size; i++) {
+    if (cutoff[i] < bucket_size) under[nu++] = i;
+    else if (cutoff[i] > bucket_size) over[no++] = i;
+  }
+  while (no > 0 && nu > 0) {
+    int o = over[--no];
+    int u = under[--nu];
+    int by = bucket_size - cutoff[u];
+    cutoff[o] -= by;
+    symbol[u] = o;
+    offset[u] = cutoff[o];
+    if (cutoff[o] < bucket_size) under[nu++] = o;
+    else if (cutoff[o] > bucket_size) over[no++] = o;
+  }
+  for (int i = 0; i < table_size; i++) {
+    if (cutoff[i] == bucket_size) {
+      a_sym[i] = i;
+      a_cut[i] = bucket_size;
+      a_off[i] = 0;
+      a_dst[i] = dist[i];
+    } else {
+      a_sym[i] = symbol[i];
+      a_cut[i] = cutoff[i];
+      a_off[i] = offset[i] - cutoff[i];
+      a_dst[i] = dist[symbol[i]];
+    }
+  }
+}
+
+// Read a HybridUint config (ref hybrid_uint.rs / python HybridUint.decode).
+int CeilLog2i(int x) {
+  if (x <= 1) return 0;
+  int b = 0;
+  x -= 1;
+  while (x) { b++; x >>= 1; }
+  return b;
+}
+
+int DecodeUintConfig(BitReader& br, int log_alpha, int32_t* cfg3) {
+  int se = (int)br.Read(CeilLog2i(log_alpha + 1));
+  int msb = 0, lsb = 0;
+  if (se != log_alpha) {
+    msb = (int)br.Read(CeilLog2i(se + 1));
+    if (msb > se) return 1;
+    lsb = (int)br.Read(CeilLog2i(se - msb + 1));
+  }
+  if (lsb + msb > se) return 1;
+  cfg3[0] = se; cfg3[1] = msb; cfg3[2] = lsb;
+  return 0;
+}
+
+// U32 selectors for the LZ77 header (ref decode.rs Lz77Params)
+uint32_t ReadLzMinSymbol(BitReader& br) {
+  switch (br.Read(2)) {
+    case 0: return 224;
+    case 1: return 512;
+    case 2: return 4096;
+    default: return (uint32_t)br.Read(15) + 8;
+  }
+}
+uint32_t ReadLzMinLength(BitReader& br) {
+  switch (br.Read(2)) {
+    case 0: return 3;
+    case 1: return 4;
+    case 2: return (uint32_t)br.Read(2) + 5;
+    default: return (uint32_t)br.Read(8) + 9;
+  }
+}
+
+// Full bundle decode. Returns 0 ok / 1 error / 2 overrun / 8 needs-python
+// (prefix codes). depth guards the nested context-map recursion.
+int DecodeHistogramsImpl(
+    BitReader& br, int num_contexts, int allow_lz77, int depth,
+    int32_t* meta, int32_t* lz_cfg, uint8_t* context_map,
+    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles);
+
+// Entropy-coded context map (ref context_map.rs:43-76).
+int DecodeContextMap(BitReader& br, int num_contexts, int depth,
+                     uint8_t* out_map) {
+  if (br.Read(1)) {  // simple
+    int bits = (int)br.Read(2);
+    for (int i = 0; i < num_contexts; i++)
+      out_map[i] = bits ? (uint8_t)br.Read(bits) : 0;
+  } else {
+    int use_mtf = (int)br.Read(1);
+    // nested single-context bundle
+    int32_t n_meta[16], n_lz[3], n_cfgs[3 * 8];
+    int32_t n_tables[8 * 5 * 256], n_single[8];
+    uint8_t n_map[8];
+    int ret = DecodeHistogramsImpl(br, 1, num_contexts > 2, depth + 1, n_meta,
+                                   n_lz, n_map, n_cfgs, n_tables, n_single);
+    if (ret != 0) return ret;
+    // run the nested decoder for num_contexts values
+    EntropyDecoder dec;
+    dec.use_prefix = false;
+    int ts = n_meta[8];
+    dec.ans = AnsTables{n_tables, ts, n_meta[9], (1 << n_meta[9]) - 1};
+    dec.context_map = n_map;
+    dec.num_contexts = 1 + (n_meta[0] ? 1 : 0);
+    std::vector<UintConfig> cfgs(n_meta[7]);
+    for (int i = 0; i < n_meta[7]; i++)
+      cfgs[i] = UintConfig{n_cfgs[3 * i], n_cfgs[3 * i + 1], n_cfgs[3 * i + 2]};
+    dec.uint_configs = cfgs.data();
+    dec.lz77 = n_meta[0] != 0;
+    dec.min_symbol = (uint32_t)n_meta[1];
+    dec.min_length = (uint32_t)n_meta[2];
+    dec.dist_multiplier = 0;
+    dec.lz_dist_cluster = n_map[dec.num_contexts - 1];
+    if (dec.lz77) dec.lz_len_config = UintConfig{n_lz[0], n_lz[1], n_lz[2]};
+    dec.Init(br);
+    std::vector<uint32_t> vals(num_contexts);
+    for (int i = 0; i < num_contexts; i++) {
+      vals[i] = dec.ReadUnsigned(br, 0);
+      if (vals[i] > 255) return 1;
+    }
+    if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+    if (use_mtf) {
+      uint8_t mtf[256];
+      for (int i = 0; i < 256; i++) mtf[i] = (uint8_t)i;
+      for (int i = 0; i < num_contexts; i++) {
+        int index = (int)vals[i];
+        uint8_t v = mtf[index];
+        out_map[i] = v;
+        if (index) {
+          for (int j = index; j > 0; j--) mtf[j] = mtf[j - 1];
+          mtf[0] = v;
+        }
+      }
+    } else {
+      for (int i = 0; i < num_contexts; i++) out_map[i] = (uint8_t)vals[i];
+    }
+  }
+  // holes check: distinct values must be exactly max+1
+  int maxv = 0;
+  bool seen[256] = {false};
+  int distinct = 0;
+  for (int i = 0; i < num_contexts; i++) {
+    if (out_map[i] > maxv) maxv = out_map[i];
+    if (!seen[out_map[i]]) { seen[out_map[i]] = true; distinct++; }
+  }
+  if (distinct != maxv + 1) return 1;
+  return 0;
+}
+
+int DecodeHistogramsImpl(
+    BitReader& br, int num_contexts, int allow_lz77, int depth,
+    int32_t* meta, int32_t* lz_cfg, uint8_t* context_map,
+    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles) {
+  if (depth > 2) return 1;
+  int lz77 = (int)br.Read(1);
+  uint32_t min_symbol = 0, min_length = 0;
+  lz_cfg[0] = lz_cfg[1] = lz_cfg[2] = 0;
+  if (lz77) {
+    if (!allow_lz77) return 1;
+    min_symbol = ReadLzMinSymbol(br);
+    min_length = ReadLzMinLength(br);
+    if (DecodeUintConfig(br, 8, lz_cfg)) return 1;
+    num_contexts += 1;
+  }
+  if (num_contexts > 1) {
+    int ret = DecodeContextMap(br, num_contexts, depth, context_map);
+    if (ret != 0) return ret;
+  } else {
+    context_map[0] = 0;
+  }
+  if (br.Read(1)) return kNeedsPython;  // prefix codes: python path
+  int log_alpha = (int)br.Read(2) + 5;
+  int table_size = 1 << log_alpha;
+  int log_bucket = 12 - log_alpha;
+  int bucket_size = 1 << log_bucket;
+  int num_clusters = 0;
+  for (int i = 0; i < num_contexts; i++)
+    if (context_map[i] + 1 > num_clusters) num_clusters = context_map[i] + 1;
+  for (int c = 0; c < num_clusters; c++) {
+    if (DecodeUintConfig(br, log_alpha, uint_cfgs + 3 * c)) return 1;
+  }
+  for (int c = 0; c < num_clusters; c++) {
+    int32_t* t = ans_tables + (int64_t)c * 5 * table_size;
+    if (DecodeDistribution(br, table_size, t)) return 1;
+    singles[c] = -1;
+    for (int i = 0; i < table_size; i++)
+      if (t[i] == 4096) singles[c] = i;
+    BuildAliasMap(table_size, bucket_size, t);
+  }
+  if (br.Overrun()) return 2;
+  meta[0] = lz77;
+  meta[1] = (int32_t)min_symbol;
+  meta[2] = (int32_t)min_length;
+  meta[6] = log_alpha;
+  meta[7] = num_clusters;
+  meta[8] = table_size;
+  meta[9] = log_bucket;
+  return 0;
+}
+
+}  // namespace
+
+// ctypes entry: decode a Histograms bundle. See DecodeHistogramsImpl for
+// the output layout; ans_tables must hold num_contexts(+1) * 5 * 256 ints.
+int jxl_decode_histograms(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos, int num_contexts,
+    int allow_lz77, int32_t* meta, int32_t* lz_cfg, uint8_t* context_map,
+    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles) {
+  BitReader br{data, size, *bit_pos};
+  int ret = DecodeHistogramsImpl(br, num_contexts, allow_lz77, 0, meta, lz_cfg,
+                                 context_map, uint_cfgs, ans_tables, singles);
+  if (ret == 0) *bit_pos = br.pos;
+  return ret;
+}
+
 // Place VarDCT transforms into the block maps (ref modular/mod.rs:1028-1080):
 // raster scan over the LF-group rect, claiming cy x cx rects per entry and
 // skipping already-covered cells. Returns 0 ok; 4 = count mismatch;
