@@ -47,3 +47,48 @@ def test_halo_exchange_matches_mirror():
     # edge shards mirror
     np.testing.assert_array_equal(out[0, :4], x[:4][::-1])
     np.testing.assert_array_equal(out[-1, -4:], x[-4:][::-1])
+
+
+@pytest.mark.slow
+def test_sharded_full_vardct_frame():
+    """Coefficients -> dequant+CfL+IDCT -> 2-D halo exchange -> filters ->
+    color, all under a 2-D group mesh (VERDICT #8): the 2x2-mesh result
+    must match the 1x1-mesh (unsharded) program exactly, and both must
+    match the host decode."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+
+    from jxl_tpu.api.simple import decode_first_frame
+    from jxl_tpu.parallel.sharded_render import sharded_vardct_frame
+
+    import pathlib
+    path = pathlib.Path("/root/reference/jxl/resources/test/green_queen_vardct_e3.jxl")
+    if not path.exists():
+        pytest.skip("corpus not available")
+
+    df = decode_first_frame(path.read_bytes())
+    frame = df.frame
+    coeffs = frame.hf_global.hf_coefficients
+    if not coeffs:
+        pytest.skip("no retained coefficients")
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("gy", "gx"))
+    mesh4 = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("gy", "gx"))
+    out1 = sharded_vardct_frame(mesh1, frame, coeffs)
+    out4 = sharded_vardct_frame(mesh4, frame, coeffs)
+    assert out1.shape == out4.shape
+    np.testing.assert_allclose(out4, out1, rtol=2e-5, atol=2e-5)
+
+    # end-to-end: matches the host decode of the same frame
+    from jxl_tpu.render.simple import color_transform, render_frame_channels_ex
+
+    planes, color_done, _ = render_frame_channels_ex(frame, fuse=False)
+    if not color_done:
+        planes = color_transform(frame, planes)
+    ref = np.stack([np.asarray(p) for p in planes[:3]])
+    h = min(ref.shape[1], out1.shape[1])
+    w = min(ref.shape[2], out1.shape[2])
+    np.testing.assert_allclose(
+        out1[:, :h, :w], ref[:, :h, :w], rtol=2e-3, atol=2e-3
+    )
