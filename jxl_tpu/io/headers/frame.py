@@ -123,7 +123,10 @@ class BlendingInfo:
     @staticmethod
     def read(br: BitReader, num_extra_channels: int, full_frame: bool) -> "BlendingInfo":
         b = BlendingInfo()
-        b.mode = BlendingMode(U32(Val(0), Val(1), Val(2), BitsOffset(2, 3)).read(br))
+        raw_mode = U32(Val(0), Val(1), Val(2), BitsOffset(2, 3)).read(br)
+        if raw_mode > BlendingMode.MUL:
+            raise InvalidBitstream(f"invalid blending mode {raw_mode}")
+        b.mode = BlendingMode(raw_mode)
         uses_alpha = b.mode in (BlendingMode.BLEND, BlendingMode.ALPHA_WEIGHTED_ADD)
         if num_extra_channels > 0 and uses_alpha:
             b.alpha_channel = U32(Val(0), Val(1), Val(2), BitsOffset(3, 3)).read(br)

@@ -86,3 +86,58 @@ def test_untrusted_toc_no_huge_alloc():
         mutated = bytearray(data)
         mutated[off] = 0xFF
         try_decode(bytes(mutated))
+
+
+def _rss_mb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SEEDS + [
+    "has_permutation.jxl",
+    "with_icc.jxl",
+    "gray_alpha_lossless.jxl",
+    "8x8_noise.jxl",
+])
+def test_bitflip_fuzz_deep(name):
+    """10x the fast tier's mutation count, with wall-clock and RSS guards
+    (the deterministic analog of the reference's continuous libfuzzer
+    decode target, jxl/fuzz/fuzz_targets/decode.rs)."""
+    import time
+
+    path = CORPUS / name
+    if not path.exists():
+        pytest.skip("corpus not available")
+    data = bytearray(path.read_bytes())
+    rng = random.Random(98765)
+    rss_before = _rss_mb()
+    for i in range(600):
+        mutated = bytearray(data)
+        for _ in range(rng.randint(1, 12)):
+            pos = rng.randrange(len(mutated))
+            mutated[pos] ^= 1 << rng.randrange(8)
+        t0 = time.perf_counter()
+        try_decode(bytes(mutated))
+        assert time.perf_counter() - t0 < 30, f"hang on mutation {i}"
+    assert _rss_mb() - rss_before < 2048, "fuzzing leaked >2GB RSS"
+
+
+@pytest.mark.slow
+def test_byte_splice_fuzz():
+    """Cross-file byte splices: chunks of one valid file inserted into
+    another exercise header/TOC/section boundary confusion."""
+    import time
+
+    a = (CORPUS / SEEDS[0]).read_bytes()
+    b = (CORPUS / SEEDS[3]).read_bytes()
+    rng = random.Random(42)
+    for i in range(200):
+        cut_a = rng.randrange(len(a))
+        cut_b = rng.randrange(len(b))
+        ln = rng.randrange(1, 64)
+        mutated = a[:cut_a] + b[cut_b : cut_b + ln] + a[cut_a:]
+        t0 = time.perf_counter()
+        try_decode(mutated)
+        assert time.perf_counter() - t0 < 30, f"hang on splice {i}"
