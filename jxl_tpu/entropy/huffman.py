@@ -323,6 +323,34 @@ class Table:
         return self.values[pos]
 
 
+class NativeHuffmanCodes:
+    """HuffmanCodes over two-level tables decoded by the native library:
+    concatenated bits/values arrays with per-cluster offsets (the exact
+    wire layout of pack_entropy's prefix path)."""
+
+    __slots__ = ("offsets", "bits", "values", "singles")
+
+    def __init__(self, offsets, bits, values, singles):
+        self.offsets = offsets
+        self.bits = bits
+        self.values = values
+        self.singles = singles
+
+    def read(self, br: BitReader, ctx: int) -> int:
+        base = int(self.offsets[ctx])
+        pos = base + br.peek(TABLE_BITS)
+        n_bits = int(self.bits[pos])
+        if n_bits > TABLE_BITS:
+            br.pos += TABLE_BITS
+            pos += int(self.values[pos]) + br.peek(n_bits - TABLE_BITS)
+        br.pos += int(self.bits[pos])
+        return int(self.values[pos])
+
+    def single_symbol(self, ctx: int):
+        s = int(self.singles[ctx])
+        return None if s < 0 else s
+
+
 class HuffmanCodes:
     __slots__ = ("tables",)
 

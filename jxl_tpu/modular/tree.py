@@ -56,6 +56,36 @@ class Tree:
     @staticmethod
     def read(br: BitReader, size_limit: int) -> "Tree":
         tree_histograms = Histograms.decode(_NUM_TREE_CONTEXTS, br, allow_lz77=True)
+
+        from .. import native
+
+        if native.available():
+            res = native.decode_tree_native(tree_histograms, br, size_limit)
+            if res is not None:
+                arr, max_property = res
+                nodes = []
+                for row in arr.tolist():
+                    node = TreeNode()
+                    if row[0] >= 0:
+                        node.property = row[0]
+                        node.splitval = row[1]
+                        node.left = row[2]
+                        node.right = row[3]
+                    else:
+                        node.predictor = Predictor(row[4])
+                        node.offset = row[5]
+                        node.multiplier = row[6]
+                        node.context = row[7]
+                    nodes.append(node)
+                t = Tree.__new__(Tree)
+                t.nodes = nodes
+                t.num_properties = max_property + 1
+                t._validate()
+                t.histograms = Histograms.decode(
+                    (len(nodes) + 1) // 2, br, allow_lz77=True
+                )
+                return t
+
         reader = SymbolReader(tree_histograms, br)
         nodes: list[TreeNode] = []
         to_decode = 1

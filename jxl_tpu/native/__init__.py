@@ -53,6 +53,8 @@ def get_lib():
         lib.jxl_decode_vardct_ac.restype = ctypes.c_int
         lib.jxl_place_transforms.restype = ctypes.c_int
         lib.jxl_decode_histograms.restype = ctypes.c_int
+        lib.jxl_decode_tree.restype = ctypes.c_int
+        lib.jxl_read_permutations.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -83,9 +85,39 @@ def pack_entropy(histograms):
 
 def _pack_entropy(histograms):
     from ..entropy.ans import NativeAnsCodes
+    from ..entropy.huffman import NativeHuffmanCodes
 
     n_clusters = histograms.num_histograms
     use_prefix = histograms.use_prefix_code
+    if isinstance(histograms.codes, NativeHuffmanCodes):
+        ctx_map = np.array(histograms.context_map, dtype=np.uint8)
+        cfgs = np.zeros((n_clusters, 3), dtype=np.int32)
+        for c in range(n_clusters):
+            u = histograms.uint_configs[c]
+            cfgs[c] = (u.split_exponent, u.msb_in_token, u.lsb_in_token)
+        if histograms.lz77_enabled:
+            lz = histograms.lz77_length_uint
+            lz_cfg = np.array(
+                [lz.split_exponent, lz.msb_in_token, lz.lsb_in_token], np.int32
+            )
+        else:
+            lz_cfg = np.zeros(3, dtype=np.int32)
+        return {
+            "use_prefix": 1,
+            "ans_tables": np.zeros(1, dtype=np.int32),
+            "table_size": 0,
+            "log_bucket": 0,
+            "huff_offsets": histograms.codes.offsets,
+            "huff_bits": histograms.codes.bits,
+            "huff_values": histograms.codes.values,
+            "context_map": ctx_map,
+            "uint_configs": cfgs,
+            "lz77": int(histograms.lz77_enabled),
+            "min_symbol": histograms.lz77_min_symbol,
+            "min_length": histograms.lz77_min_length,
+            "lz_cfg": lz_cfg,
+            "lz_dist_cluster": histograms.lz_dist_cluster,
+        }
     if isinstance(histograms.codes, NativeAnsCodes):
         # natively-decoded tables are already in the packed wire layout
         ctx_map = np.array(histograms.context_map, dtype=np.uint8)
@@ -197,17 +229,27 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     cfgs = np.zeros((max_clusters, 3), dtype=np.int32)
     tables = np.zeros((max_clusters, 5, 256), dtype=np.int32)
     singles = np.zeros(max_clusters, dtype=np.int32)
+    huff_off = np.zeros(max_clusters, dtype=np.int32)
+    huff_cap = 1 << 14
     data = br.data if isinstance(br.data, bytes) else bytes(br.data)
-    bit_pos = ctypes.c_uint64(br.pos)
-    ret = lib.jxl_decode_histograms(
-        data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
-        ctypes.c_int(num_contexts), ctypes.c_int(1 if allow_lz77 else 0),
-        _ptr(meta, ctypes.c_int32), _ptr(lz_cfg, ctypes.c_int32),
-        _ptr(cmap, ctypes.c_uint8), _ptr(cfgs, ctypes.c_int32),
-        _ptr(tables, ctypes.c_int32), _ptr(singles, ctypes.c_int32),
-    )
+    while True:
+        huff_bits = np.zeros(huff_cap, dtype=np.int32)
+        huff_vals = np.zeros(huff_cap, dtype=np.int32)
+        bit_pos = ctypes.c_uint64(br.pos)
+        ret = lib.jxl_decode_histograms(
+            data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+            ctypes.c_int(num_contexts), ctypes.c_int(1 if allow_lz77 else 0),
+            _ptr(meta, ctypes.c_int32), _ptr(lz_cfg, ctypes.c_int32),
+            _ptr(cmap, ctypes.c_uint8), _ptr(cfgs, ctypes.c_int32),
+            _ptr(tables, ctypes.c_int32), _ptr(singles, ctypes.c_int32),
+            _ptr(huff_off, ctypes.c_int32), _ptr(huff_bits, ctypes.c_int32),
+            _ptr(huff_vals, ctypes.c_int32), ctypes.c_int64(huff_cap),
+        )
+        if ret != 9:
+            break
+        huff_cap = max(huff_cap * 2, int(meta[11]))
     if ret == 8:
-        return None  # prefix codes: python path
+        return None  # needs the python oracle
     if ret == 2:
         raise OutOfBounds(1)
     if ret != 0:
@@ -226,7 +268,7 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     n_ctx = num_contexts + (1 if h.lz77_enabled else 0)
     h.context_map = cmap[:n_ctx].tolist()
     h.lz_dist_cluster = h.context_map[-1] if h.lz77_enabled else 0
-    h.use_prefix_code = False
+    h.use_prefix_code = bool(meta[10])
     h.log_alpha_size = int(meta[6])
     num_clusters = int(meta[7])
     table_size = int(meta[8])
@@ -234,13 +276,24 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
         HybridUint(int(cfgs[c, 0]), int(cfgs[c, 1]), int(cfgs[c, 2]))
         for c in range(num_clusters)
     ]
-    # the native decoder packs clusters contiguously at stride table_size
-    packed = (
-        tables.reshape(-1)[: num_clusters * 5 * table_size]
-        .reshape(num_clusters, 5, table_size)
-        .copy()
-    )
-    h.codes = NativeAnsCodes(packed, singles[:num_clusters].copy(), int(meta[9]))
+    if h.use_prefix_code:
+        from ..entropy.huffman import NativeHuffmanCodes
+
+        n = int(meta[11])
+        h.codes = NativeHuffmanCodes(
+            huff_off[:num_clusters].copy(), huff_bits[:n].copy(),
+            huff_vals[:n].copy(), singles[:num_clusters].copy(),
+        )
+    else:
+        # the native decoder packs clusters contiguously at stride table_size
+        packed = (
+            tables.reshape(-1)[: num_clusters * 5 * table_size]
+            .reshape(num_clusters, 5, table_size)
+            .copy()
+        )
+        h.codes = NativeAnsCodes(
+            packed, singles[:num_clusters].copy(), int(meta[9])
+        )
     return h
 
 
@@ -252,6 +305,97 @@ def pack_tree(tree) -> np.ndarray:
         else:
             nodes[i] = (n.property, n.splitval, n.left, n.right, 0, 0, 1, 0)
     return nodes
+
+
+def _entropy_args(ent, dist_multiplier: int = 0):
+    """The shared ctypes argument tail for packed entropy tables."""
+    return (
+        ctypes.c_int(ent["use_prefix"]),
+        _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
+        ctypes.c_int(ent["log_bucket"]),
+        _ptr(ent["huff_offsets"], ctypes.c_int32),
+        _ptr(ent["huff_bits"], ctypes.c_int32),
+        _ptr(ent["huff_values"], ctypes.c_int32),
+        _ptr(ent["context_map"], ctypes.c_uint8),
+        ctypes.c_int(len(ent["context_map"])),
+        _ptr(ent["uint_configs"], ctypes.c_int32),
+        ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
+        ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
+        ctypes.c_int(ent["lz_dist_cluster"]), ctypes.c_uint32(dist_multiplier),
+    )
+
+
+def decode_tree_native(histograms, br, size_limit: int):
+    """MA-tree node loop natively. Returns (nodes_arr (N,8) int32,
+    max_property) or None when unavailable; raises on bitstream errors."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import InvalidBitstream, OutOfBounds
+
+    ent = pack_entropy(histograms)
+    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    cap = 1 << 12
+    while True:
+        nodes = np.zeros((cap, 8), dtype=np.int32)
+        count = ctypes.c_int64(0)
+        max_prop = ctypes.c_int32(0)
+        bit_pos = ctypes.c_uint64(br.pos)
+        ret = lib.jxl_decode_tree(
+            data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+            *_entropy_args(ent),
+            ctypes.c_int64(size_limit), ctypes.c_int64(cap),
+            _ptr(nodes, ctypes.c_int32), ctypes.byref(count),
+            ctypes.byref(max_prop),
+        )
+        if ret != 9:
+            break
+        cap *= 4
+    if ret == 2:
+        raise OutOfBounds(1)
+    if ret != 0:
+        raise InvalidBitstream(f"native tree decode failed (code {ret})")
+    br.pos = bit_pos.value
+    return nodes[: count.value], int(max_prop.value)
+
+
+def read_permutations_native(histograms, br, sizes, skips, check_final: bool):
+    """Decode a sequence of Lehmer permutation codes sharing one decoder
+    state. Returns (ends list, lehmer value arrays list) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import InvalidBitstream, OutOfBounds
+
+    ent = pack_entropy(histograms)
+    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    sz = np.asarray(sizes, dtype=np.uint32)
+    sk = np.asarray(skips, dtype=np.uint32)
+    cap = max(int(sz.sum()), 1)
+    lehmer = np.zeros(cap, dtype=np.uint32)
+    ends = np.zeros(len(sizes), dtype=np.int64)
+    bit_pos = ctypes.c_uint64(br.pos)
+    ret = lib.jxl_read_permutations(
+        data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+        *_entropy_args(ent),
+        ctypes.c_int(len(sizes)), _ptr(sz, ctypes.c_uint32),
+        _ptr(sk, ctypes.c_uint32), _ptr(lehmer, ctypes.c_uint32),
+        ctypes.c_int64(cap), _ptr(ends, ctypes.c_int64),
+        ctypes.c_int(1 if check_final else 0),
+    )
+    if ret == 2:
+        raise OutOfBounds(1)
+    if ret == 3:
+        raise InvalidBitstream("invalid permutation size")
+    if ret != 0:
+        raise InvalidBitstream(f"native permutation decode failed (code {ret})")
+    br.pos = bit_pos.value
+    out = []
+    pos = 0
+    for e in ends.tolist():
+        out.append(lehmer[pos : pos + e])
+        pos += e
+    return out
 
 
 def read_unsigned_run(histograms, br, ctx: int, count: int,

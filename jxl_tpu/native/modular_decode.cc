@@ -9,6 +9,7 @@
 // this library consumes raw section bytes and fills channel planes /
 // coefficient buffers.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -1082,12 +1083,283 @@ uint32_t ReadLzMinLength(BitReader& br) {
   }
 }
 
+// ---- Brotli-style prefix codes (ref entropy_coding/huffman.rs) ----------
+
+constexpr int kHuffMaxBits = 15;
+constexpr int kHuffTableBits = 8;
+constexpr int kHuffTableSize = 1 << kHuffTableBits;
+
+int DecodeVarint16(BitReader& br) {
+  if (!br.Read(1)) return 0;
+  int nbits = (int)br.Read(4);
+  if (nbits == 0) return 1;
+  return (1 << nbits) + (int)br.Read(nbits);
+}
+
+int NextKey(int key, int length) {
+  int step = 1 << (length - 1);
+  while (key & step) step >>= 1;
+  return step ? (key & (step - 1)) + step : 0;
+}
+
+int NextTableBits(const int* counts, int length, int root_bits) {
+  int left = 1 << (length - root_bits);
+  while (length < kHuffMaxBits) {
+    if (left <= counts[length]) break;
+    left -= counts[length];
+    length += 1;
+    left <<= 1;
+  }
+  return length - root_bits;
+}
+
+// Build the two-level table from code lengths (mirror of python
+// Table.from_code_lengths). Appends to bits/values vectors.
+int HuffFromCodeLengths(int root_bits, const std::vector<int>& code_lengths,
+                        std::vector<int32_t>& bits,
+                        std::vector<int32_t>& values) {
+  if ((int)code_lengths.size() > (1 << kHuffMaxBits)) return 1;
+  int counts[kHuffMaxBits + 1] = {0};
+  for (int v : code_lengths) counts[v]++;
+  int offsets[kHuffMaxBits + 1] = {0};
+  int max_length = 1, total = 0;
+  for (int length = 1; length <= kHuffMaxBits; length++) {
+    offsets[length] = total;
+    if (counts[length]) {
+      total += counts[length];
+      max_length = length;
+    }
+  }
+  std::vector<int> sorted_syms(code_lengths.size(), 0);
+  for (int sym = 0; sym < (int)code_lengths.size(); sym++) {
+    int length = code_lengths[sym];
+    if (length) sorted_syms[offsets[length]++] = sym;
+  }
+
+  int table_bits = root_bits;
+  int table_size = 1 << table_bits;
+  bits.assign(table_size, 0);
+  values.assign(table_size, 0);
+
+  if (counts[kHuffMaxBits] == 0 && total == 1) {
+    for (int i = 0; i < table_size; i++) values[i] = sorted_syms[0];
+    return 0;
+  }
+
+  int cc[kHuffMaxBits + 1];
+  for (int i = 0; i <= kHuffMaxBits; i++) cc[i] = counts[i];
+  if (table_bits > max_length) {
+    table_bits = max_length;
+    table_size = 1 << table_bits;
+  }
+
+  int key = 0, sym_idx = 0, step = 2;
+  for (int length = 1; length <= table_bits; length++) {
+    while (cc[length]) {
+      int value = sorted_syms[sym_idx++];
+      for (int pos = key; pos < table_size; pos += step) {
+        bits[pos] = length;
+        values[pos] = value;
+      }
+      key = NextKey(key, length);
+      cc[length]--;
+    }
+    step <<= 1;
+  }
+
+  int full_root = 1 << root_bits;
+  while (table_size < full_root) {
+    for (int i = 0; i < table_size; i++) {
+      bits[table_size + i] = bits[i];
+      values[table_size + i] = values[i];
+    }
+    table_size <<= 1;
+  }
+  table_size = full_root;
+
+  int mask = full_root - 1;
+  int low = -1, table_pos = 0, sub_size = 0, sub_bits = 0;
+  step = 2;
+  for (int length = root_bits + 1; length <= max_length; length++) {
+    while (cc[length]) {
+      if ((key & mask) != low) {
+        table_pos += sub_size ? sub_size : full_root;
+        sub_bits = NextTableBits(cc, length, root_bits);
+        sub_size = 1 << sub_bits;
+        low = key & mask;
+        bits[low] = sub_bits + root_bits;
+        values[low] = table_pos - low;
+        size_t need = (size_t)table_pos + sub_size;
+        if (bits.size() < need) {
+          bits.resize(need, 0);
+          values.resize(need, 0);
+        }
+      }
+      cc[length]--;
+      int nb = length - root_bits;
+      int value = sorted_syms[sym_idx++];
+      for (int pos = table_pos + (key >> root_bits); pos < table_pos + sub_size;
+           pos += step) {
+        bits[pos] = nb;
+        values[pos] = value;
+      }
+      key = NextKey(key, length);
+    }
+    step <<= 1;
+  }
+  return 0;
+}
+
+struct StaticLenLut {
+  uint8_t sym[16];
+  uint8_t len[16];
+  StaticLenLut() {
+    static const int codes[6][2] = {{0b00, 2},  {0b0111, 4}, {0b011, 3},
+                                    {0b10, 2},  {0b01, 2},   {0b1111, 4}};
+    for (int i = 0; i < 16; i++) { sym[i] = 0; len[i] = 0; }
+    for (int s = 0; s < 6; s++) {
+      int code = codes[s][0], length = codes[s][1];
+      for (int high = 0; high < (1 << (4 - length)); high++) {
+        int idx = (high << length) | code;
+        sym[idx] = (uint8_t)s;
+        len[idx] = (uint8_t)length;
+      }
+    }
+  }
+};
+
+int HuffDecodeOne(BitReader& br, int al_size, std::vector<int32_t>& bits,
+                  std::vector<int32_t>& values) {
+  static const int kOrder[18] = {1, 2, 3,  4,  0,  5,  17, 6,  16,
+                                 7, 8, 9, 10, 11, 12, 13, 14, 15};
+  static const StaticLenLut slut;
+  if (al_size == 1) {
+    bits.assign(kHuffTableSize, 0);
+    values.assign(kHuffTableSize, 0);
+    return 0;
+  }
+  if (al_size >= (1 << kHuffMaxBits)) return 1;
+  int simple_or_skip = (int)br.Read(2);
+  if (simple_or_skip == 1) {
+    int max_bits = CeilLog2i(al_size);
+    int num_symbols = (int)br.Read(2) + 1;
+    int syms[4];
+    for (int i = 0; i < num_symbols; i++) {
+      syms[i] = (int)br.Read(max_bits);
+      if (syms[i] >= al_size) return 1;
+      for (int j = 0; j < i; j++)
+        if (syms[j] == syms[i]) return 1;
+    }
+    bool tree_select = num_symbols == 4 ? br.Read(1) != 0 : false;
+    bits.assign(kHuffTableSize, 0);
+    values.assign(kHuffTableSize, 0);
+    if (num_symbols == 1) {
+      for (int i = 0; i < kHuffTableSize; i++) values[i] = syms[0];
+    } else if (num_symbols == 2) {
+      int a = syms[0] < syms[1] ? syms[0] : syms[1];
+      int b = syms[0] < syms[1] ? syms[1] : syms[0];
+      for (int i = 0; i < kHuffTableSize; i++) {
+        bits[i] = 1;
+        values[i] = (i & 1) ? b : a;
+      }
+    } else if (num_symbols == 3) {
+      int a = syms[0];
+      int b = syms[1] < syms[2] ? syms[1] : syms[2];
+      int cc = syms[1] < syms[2] ? syms[2] : syms[1];
+      for (int i = 0; i < kHuffTableSize; i++) {
+        if ((i & 1) == 0) { bits[i] = 1; values[i] = a; }
+        else if ((i & 3) == 0b01) { bits[i] = 2; values[i] = b; }
+        else { bits[i] = 2; values[i] = cc; }
+      }
+    } else if (!tree_select) {
+      int s[4] = {syms[0], syms[1], syms[2], syms[3]};
+      std::sort(s, s + 4);
+      int vals[4] = {s[0], s[2], s[1], s[3]};
+      for (int i = 0; i < kHuffTableSize; i++) {
+        bits[i] = 2;
+        values[i] = vals[i & 3];
+      }
+    } else {
+      int a = syms[0], b = syms[1];
+      int clo = syms[2] < syms[3] ? syms[2] : syms[3];
+      int chi = syms[2] < syms[3] ? syms[3] : syms[2];
+      for (int i = 0; i < kHuffTableSize; i++) {
+        if ((i & 1) == 0) { bits[i] = 1; values[i] = a; }
+        else if ((i & 3) == 0b01) { bits[i] = 2; values[i] = b; }
+        else if ((i & 7) == 0b011) { bits[i] = 3; values[i] = clo; }
+        else { bits[i] = 3; values[i] = chi; }
+      }
+    }
+    return 0;
+  }
+  // complex: code-length code
+  std::vector<int> cl_lengths(18, 0);
+  int space = 32, num_codes = 0;
+  for (int i = simple_or_skip; i < 18; i++) {
+    if (space <= 0) break;
+    uint32_t peek = (uint32_t)br.Peek(4);
+    int sym = slut.sym[peek];
+    br.pos += slut.len[peek];
+    cl_lengths[kOrder[i]] = sym;
+    if (sym) {
+      space -= 32 >> sym;
+      num_codes++;
+    }
+  }
+  if (num_codes != 1 && space != 0) return 1;
+  // read code lengths with a 5-bit root table over cl_lengths
+  std::vector<int32_t> clb, clv;
+  if (HuffFromCodeLengths(5, cl_lengths, clb, clv)) return 1;
+  std::vector<int> code_lengths(al_size, 0);
+  {
+    int symbol = 0, prev_len = 8, repeat = 0, repeat_len = 0;
+    int space2 = 1 << 15;
+    while (symbol < al_size && space2 > 0) {
+      uint32_t idx = (uint32_t)br.Peek(5);
+      br.pos += clb[idx];
+      int code_len = clv[idx];
+      if (code_len < 16) {
+        repeat = 0;
+        code_lengths[symbol++] = code_len;
+        if (code_len) {
+          prev_len = code_len;
+          space2 -= 32768 >> code_len;
+          if (space2 < 0) return 1;
+        }
+      } else {
+        int extra_bits = code_len - 14;
+        int new_len = code_len == 16 ? prev_len : 0;
+        if (repeat_len != new_len) {
+          repeat = 0;
+          repeat_len = new_len;
+        }
+        int old_repeat = repeat;
+        if (repeat > 0) repeat = (repeat - 2) << extra_bits;
+        repeat += (int)br.Read(extra_bits) + 3;
+        int delta = repeat - old_repeat;
+        if (symbol + delta > al_size) return 1;
+        for (int i = 0; i < delta; i++) code_lengths[symbol + i] = repeat_len;
+        symbol += delta;
+        if (repeat_len) {
+          space2 -= delta << (15 - repeat_len);
+          if (space2 < 0) return 1;
+        }
+      }
+    }
+    if (space2 != 0) return 1;
+  }
+  return HuffFromCodeLengths(kHuffTableBits, code_lengths, bits, values);
+}
+
 // Full bundle decode. Returns 0 ok / 1 error / 2 overrun / 8 needs-python
-// (prefix codes). depth guards the nested context-map recursion.
+// (unused; prefix codes are handled natively too). depth guards the
+// nested context-map recursion.
 int DecodeHistogramsImpl(
     BitReader& br, int num_contexts, int allow_lz77, int depth,
     int32_t* meta, int32_t* lz_cfg, uint8_t* context_map,
-    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles);
+    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles,
+    std::vector<int32_t>* huff_offsets, std::vector<int32_t>* huff_bits,
+    std::vector<int32_t>* huff_values);
 
 // Entropy-coded context map (ref context_map.rs:43-76).
 int DecodeContextMap(BitReader& br, int num_contexts, int depth,
@@ -1102,14 +1374,18 @@ int DecodeContextMap(BitReader& br, int num_contexts, int depth,
     int32_t n_meta[16], n_lz[3], n_cfgs[3 * 8];
     int32_t n_tables[8 * 5 * 256], n_single[8];
     uint8_t n_map[8];
+    std::vector<int32_t> n_hoff, n_hbits, n_hvals;
     int ret = DecodeHistogramsImpl(br, 1, num_contexts > 2, depth + 1, n_meta,
-                                   n_lz, n_map, n_cfgs, n_tables, n_single);
+                                   n_lz, n_map, n_cfgs, n_tables, n_single,
+                                   &n_hoff, &n_hbits, &n_hvals);
     if (ret != 0) return ret;
     // run the nested decoder for num_contexts values
     EntropyDecoder dec;
-    dec.use_prefix = false;
+    dec.use_prefix = n_meta[10] != 0;
     int ts = n_meta[8];
     dec.ans = AnsTables{n_tables, ts, n_meta[9], (1 << n_meta[9]) - 1};
+    if (dec.use_prefix)
+      dec.huff = HuffTables{n_hoff.data(), n_hbits.data(), n_hvals.data()};
     dec.context_map = n_map;
     dec.num_contexts = 1 + (n_meta[0] ? 1 : 0);
     std::vector<UintConfig> cfgs(n_meta[7]);
@@ -1160,7 +1436,9 @@ int DecodeContextMap(BitReader& br, int num_contexts, int depth,
 int DecodeHistogramsImpl(
     BitReader& br, int num_contexts, int allow_lz77, int depth,
     int32_t* meta, int32_t* lz_cfg, uint8_t* context_map,
-    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles) {
+    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles,
+    std::vector<int32_t>* huff_offsets, std::vector<int32_t>* huff_bits,
+    std::vector<int32_t>* huff_values) {
   if (depth > 2) return 1;
   int lz77 = (int)br.Read(1);
   uint32_t min_symbol = 0, min_length = 0;
@@ -1178,24 +1456,43 @@ int DecodeHistogramsImpl(
   } else {
     context_map[0] = 0;
   }
-  if (br.Read(1)) return kNeedsPython;  // prefix codes: python path
-  int log_alpha = (int)br.Read(2) + 5;
-  int table_size = 1 << log_alpha;
-  int log_bucket = 12 - log_alpha;
-  int bucket_size = 1 << log_bucket;
+  int use_prefix = (int)br.Read(1);
+  int log_alpha = use_prefix ? kHuffMaxBits : (int)br.Read(2) + 5;
+  int table_size = use_prefix ? 0 : 1 << log_alpha;
+  int log_bucket = use_prefix ? 0 : 12 - log_alpha;
   int num_clusters = 0;
   for (int i = 0; i < num_contexts; i++)
     if (context_map[i] + 1 > num_clusters) num_clusters = context_map[i] + 1;
   for (int c = 0; c < num_clusters; c++) {
     if (DecodeUintConfig(br, log_alpha, uint_cfgs + 3 * c)) return 1;
   }
-  for (int c = 0; c < num_clusters; c++) {
-    int32_t* t = ans_tables + (int64_t)c * 5 * table_size;
-    if (DecodeDistribution(br, table_size, t)) return 1;
-    singles[c] = -1;
-    for (int i = 0; i < table_size; i++)
-      if (t[i] == 4096) singles[c] = i;
-    BuildAliasMap(table_size, bucket_size, t);
+  if (use_prefix) {
+    std::vector<int> sizes(num_clusters);
+    for (int c = 0; c < num_clusters; c++) {
+      sizes[c] = DecodeVarint16(br) + 1;
+      if (sizes[c] >= (1 << kHuffMaxBits)) return 1;
+    }
+    huff_offsets->assign(num_clusters, 0);
+    huff_bits->clear();
+    huff_values->clear();
+    for (int c = 0; c < num_clusters; c++) {
+      std::vector<int32_t> tb, tv;
+      if (HuffDecodeOne(br, sizes[c], tb, tv)) return 1;
+      (*huff_offsets)[c] = (int32_t)huff_bits->size();
+      huff_bits->insert(huff_bits->end(), tb.begin(), tb.end());
+      huff_values->insert(huff_values->end(), tv.begin(), tv.end());
+      singles[c] = tb[0] == 0 ? tv[0] : -1;
+    }
+  } else {
+    int bucket_size = 1 << log_bucket;
+    for (int c = 0; c < num_clusters; c++) {
+      int32_t* t = ans_tables + (int64_t)c * 5 * table_size;
+      if (DecodeDistribution(br, table_size, t)) return 1;
+      singles[c] = -1;
+      for (int i = 0; i < table_size; i++)
+        if (t[i] == 4096) singles[c] = i;
+      BuildAliasMap(table_size, bucket_size, t);
+    }
   }
   if (br.Overrun()) return 2;
   meta[0] = lz77;
@@ -1205,21 +1502,225 @@ int DecodeHistogramsImpl(
   meta[7] = num_clusters;
   meta[8] = table_size;
   meta[9] = log_bucket;
+  meta[10] = use_prefix;
   return 0;
 }
 
 }  // namespace
 
+namespace {
+
+// Shared ctypes-args -> EntropyDecoder setup (same packing everywhere).
+void SetupDecoder(EntropyDecoder& dec, std::vector<UintConfig>& cfgs,
+                  int use_prefix, const int32_t* ans_tables,
+                  int ans_table_size, int ans_log_bucket,
+                  const int32_t* huff_offsets, const int32_t* huff_bits,
+                  const int32_t* huff_values, const uint8_t* context_map,
+                  int num_contexts, const int32_t* uint_configs,
+                  int lz77_enabled, uint32_t min_symbol, uint32_t min_length,
+                  const int32_t* lz_config, int lz_dist_cluster,
+                  uint32_t dist_multiplier) {
+  dec.use_prefix = use_prefix != 0;
+  dec.ans = AnsTables{ans_tables, ans_table_size, ans_log_bucket,
+                      (1 << ans_log_bucket) - 1};
+  dec.huff = HuffTables{huff_offsets, huff_bits, huff_values};
+  dec.context_map = context_map;
+  dec.num_contexts = num_contexts;
+  int n_clusters = 0;
+  for (int i = 0; i < num_contexts; i++)
+    if (context_map[i] + 1 > n_clusters) n_clusters = context_map[i] + 1;
+  cfgs.resize(n_clusters);
+  for (int i = 0; i < n_clusters; i++)
+    cfgs[i] = UintConfig{uint_configs[3 * i], uint_configs[3 * i + 1],
+                         uint_configs[3 * i + 2]};
+  dec.uint_configs = cfgs.data();
+  dec.lz77 = lz77_enabled != 0;
+  dec.min_symbol = min_symbol;
+  dec.min_length = min_length;
+  dec.dist_multiplier = dist_multiplier;
+  dec.lz_dist_cluster = lz_dist_cluster;
+  if (lz77_enabled)
+    dec.lz_len_config = UintConfig{lz_config[0], lz_config[1], lz_config[2]};
+}
+
+}  // namespace
+
+#define ENTROPY_PARAMS                                                        \
+  int use_prefix, const int32_t* ans_tables, int ans_table_size,              \
+      int ans_log_bucket, const int32_t* huff_offsets,                        \
+      const int32_t* huff_bits, const int32_t* huff_values,                   \
+      const uint8_t* context_map, int num_contexts,                           \
+      const int32_t* uint_configs, int lz77_enabled, uint32_t min_symbol,     \
+      uint32_t min_length, const int32_t* lz_config, int lz_dist_cluster,     \
+      uint32_t dist_multiplier
+
+#define ENTROPY_ARGS                                                          \
+  use_prefix, ans_tables, ans_table_size, ans_log_bucket, huff_offsets,       \
+      huff_bits, huff_values, context_map, num_contexts, uint_configs,        \
+      lz77_enabled, min_symbol, min_length, lz_config, lz_dist_cluster,       \
+      dist_multiplier
+
+// MA-tree node loop (ref frame/modular/tree.rs:285-363 / python
+// tree.py Tree.read). out_nodes rows: property, splitval, left, right,
+// predictor, offset, multiplier, context (pack_tree layout). Returns 0 ok,
+// 1 entropy error, 2 overrun, 3 invalid value, 9 cap exceeded.
+static int jxl_decode_tree_impl(
+    BitReader& br, EntropyDecoder& dec, int64_t size_limit, int64_t cap,
+    int32_t* out_nodes, int64_t* out_count, int32_t* out_max_prop,
+    uint64_t* bit_pos);
+
+int jxl_decode_tree(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos, ENTROPY_PARAMS,
+    int64_t size_limit, int64_t cap, int32_t* out_nodes, int64_t* out_count,
+    int32_t* out_max_prop) {
+  BitReader br{data, size, *bit_pos};
+  EntropyDecoder dec;
+  std::vector<UintConfig> cfgs;
+  SetupDecoder(dec, cfgs, ENTROPY_ARGS);
+  dec.Init(br);
+  int ret = jxl_decode_tree_impl(br, dec, size_limit, cap, out_nodes,
+                                 out_count, out_max_prop, bit_pos);
+  if ((ret == 1 || ret == 3) && br.Overrun()) return 2;
+  return ret;
+}
+
+static int jxl_decode_tree_impl(
+    BitReader& br, EntropyDecoder& dec, int64_t size_limit, int64_t cap,
+    int32_t* out_nodes, int64_t* out_count, int32_t* out_max_prop,
+    uint64_t* bit_pos) {
+  int64_t count = 0;
+  int64_t to_decode = 1;
+  int32_t leaf_id = 0;
+  int32_t max_property = 0;
+  while (to_decode > 0) {
+    if (count > size_limit) return 3;
+    if (count >= cap) return 9;
+    to_decode--;
+    int32_t* n = out_nodes + count * 8;
+    uint32_t prop_plus1 = dec.ReadUnsigned(br, 1);
+    if (prop_plus1 > 0) {
+      uint32_t prop = prop_plus1 - 1;
+      if (prop > 255) return 3;
+      if ((int32_t)prop > max_property) max_property = (int32_t)prop;
+      uint32_t sv = dec.ReadUnsigned(br, 0);
+      int32_t splitval =
+          (sv & 1) ? -(int32_t)((sv + 1) >> 1) : (int32_t)(sv >> 1);
+      n[0] = (int32_t)prop;
+      n[1] = splitval;
+      n[2] = (int32_t)(count + to_decode + 1);
+      n[3] = n[2] + 1;
+      n[4] = 0; n[5] = 0; n[6] = 1; n[7] = 0;
+      to_decode += 2;
+    } else {
+      uint32_t pred = dec.ReadUnsigned(br, 2);
+      if (pred >= 16) return 3;
+      uint32_t offu = dec.ReadUnsigned(br, 3);
+      int32_t offset =
+          (offu & 1) ? -(int32_t)((offu + 1) >> 1) : (int32_t)(offu >> 1);
+      uint32_t mul_log = dec.ReadUnsigned(br, 4);
+      if (mul_log >= 31) return 3;
+      uint64_t mul_bits = dec.ReadUnsigned(br, 5);
+      uint64_t multiplier = (mul_bits + 1) << mul_log;
+      if (multiplier > 0xFFFFFFFFull) return 3;
+      n[0] = -1;
+      n[1] = 0; n[2] = 0; n[3] = 0;
+      n[4] = (int32_t)pred;
+      n[5] = offset;
+      n[6] = (int32_t)multiplier;
+      n[7] = leaf_id++;
+    }
+    count++;
+  }
+  if (dec.error || br.Overrun()) return br.Overrun() ? 2 : 1;
+  if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  *bit_pos = br.pos;
+  *out_count = count;
+  *out_max_prop = max_property;
+  return 0;
+}
+
+// Entropy-coded Lehmer permutation codes, several in sequence sharing one
+// decoder state (ref headers/permutation.rs + coeff_order.rs:123-149).
+// Contexts: min(ceil_log2(x + 1), 7). Returns 0 ok; 1/2 entropy errors;
+// 3 invalid size; 9 cap exceeded. out_ends[p] = number of lehmer values.
+static int jxl_read_permutations_impl(
+    BitReader& br, EntropyDecoder& dec, int n_perms, const uint32_t* sizes,
+    const uint32_t* skips, uint32_t* out_lehmer, int64_t cap,
+    int64_t* out_ends, int check_final, uint64_t* bit_pos);
+
+int jxl_read_permutations(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos, ENTROPY_PARAMS,
+    int n_perms, const uint32_t* sizes, const uint32_t* skips,
+    uint32_t* out_lehmer, int64_t cap, int64_t* out_ends, int check_final) {
+  BitReader br{data, size, *bit_pos};
+  EntropyDecoder dec;
+  std::vector<UintConfig> cfgs;
+  SetupDecoder(dec, cfgs, ENTROPY_ARGS);
+  dec.Init(br);
+  int ret = jxl_read_permutations_impl(br, dec, n_perms, sizes, skips,
+                                       out_lehmer, cap, out_ends, check_final,
+                                       bit_pos);
+  if ((ret == 1 || ret == 3) && br.Overrun()) return 2;
+  return ret;
+}
+
+static int jxl_read_permutations_impl(
+    BitReader& br, EntropyDecoder& dec, int n_perms, const uint32_t* sizes,
+    const uint32_t* skips, uint32_t* out_lehmer, int64_t cap,
+    int64_t* out_ends, int check_final, uint64_t* bit_pos) {
+  auto ctx_of = [](uint32_t x) {
+    int b = 0;
+    uint64_t v = (uint64_t)x + 1;
+    while ((1ull << b) < v) b++;
+    return b < 7 ? b : 7;
+  };
+  int64_t pos = 0;
+  for (int p = 0; p < n_perms; p++) {
+    uint32_t end = dec.ReadUnsigned(br, ctx_of(sizes[p]));
+    if (end > sizes[p] - skips[p]) return 3;
+    out_ends[p] = end;
+    uint32_t prev = 0;
+    for (uint32_t i = 0; i < end; i++) {
+      if (pos >= cap) return 9;
+      uint32_t val = dec.ReadUnsigned(br, ctx_of(prev));
+      out_lehmer[pos++] = val;
+      prev = val;
+    }
+    if (dec.error || br.Overrun()) return br.Overrun() ? 2 : 1;
+  }
+  if (check_final && !dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  *bit_pos = br.pos;
+  return 0;
+}
+
 // ctypes entry: decode a Histograms bundle. See DecodeHistogramsImpl for
 // the output layout; ans_tables must hold num_contexts(+1) * 5 * 256 ints.
+// Prefix-coded bundles emit two-level tables into huff_bits/huff_values
+// (capacity huff_cap each) with per-cluster offsets; meta[11] returns the
+// total entries (rerun with a larger buffer if it exceeds huff_cap).
 int jxl_decode_histograms(
     const uint8_t* data, uint64_t size, uint64_t* bit_pos, int num_contexts,
     int allow_lz77, int32_t* meta, int32_t* lz_cfg, uint8_t* context_map,
-    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles) {
+    int32_t* uint_cfgs, int32_t* ans_tables, int32_t* singles,
+    int32_t* huff_offsets, int32_t* huff_bits, int32_t* huff_values,
+    int64_t huff_cap) {
   BitReader br{data, size, *bit_pos};
+  std::vector<int32_t> hoff, hbits, hvals;
   int ret = DecodeHistogramsImpl(br, num_contexts, allow_lz77, 0, meta, lz_cfg,
-                                 context_map, uint_cfgs, ans_tables, singles);
-  if (ret == 0) *bit_pos = br.pos;
+                                 context_map, uint_cfgs, ans_tables, singles,
+                                 &hoff, &hbits, &hvals);
+  // truncated input shows up as garbage-driven validation failures: the
+  // zero-padded reads crossed the end, so report a resumable overrun
+  if (ret == 1 && br.Overrun()) return 2;
+  if (ret != 0) return ret;
+  meta[11] = (int32_t)hbits.size();
+  if (meta[10]) {
+    if ((int64_t)hbits.size() > huff_cap) return 9;  // retry with bigger buf
+    std::memcpy(huff_offsets, hoff.data(), hoff.size() * sizeof(int32_t));
+    std::memcpy(huff_bits, hbits.data(), hbits.size() * sizeof(int32_t));
+    std::memcpy(huff_values, hvals.data(), hvals.size() * sizeof(int32_t));
+  }
+  *bit_pos = br.pos;
   return ret;
 }
 

@@ -82,10 +82,47 @@ def decode_coeff_orders(used_orders: int, br: BitReader) -> list:
     if used_orders == 0:
         return permutations
     histograms = Histograms.decode(NUM_PERMUTATION_CONTEXTS, br, allow_lz77=True)
+
+    coded = [
+        (ord_idx, t)
+        for ord_idx, t in enumerate(TRANSFORM_TYPE_LUT)
+        if (used_orders >> ord_idx) & 1
+    ]
+    sizes, skips = [], []
+    for ord_idx, t in coded:
+        num_blocks = covered_blocks_x(t) * covered_blocks_y(t)
+        for _ in range(3):
+            sizes.append(num_blocks * BLOCK_SIZE)
+            skips.append(num_blocks)
+
+    from .. import native
+    from ..io.headers.permutation import decode_lehmer_code
+
+    lehmers = (
+        native.read_permutations_native(histograms, br, sizes, skips, True)
+        if native.available()
+        else None
+    )
+    if lehmers is not None:
+        li = 0
+        for ord_idx, t in coded:
+            num_blocks = covered_blocks_x(t) * covered_blocks_y(t)
+            size = num_blocks * BLOCK_SIZE
+            for c in range(3):
+                code = lehmers[li].tolist()
+                li += 1
+                idx = 3 * ord_idx + c
+                if code:
+                    base = permutations[idx]
+                    order = list(range(size))
+                    order[num_blocks:] = decode_lehmer_code(
+                        code, order[num_blocks:]
+                    )
+                    permutations[idx] = [base[order[i]] for i in range(size)]
+        return permutations
+
     reader = SymbolReader(histograms, br)
-    for ord_idx, t in enumerate(TRANSFORM_TYPE_LUT):
-        if not (used_orders >> ord_idx) & 1:
-            continue
+    for ord_idx, t in coded:
         num_blocks = covered_blocks_x(t) * covered_blocks_y(t)
         size = num_blocks * BLOCK_SIZE
         for c in range(3):
