@@ -94,13 +94,17 @@ def main():
         detail["render_error"] = str(e)[:100]
 
     value = total_mp / total_s if total_s > 0 else 0.0
+    # vs_baseline: ratio against the round-1 aggregate (1.12 MP/s,
+    # BENCH_r01.json) — the reference itself publishes no numbers and
+    # cannot be built here (no Rust toolchain; see BASELINE.md)
+    round1 = 1.12
     print(
         json.dumps(
             {
                 "metric": "decode_mps",
                 "value": round(value, 4),
                 "unit": "MP/s",
-                "vs_baseline": 0.0,
+                "vs_baseline": round(value / round1, 3) if value else 0.0,
                 "detail": detail,
             }
         )
