@@ -425,6 +425,8 @@ class Frame:
         stay device-resident into the filter program."""
         if self.header.encoding != Encoding.VARDCT:
             return
+        if getattr(self, "_defer_render", False):
+            return  # batched-animation path renders all frames in one program
         h = self.header
         rf = h.restoration_filter
         has_filters = rf.gab or rf.epf_iters > 0

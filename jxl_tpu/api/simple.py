@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-from ..errors import InvalidBitstream, NotSupported
+from ..errors import InvalidBitstream, JxlError, NotSupported
 from ..io.bit_reader import BitReader
 from ..io.container import extract_codestream
 from ..io.headers import FileHeader
@@ -120,6 +120,19 @@ def decode_image(
 
     out = DecodedImage(fh, [], icc_profile)
     t_start = time.perf_counter()
+
+    batched = _try_batched_animation(
+        fh, codestream, br.pos, icc_profile, pixel_format
+    )
+    if batched is not None:
+        out.frames, out.durations = batched
+        trace.metrics.add(
+            "megapixels_decoded",
+            sum(f.shape[0] * f.shape[1] for f in out.frames) / 1e6,
+        )
+        trace.metrics.add("decode_seconds", time.perf_counter() - t_start)
+        return out
+
     while True:
         br.jump_to_byte_boundary()
         start_byte = br.pos // 8
@@ -187,6 +200,85 @@ def decode_image(
     trace.metrics.add("megapixels_decoded", sum(f.shape[0] * f.shape[1] for f in out.frames) / 1e6)
     trace.metrics.add("decode_seconds", time.perf_counter() - t_start)
     return out
+
+
+def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format):
+    """Batched device render for eligible animations (render/batch_anim.py):
+    all frames' sections decode host-side with rendering deferred, then one
+    device program produces every frame. Returns (frames, durations) or
+    None to fall back to the per-frame loop."""
+    import os
+
+    if os.environ.get("JXL_TPU_BATCH_ANIM", "1") == "0":
+        return None
+    from ..io.headers.frame import FrameHeader, Toc
+    from ..render.batch_anim import batchable, render_frames_batched
+
+    meta = fh.image_metadata
+    # quick header-only scan
+    br = BitReader(codestream)
+    br.pos = start_bits
+    recs = []
+    try:
+        while True:
+            br.jump_to_byte_boundary()
+            header = FrameHeader.read(br, fh)
+            toc = Toc.read(br, header.num_toc_entries)
+            br.jump_to_byte_boundary()
+            br.skip_bits(toc.total_size * 8)
+            recs.append((header,))
+            if header.is_last:
+                break
+    except JxlError:
+        return None
+    if not batchable(fh, recs):
+        return None
+
+    from ..render.simple import apply_orientation
+    from .state import DecoderState
+
+    fmt = pixel_format if pixel_format in ("u8", "u16", "f16", "f32") else "f32"
+    state = DecoderState(fh)
+    br = BitReader(codestream)
+    br.pos = start_bits
+    frames = []
+    try:
+        for _ in recs:
+            br.jump_to_byte_boundary()
+            frame = parse_frame(br, fh, state)
+            frame.icc_profile = icc_profile
+            frame.render_after_decode = False
+            frame._defer_render = True
+            frame.decode_all_sections(br)
+            if not frame.hf_global or not frame.hf_global.hf_coefficients:
+                return None
+            frames.append(frame)
+        rendered = render_frames_batched(frames, fmt)
+    except (NotSupported, NotImplementedError):
+        return None
+
+    img_w, img_h = fh.xsize, fh.ysize
+    outs, durations = [], []
+    for fi, frame in enumerate(frames):
+        header = frame.header
+        fw, fh_px = header.size_upsampled()
+        canvas = np.zeros((img_h, img_w, 3), dtype=rendered.dtype)
+        x0, y0 = max(header.x0, 0), max(header.y0, 0)
+        w = min(fw, img_w - x0)
+        h = min(fh_px, img_h - y0)
+        canvas[y0 : y0 + h, x0 : x0 + w] = rendered[fi, :h, :w]
+        arr = apply_orientation(canvas, meta.orientation)
+        outs.append(arr)
+        dur = 0.0
+        if meta.animation is not None:
+            dur = (
+                header.duration
+                * 1000.0
+                * meta.animation.tps_denominator
+                / meta.animation.tps_numerator
+            )
+        durations.append(dur)
+    return outs, durations
 
 
 def decode_first_frame(data: bytes) -> DecodedFrame:

@@ -1,0 +1,354 @@
+"""Whole-animation batched device render: every frame's VarDCT numeric
+path + filters + color + output conversion in ONE device program with ONE
+upload set and ONE readback.
+
+Why: the tunnel to the chip charges ~60-115 ms per computed readback
+(BASELINE.md), so per-frame device round trips lose badly for small
+animation frames (48 readbacks ~ 5.5 s measured). Batching frames like a
+second group axis amortizes everything: coefficients ship as one COO set,
+frames IDCT-scatter into per-frame canvas bands, per-frame mirror padding
+is a host-prepared gather, and the filter + color + u8 chain runs under
+`jax.vmap` over the frame axis (per-frame mirror semantics preserved).
+
+Eligibility: VarDCT 444 frames without features (patches/splines/noise),
+upsampling 1, Replace/none blending, no reference/LF-frame use, identical
+restoration-filter config, canvas <= 512^2. Anything else falls back to
+the per-frame host path.
+
+Capability reference: this replaces the per-frame loop of
+frame/render.rs:148-503 for animations; the stage math is the same
+single-frame code (render/stages/core.py) vmapped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..io.headers.frame import BlendingMode, Encoding, FrameType
+
+GROUP_PX = 256
+BLOCK_SIZE = 64
+
+
+def batchable(fh, frame_infos) -> bool:
+    meta = fh.image_metadata
+    if meta.animation is None or len(frame_infos) < 4:
+        return False
+    if meta.extra_channel_info:
+        return False
+    if fh.xsize * fh.ysize > 512 * 512:
+        return False
+    rf0 = None
+    for header, *_ in frame_infos:
+        if (
+            header.encoding != Encoding.VARDCT
+            or not header.is444
+            or header.frame_type != FrameType.REGULAR
+            or not header.is_visible
+            or header.can_be_referenced
+            or header.has_patches
+            or header.has_splines
+            or header.has_noise
+            or header.upsampling != 1
+            or header.lf_level != 0
+            or header.has_lf_frame
+        ):
+            return False
+        if header.needs_blending() and header.blending_info.mode != BlendingMode.REPLACE:
+            return False
+        rfk = _rf_fingerprint(header.restoration_filter)
+        if rf0 is None:
+            rf0 = rfk
+        elif rfk != rf0:
+            return False
+        if header.x_qm_scale != frame_infos[0][0].x_qm_scale:
+            return False
+        if header.b_qm_scale != frame_infos[0][0].b_qm_scale:
+            return False
+    return True
+
+
+def _rf_fingerprint(rf):
+    return (
+        bool(rf.gab), int(rf.epf_iters),
+        float(rf.gab_x_weight1), float(rf.gab_x_weight2),
+        float(rf.gab_y_weight1), float(rf.gab_y_weight2),
+        float(rf.gab_b_weight1), float(rf.gab_b_weight2),
+        float(rf.epf_sigma_for_modular),
+    )
+
+
+_CACHE: dict = {}
+
+
+def render_frames_batched(frames: list, out_format: str):
+    """frames: decoded Frame objects (sections done, render deferred,
+    hf_coefficients retained). Returns (F, Hc, Wc, 3) numpy in
+    `out_format`, each frame's content at its own (0, 0) (blending is the
+    caller's job)."""
+    from ..render import device_filters as df
+    from ..render import simple as render_simple
+    from ..render.stages import core as st
+    from ..vardct.device_frame import _sparse_coeffs
+    from ..vardct.group import _BlockList
+    from ..vardct.transform_map import covered_blocks_x, covered_blocks_y
+    from ..vardct.transforms_batch import transform_to_pixels_batch
+
+    f0 = frames[0]
+    fh = f0.file_header
+    Wc, Hc = fh.xsize, fh.ysize
+    cbw, cbh = -(-Wc // 8), -(-Hc // 8)
+    Hp, Wp = cbh * 8, cbw * 8
+    F = len(frames)
+    biases = np.asarray(
+        fh.transform_data.opsin_inverse_matrix.quant_biases, dtype=np.float32
+    )
+
+    # ---- host prep: global block tables over (frame, group) --------------
+    by_tid: dict[int, list] = {}
+    coeffs_by_gid: dict[int, np.ndarray] = {}
+    lf_stack = np.zeros((3, F, cbh, cbw), np.float32)
+    sigma = np.zeros((F, Hp, Wp), np.float32)
+    pad_y = np.zeros((F, Hp), np.int32)
+    pad_x = np.zeros((F, Wp), np.int32)
+    gid = 0
+    mats_key = []
+    for fi, fr in enumerate(frames):
+        header = fr.header
+        bw, bh = header.size_blocks()
+        lf_stack[:, fi, :bh, :bw] = np.stack(fr.lf_image)[:, :bh, :bw]
+        rf = header.restoration_filter
+        if rf.epf_iters > 0:
+            sb = st.compute_sigma_image(fr)
+            s = df._sigma_px(rf, sb, None, bh * 8, bw * 8)
+            sigma[fi, : bh * 8, : bw * 8] = s
+        # per-frame mirror-pad gather indices over the canvas
+        pad_y[fi] = _mirror_idx(Hp, bh * 8)
+        pad_x[fi] = _mirror_idx(Wp, bw * 8)
+
+        qp = fr.lf_global.quant_params
+        ccp = fr.lf_global.color_correlation_params
+        igs = np.float32(qp.inv_global_scale)
+        x_dm = np.float32((1.0 / 1.25) ** (header.x_qm_scale - 2.0))
+        b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
+        hf = fr.hf_meta
+        rq = np.asarray(hf["raw_quant"])
+        ytox, ytob = np.asarray(hf["ytox"]), np.asarray(hf["ytob"])
+        for g in sorted(fr.hf_global.hf_coefficients):
+            bl = _BlockList(fr, g)
+            (gx0, gy0) = bl.origin
+            coeffs_by_gid[gid] = fr.hf_global.hf_coefficients[g]
+            gbx = bl.bxs + gx0
+            gby = bl.bys + gy0
+            rq_b = rq[gby, gbx].astype(np.float32)
+            sy = igs / np.maximum(rq_b, 1e-9)
+            scales = np.stack([sy * x_dm, sy, sy * b_dm], axis=1)  # (N, 3)
+            tx = gbx // 8
+            ty = gby // 8
+            x_cc = (
+                np.float32(ccp.base_correlation_x)
+                + ytox[ty, tx].astype(np.float32) / np.float32(ccp.color_factor)
+            )
+            b_cc = (
+                np.float32(ccp.base_correlation_b)
+                + ytob[ty, tx].astype(np.float32) / np.float32(ccp.color_factor)
+            )
+            for t in np.unique(bl.tids).tolist():
+                m = bl.tids == t
+                rec = by_tid.setdefault(int(t), [])
+                rec.append(
+                    (
+                        gbx[m], gby[m],
+                        np.full(int(m.sum()), fi, np.int32),
+                        np.full(int(m.sum()), gid, np.int32),
+                        bl.offs[m], scales[m], x_cc[m], b_cc[m],
+                    )
+                )
+            gid += 1
+        mats_key.append(id(fr.hf_global.dequant_matrices))
+
+    group_ids = list(range(gid))
+    nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(coeffs_by_gid, group_ids)
+
+    dqm = f0.hf_global.dequant_matrices
+    tids = tuple(sorted(by_tid))
+    ncs = {t: covered_blocks_x(t) * covered_blocks_y(t) * BLOCK_SIZE for t in tids}
+    mats = {
+        t: np.stack(
+            [np.asarray(dqm.matrix(t, c)[: ncs[t]], np.float32) for c in range(3)]
+        )
+        for t in tids
+    }
+    # per-tid concatenated + padded argument arrays
+    tid_args = []
+    pads = []
+    for t in tids:
+        parts = by_tid[t]
+        gbx = np.concatenate([p[0] for p in parts]).astype(np.int32)
+        gby = np.concatenate([p[1] for p in parts]).astype(np.int32)
+        fidx = np.concatenate([p[2] for p in parts])
+        gidx = np.concatenate([p[3] for p in parts])
+        off = np.concatenate([p[4] for p in parts]).astype(np.int32)
+        scl = np.concatenate([p[5] for p in parts]).astype(np.float32)
+        xcc = np.concatenate([p[6] for p in parts]).astype(np.float32)
+        bcc = np.concatenate([p[7] for p in parts]).astype(np.float32)
+        n = len(gbx)
+        p2 = 1 << max(3, (n - 1).bit_length())
+        pads.append(p2)
+        if p2 > n:
+            pad1 = lambda a, fill: np.concatenate(
+                [a, np.full((p2 - n,) + a.shape[1:], fill, a.dtype)]
+            )
+            gbx, gby = pad1(gbx, 0), pad1(gby, 0)
+            fidx, gidx, off = pad1(fidx, 0), pad1(gidx, 0), pad1(off, -1)
+            scl, xcc, bcc = pad1(scl, 0), pad1(xcc, 0), pad1(bcc, 0)
+        tid_args.append((gbx, gby, fidx, gidx, off, scl, xcc, bcc))
+
+    rf = f0.header.restoration_filter
+    key = (
+        F, Hp, Wp, tids, tuple(pads), nz_bucket, gid, out_format,
+        _rf_fingerprint(rf),
+        tuple(float(b) for b in biases),
+    )
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_program(
+            f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format
+        )
+        _CACHE[key] = fn
+
+    # one batched transfer for every input (per-array device_put calls pay
+    # ~28 ms tunnel latency each; the pytree form batches them)
+    args = jax.device_put(
+        (nz_idx, nz_vals, lf_stack, sigma, pad_y, pad_x, tuple(tid_args))
+    )
+    out = fn(*args)
+    return np.asarray(out)
+
+
+def _mirror_idx(n_out: int, n_valid: int) -> np.ndarray:
+    idx = np.arange(n_out)
+    if n_valid <= 0:
+        return np.zeros(n_out, np.int32)
+    period = max(2 * n_valid, 1)
+    m = idx % period
+    m = np.where(m >= n_valid, period - 1 - m, m)
+    return np.clip(m, 0, n_valid - 1).astype(np.int32)
+
+
+def _build_program(f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format):
+    from ..render import device_filters as df
+    from ..render import simple as render_simple
+    from ..render.stages import core as st
+    from ..vardct.transform_map import covered_blocks_x, covered_blocks_y
+
+    header = f0.header
+    rf = header.restoration_filter
+    gab_weights = df._gab_key(rf)
+    epf_iters = int(rf.epf_iters)
+    rfk = df._rf_key(rf)
+    rf_obj = df._Rf()
+    rf_obj.epf_channel_scale = list(rfk[0])
+    rf_obj.epf_pass0_sigma_scale = rfk[1]
+    rf_obj.epf_pass2_sigma_scale = rfk[2]
+    rf_obj.epf_border_sad_mul = rfk[3]
+    rf_obj.epf_sharp_lut = None
+    mats_c = {t: jnp.asarray(mats[t]) for t in tids}
+    b_c = jnp.asarray(biases)
+    cbw = Wp // 8
+    stride_g = 3 * GROUP_PX * GROUP_PX
+    stride_c = GROUP_PX * GROUP_PX
+
+    def program(nz_i, nz_v, lf, sigma, pad_y, pad_x, tid_args):
+        flat = jnp.zeros(total + 1, jnp.int32).at[nz_i].set(nz_v)[:total]
+        planes = jnp.zeros((3, F * Hp * Wp), jnp.float32)
+        lf_flat = lf.reshape(3, -1)  # (3, F*cbh*cbw)
+        for ti, t in enumerate(tids):
+            gbx, gby, fidx, gidx, off, scl, xcc, bcc = tid_args[ti]
+            nc = ncs[t]
+            cx = covered_blocks_x(t)
+            cy = covered_blocks_y(t)
+            valid = off >= 0
+            offc = jnp.maximum(off, 0)
+            lanes = jnp.arange(nc, dtype=jnp.int32)
+            gi = (
+                (gidx * stride_g + offc)[:, None, None]
+                + jnp.arange(3, dtype=jnp.int32)[None, :, None] * stride_c
+                + lanes[None, None, :]
+            )
+            qb = jnp.take(flat, gi.reshape(-1), mode="clip").reshape(-1, 3, nc)
+            q = qb.astype(jnp.float32)
+            adj = jnp.where(
+                jnp.abs(qb) < 2,
+                q * b_c[:3][None, :, None],
+                q - b_c[3] / jnp.where(qb == 0, 1.0, q),
+            )
+            adj = jnp.where(qb == 0, 0.0, adj)
+            dq = adj * mats_c[t][None] * scl[:, :, None]
+            dq = dq.at[:, 0].add(xcc[:, None] * dq[:, 1])
+            dq = dq.at[:, 2].add(bcc[:, None] * dq[:, 1])
+            iy = jnp.arange(cy, dtype=jnp.int32)
+            ix = jnp.arange(cx, dtype=jnp.int32)
+            cbh = Hp // 8
+            lf_idx = (
+                fidx[:, None, None] * (cbh * cbw)
+                + (gby[:, None, None] + iy[None, :, None]) * cbw
+                + gbx[:, None, None]
+                + ix[None, None, :]
+            ).reshape(-1)
+            ph, pw = cy * 8, cx * 8
+            py = jnp.arange(ph, dtype=jnp.int32)
+            px = jnp.arange(pw, dtype=jnp.int32)
+            pidx = (
+                fidx[:, None, None] * (Hp * Wp)
+                + (gby[:, None, None] * 8 + py[None, :, None]) * Wp
+                + gbx[:, None, None] * 8
+                + px[None, None, :]
+            )
+            pidx = jnp.where(valid[:, None, None], pidx, F * Hp * Wp).reshape(-1)
+            for c in (1, 0, 2):
+                tiles = jnp.take(lf_flat[c], lf_idx, mode="clip").reshape(-1, cy, cx)
+                pix = transform_to_pixels_batch_jit(t, tiles, dq[:, c])
+                planes = planes.at[c, pidx].set(pix.reshape(-1), mode="drop")
+        stacked = planes.reshape(3, F, Hp, Wp).transpose(1, 0, 2, 3)
+
+        def per_frame(p3, sig, py_idx, px_idx):
+            # per-frame mirror padding: reflect the frame's own content
+            # across the canvas slack so filter borders match the
+            # single-frame pipeline
+            chans = [p3[c][py_idx[:, None], px_idx[None, :]] for c in range(3)]
+            sig = sig[py_idx[:, None], px_idx[None, :]]
+            if gab_weights is not None:
+                chans = [
+                    st.gaborish(jnp, c, w1, w2)
+                    for c, (w1, w2) in zip(chans, gab_weights)
+                ]
+            if epf_iters >= 3:
+                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 0)
+            if epf_iters >= 1:
+                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 1)
+            if epf_iters >= 2:
+                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 2)
+            chans = render_simple.color_transform(f0, chans, xp=jnp)
+            if out_format != "f32":
+                chans = [
+                    st.convert_output(jnp, c, out_format, channel=i)
+                    for i, c in enumerate(chans)
+                ]
+            return jnp.stack(chans, axis=-1)
+
+        return jax.vmap(per_frame)(stacked, sigma, pad_y, pad_x)
+
+    from ..vardct.transforms_batch import transform_to_pixels_batch
+
+    def transform_to_pixels_batch_jit(t, tiles, dq):
+        return transform_to_pixels_batch(jnp, t, tiles, dq)
+
+    def wrapped(*args):
+        with jax.default_matmul_precision("float32"):
+            return program(*args)
+
+    return jax.jit(wrapped)
