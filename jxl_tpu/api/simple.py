@@ -209,7 +209,12 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     None to fall back to the per-frame loop."""
     import os
 
-    if os.environ.get("JXL_TPU_BATCH_ANIM", "1") == "0":
+    # Off by default on this hardware: through the tunnel, the batched
+    # program's upload+readback exceeds the host numpy render for small
+    # animation frames (measured 848 vs 738 ms on animation_icos4d; see
+    # BASELINE.md transfer economics). On directly-attached TPUs the
+    # single-dispatch path is the right default.
+    if os.environ.get("JXL_TPU_BATCH_ANIM", "0") == "0":
         return None
     from ..io.headers.frame import FrameHeader, Toc
     from ..render.batch_anim import batchable, render_frames_batched
@@ -257,16 +262,28 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     except (NotSupported, NotImplementedError):
         return None
 
+    from ..render.simple import _modular_to_f32
+    from ..render.stages import core as st
+
+    num_ec = len(meta.extra_channel_info)
     img_w, img_h = fh.xsize, fh.ysize
     outs, durations = [], []
     for fi, frame in enumerate(frames):
         header = frame.header
         fw, fh_px = header.size_upsampled()
-        canvas = np.zeros((img_h, img_w, 3), dtype=rendered.dtype)
+        canvas = np.zeros((img_h, img_w, 3 + num_ec), dtype=rendered.dtype)
         x0, y0 = max(header.x0, 0), max(header.y0, 0)
         w = min(fw, img_w - x0)
         h = min(fh_px, img_h - y0)
-        canvas[y0 : y0 + h, x0 : x0 + w] = rendered[fi, :h, :w]
+        canvas[y0 : y0 + h, x0 : x0 + w, :3] = rendered[fi, :h, :w]
+        # extra channels are tiny modular planes; they follow the host path
+        mg = frame.lf_global.modular_global
+        for i in range(num_ec):
+            info = meta.extra_channel_info[i]
+            ec = _modular_to_f32(mg.output_channel(3 + i), info.bit_depth)
+            if fmt != "f32":
+                ec = st.convert_output(np, ec, fmt, channel=3 + i)
+            canvas[y0 : y0 + h, x0 : x0 + w, 3 + i] = ec[:h, :w]
         arr = apply_orientation(canvas, meta.orientation)
         outs.append(arr)
         dur = 0.0

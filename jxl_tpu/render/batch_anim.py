@@ -37,8 +37,11 @@ def batchable(fh, frame_infos) -> bool:
     meta = fh.image_metadata
     if meta.animation is None or len(frame_infos) < 4:
         return False
-    if meta.extra_channel_info:
-        return False
+    # extra channels decode host-side (tiny modular planes); spot colors
+    # would need the spot stage, so they gate out
+    for info in meta.extra_channel_info:
+        if int(getattr(info, "ec_type", 0)) not in (0, 1):  # alpha / depth
+            return False
     if fh.xsize * fh.ysize > 512 * 512:
         return False
     rf0 = None
@@ -58,6 +61,12 @@ def batchable(fh, frame_infos) -> bool:
         ):
             return False
         if header.needs_blending() and header.blending_info.mode != BlendingMode.REPLACE:
+            return False
+        if header.needs_blending() and any(
+            bi.mode != BlendingMode.REPLACE for bi in header.ec_blending_info
+        ):
+            return False
+        if any(u != 1 for u in header.ec_upsampling):
             return False
         rfk = _rf_fingerprint(header.restoration_filter)
         if rf0 is None:

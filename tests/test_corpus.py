@@ -106,3 +106,39 @@ def test_splines_pixel_golden():
     mse = float(np.mean((out - golden) ** 2))
     psnr = -10 * np.log10(mse) if mse > 0 else np.inf
     assert psnr > 80.0, psnr
+
+
+@pytest.mark.slow
+def test_batched_animation_matches_per_frame():
+    """The one-program batched animation render must match the per-frame
+    path (float tolerance: the batched IDCT+filter program and the host
+    stage math may differ in reduction order)."""
+    import os
+
+    import numpy as np
+
+    import jxl_tpu.render.batch_anim as ba
+    from jxl_tpu.api.simple import decode_image
+
+    path = CORPUS / "conformance_test_images/animation_icos4d.jxl"
+    if not path.exists():
+        pytest.skip("corpus not available")
+    data = path.read_bytes()
+    old = os.environ.get("JXL_TPU_BATCH_ANIM")
+    try:
+        os.environ["JXL_TPU_BATCH_ANIM"] = "1"
+        before = len(ba._CACHE)
+        out = decode_image(data, pixel_format="f32")
+        assert len(ba._CACHE) > before, "batched path did not engage"
+        os.environ["JXL_TPU_BATCH_ANIM"] = "0"
+        ref = decode_image(data, pixel_format="f32")
+    finally:
+        if old is None:
+            os.environ.pop("JXL_TPU_BATCH_ANIM", None)
+        else:
+            os.environ["JXL_TPU_BATCH_ANIM"] = old
+    assert len(out.frames) == len(ref.frames)
+    assert out.durations == ref.durations
+    for a, b in zip(out.frames, ref.frames):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4)
