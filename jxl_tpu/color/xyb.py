@@ -19,9 +19,12 @@ def xyb_to_linear(
     opsin,  # OpsinInverseMatrix header
     intensity_target: float = 255.0,
     xp=np,
+    matrix=None,  # override: primaries-adjusted inverse matrix (9 floats)
 ):
     """Returns (r, g, b) linear, 1.0 == intensity_target nits."""
-    mat = np.array(opsin.inverse_matrix, dtype=np.float32)
+    mat = np.array(
+        opsin.inverse_matrix if matrix is None else matrix, dtype=np.float32
+    )
     biases = np.array(opsin.opsin_biases, dtype=np.float32)
     bias_cbrt = np.cbrt(biases).astype(np.float32)
     intensity_scale = np.float32(255.0 / intensity_target)

@@ -149,6 +149,16 @@ def run_filters_and_color(
     t = ce.tf
     tf_key = ("gamma", float(t.gamma_value())) if t.have_gamma else (t.transfer_function,)
     opsin = frame.file_header.transform_data.opsin_inverse_matrix
+    # the jitted program closes over the full output color transform, so the
+    # cache key must capture everything output_color_info derives from
+    color_key = (
+        bool(ce.want_icc),
+        int(ce.color_space),
+        int(ce.white_point),
+        int(ce.primaries),
+        tuple(p.as_f32() for p in ce.custom_primaries),
+        ce.white.as_f32(),
+    )
     key = (
         _gab_key(rf),
         int(rf.epf_iters),
@@ -156,6 +166,7 @@ def run_filters_and_color(
         bool(meta.xyb_encoded),
         bool(header.do_ycbcr),
         tf_key,
+        color_key,
         float(meta.tone_mapping.intensity_target),
         tuple(opsin.inverse_matrix),
         tuple(opsin.opsin_biases),

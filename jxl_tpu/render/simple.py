@@ -23,11 +23,14 @@ from ..io.headers.frame import BlendingMode, Encoding, FrameType
 from .stages import core as st
 
 
-def _from_linear(channels, color_encoding, intensity_target, xp=np):
-    t = color_encoding.tf
-    if t.have_gamma:
-        return [tfmod.linear_to_gamma(c, t.gamma_value(), xp) for c in channels]
-    tfv = t.transfer_function
+def _from_linear(channels, tf_spec, intensity_target, xp=np, luminances=None):
+    """FromLinear stage on linear channels. `tf_spec` is ("gamma", g) or
+    ("enum", TransferFunction); `luminances` are the per-primary luminances
+    of the output space (HLG OOTF, ref xyb.rs OutputColorInfo)."""
+    kind, val = tf_spec
+    if kind == "gamma":
+        return [tfmod.linear_to_gamma(c, val, xp) for c in channels]
+    tfv = val
     if tfv == TransferFunction.SRGB:
         return [tfmod.linear_to_srgb(c, xp) for c in channels]
     if tfv == TransferFunction.BT709:
@@ -39,10 +42,17 @@ def _from_linear(channels, color_encoding, intensity_target, xp=np):
     if tfv == TransferFunction.DCI:
         return [tfmod.linear_to_gamma(c, 1.0 / 2.6, xp) for c in channels]
     if tfv == TransferFunction.HLG:
-        lum = (0.2126, 0.7152, 0.0722)
+        lum = luminances or (0.2126, 0.7152, 0.0722)
         r, g, b = tfmod.hlg_display_to_scene(intensity_target, lum, channels, xp)
         return [tfmod.scene_to_hlg(c, xp) for c in (r, g, b)]
     raise AssertionError(tfv)
+
+
+def _tf_spec(color_encoding) -> tuple:
+    t = color_encoding.tf
+    if t.have_gamma:
+        return ("gamma", float(t.gamma_value()))
+    return ("enum", t.transfer_function)
 
 
 def _modular_to_f32(plane: np.ndarray, bit_depth) -> np.ndarray:
@@ -246,18 +256,27 @@ def render_frame_channels_ex(
 
 
 def color_transform(frame, planes, xp=np):
-    """YCbCr|XYB -> linear -> display TF on the first 3 channels."""
+    """YCbCr|XYB -> linear -> display TF on the first 3 channels.
+
+    XYB frames render into the image's nominal output space: the opsin
+    inverse matrix is primaries/grayscale-adjusted and the TF chosen per
+    OutputColorInfo (ref xyb.rs:41-146); ICC-described spaces render to
+    sRGB (the CMS converts onward)."""
     header = frame.header
     meta = frame.file_header.image_metadata
     if meta.xyb_encoded:
+        from ..color.output import output_color_info
+
+        info = output_color_info(frame.file_header)
         r, g, b = xyb_to_linear(
             planes[0], planes[1], planes[2],
             frame.file_header.transform_data.opsin_inverse_matrix,
-            meta.tone_mapping.intensity_target,
+            info.intensity_target,
             xp,
+            matrix=info.matrix,
         )
         planes[:3] = _from_linear(
-            [r, g, b], meta.color_encoding, meta.tone_mapping.intensity_target, xp
+            [r, g, b], info.tf, info.intensity_target, xp, info.luminances
         )
     elif header.do_ycbcr:
         r, g, b = ycbcr_to_rgb(planes[1], planes[0], planes[2], xp)
