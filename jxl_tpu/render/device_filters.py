@@ -93,10 +93,12 @@ def _filter_fn(gab_weights, epf_iters: int, rf_key: tuple, wire_f16: bool = Fals
     rf.epf_border_sad_mul = rf_key[3]
     rf.epf_sharp_lut = None  # sigma already expanded to per-pixel
 
-    def fn(planes, inv_sigma_px):
+    def fn(planes, sigma_blk):
         if wire_f16:
             planes = planes.astype(jnp.float32)
-            inv_sigma_px = inv_sigma_px.astype(jnp.float32)
+            sigma_blk = sigma_blk.astype(jnp.float32)
+        ph, pw = planes.shape[1], planes.shape[2]
+        inv_sigma_px = st._expand_sigma(jnp, sigma_blk, ph, pw, (0, 0))
         chans = [planes[0], planes[1], planes[2]]
         chans = _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf)
         out = jnp.stack(chans)
@@ -184,9 +186,13 @@ def run_filters_and_color(
         rf_obj.epf_border_sad_mul = rfk[3]
         rf_obj.epf_sharp_lut = None
 
-        def program(planes, inv_sigma_px):
+        def program(planes, sigma_blk):
             from . import simple as render_simple
 
+            # per-pixel sigma is expanded from the 8x-smaller block map on
+            # device (the host->device wire carries 64x fewer bytes)
+            ph, pw = planes.shape[1], planes.shape[2]
+            inv_sigma_px = st._expand_sigma(jnp, sigma_blk, ph, pw, (0, 0))
             chans = [planes[0], planes[1], planes[2]]
             chans = _apply_filter_chain(chans, inv_sigma_px, gab_weights, epf_iters, rf_obj)
             chans = render_simple.color_transform(frame, chans, xp=jnp)
@@ -200,7 +206,13 @@ def run_filters_and_color(
         fn = jax.jit(program)
         _FUSED_CACHE[key] = fn
 
-    inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
+    if rf.epf_iters > 0 and sigma_block is not None:
+        sigma_blk = np.asarray(sigma_block, dtype=np.float32)
+    else:
+        sigma_blk = np.full(
+            (-(-h // 8), -(-w // 8)),
+            np.float32(constant_sigma if rf.epf_iters > 0 else 0.0),
+        )
     # bucket shapes to multiples of 128 so animations with varying frame
     # sizes reuse one compiled program (remote compiles cost tens of
     # seconds): mirror-pad the filter halo, edge-pad the slack, crop after
@@ -223,11 +235,20 @@ def run_filters_and_color(
         stacked = xp.pad(
             stacked, ((0, 0), (0, hp - h - mh), (0, wp - w - mw)), mode="edge"
         )
-        inv_sigma_px = np.pad(inv_sigma_px, ((0, mh), (0, mw)), mode="symmetric")
-        inv_sigma_px = np.pad(
-            inv_sigma_px, ((0, hp - h - mh), (0, wp - w - mw)), mode="edge"
+    # pad the block sigma to the padded pixel bucket; values in the pad
+    # region never influence kept pixels (EPF weights use the center
+    # pixel's sigma only), so edge-extend is sufficient
+    bh_p, bw_p = hp // 8, wp // 8
+    if sigma_blk.shape != (bh_p, bw_p):
+        sigma_blk = np.pad(
+            sigma_blk[:bh_p, :bw_p],
+            (
+                (0, bh_p - min(sigma_blk.shape[0], bh_p)),
+                (0, bw_p - min(sigma_blk.shape[1], bw_p)),
+            ),
+            mode="edge",
         )
-    out = fn(jnp.asarray(stacked), jnp.asarray(inv_sigma_px))
+    out = fn(jnp.asarray(stacked), jnp.asarray(sigma_blk))
     out = np.array(jax.device_get(out))  # writable copy
     return [out[0, :oh, :ow], out[1, :oh, :ow], out[2, :oh, :ow]]
 
@@ -246,7 +267,15 @@ def run_filters(planes3, rf, sigma_block, constant_sigma, encoding_vardct: bool)
     if gab_weights is None and epf_iters == 0:
         return planes3
 
-    inv_sigma_px = _sigma_px(rf, sigma_block, constant_sigma, h, w)
+    if epf_iters > 0 and sigma_block is not None:
+        sigma_blk = np.asarray(sigma_block, dtype=np.float32)[
+            : -(-h // 8), : -(-w // 8)
+        ]
+    else:
+        sigma_blk = np.full(
+            (-(-h // 8), -(-w // 8)),
+            np.float32(constant_sigma if epf_iters > 0 else 0.0),
+        )
     on_device = isinstance(planes3[0], jax.Array)
     wire_f16 = (
         not on_device and encoding_vardct and h * w >= 1 << 21
@@ -255,7 +284,7 @@ def run_filters(planes3, rf, sigma_block, constant_sigma, encoding_vardct: bool)
     stacked = jnp.stack(planes3) if on_device else np.stack(planes3)
     if wire_f16:
         stacked = stacked.astype(np.float16)
-        inv_sigma_px = inv_sigma_px.astype(np.float16)
-    out = fn(jnp.asarray(stacked), jnp.asarray(inv_sigma_px))
+        sigma_blk = sigma_blk.astype(np.float16)
+    out = fn(jnp.asarray(stacked), jnp.asarray(sigma_blk))
     out = np.array(jax.device_get(out), dtype=np.float32)  # writable copy
     return [out[0], out[1], out[2]]

@@ -138,6 +138,16 @@ def render_frame_channels_ex(
             for _ in range(header.vshift(c)):
                 planes[c] = st.chroma_upsample_v(np, planes[c])
 
+    # Filters (and everything downstream) operate on the VISIBLE frame
+    # rect with mirror boundary at its edges — not on the 8x8-padded coded
+    # area (spec edge-extension; verified bit-exact vs libjxl on
+    # 3x3_srgb_lossy: pad-then-crop diverges on the last row/column).
+    wc_v, hc_v = header.size()
+    planes[:3] = [
+        p[:hc_v, :wc_v] if p.shape[0] > hc_v or p.shape[1] > wc_v else p
+        for p in planes[:3]
+    ]
+
     rf = header.restoration_filter
     color_done = False
     converted = False

@@ -88,30 +88,49 @@ _GROUP_STRIDE = 3 * GROUP_DIM * GROUP_DIM
 
 
 def _sparse_coeffs(coeffs_by_group: dict, group_ids: list):
-    """COO-pack the per-group coefficient buffers (mostly zeros) so the
-    host->device wire carries ~8 bytes per nonzero instead of the dense
-    (G, 3, 64k) int32 block — the tunnel upload is the dominant cost of
-    the device render dispatch. Padding indices point one past the end;
-    the device scatter drops them."""
-    idx_parts, val_parts = [], []
-    for i, g in enumerate(group_ids):
-        flat = coeffs_by_group[g].reshape(-1)
-        nz = np.flatnonzero(flat).astype(np.int32)
-        idx_parts.append(nz + np.int32(i * _GROUP_STRIDE))
-        val_parts.append(flat[nz])
+    """Pack the per-group coefficient buffers (mostly zeros) for the
+    host->device wire as a nonzero BITMASK (total/8 bytes) + int16 values
+    (2 bytes per nonzero) — ~2.5 bytes/nz vs 8 for index+value COO; at
+    ~27% density on a 1 MP photo this is the difference between an 8.4 MB
+    and a 2.5 MB upload through the tunnel. The device rebuilds the dense
+    buffer with bit-unpack + prefix-sum + rank-gather (cumsum is
+    TPU-native). Values outside int16 fall back to index+value COO
+    (mode "coo"; padding indices point one past the end)."""
     total = len(group_ids) * _GROUP_STRIDE
-    idx = (
-        np.concatenate(idx_parts) if idx_parts else np.zeros(0, np.int32)
-    )
-    vals = (
-        np.concatenate(val_parts) if val_parts else np.zeros(0, np.int32)
-    )
-    n = len(idx)
+    flat = np.empty(total, np.int32)
+    for i, g in enumerate(group_ids):
+        flat[i * _GROUP_STRIDE : (i + 1) * _GROUP_STRIDE] = coeffs_by_group[
+            g
+        ].reshape(-1)
+    nzmask = flat != 0
+    vals = flat[nzmask]
+    n = len(vals)
     bucket = 1 << max(10, (max(n, 1) - 1).bit_length())
-    if bucket > n:
-        idx = np.concatenate([idx, np.full(bucket - n, total, np.int32)])
-        vals = np.concatenate([vals, np.zeros(bucket - n, np.int32)])
-    return idx, vals.astype(np.int32), total, bucket
+    if n and (vals.max() > 32767 or vals.min() < -32768):
+        idx = np.flatnonzero(nzmask).astype(np.int32)
+        if bucket > n:
+            idx = np.concatenate([idx, np.full(bucket - n, total, np.int32)])
+            vals = np.concatenate([vals, np.zeros(bucket - n, flat.dtype)])
+        return "coo", idx, vals.astype(np.int32), total, bucket
+    v16 = np.zeros(bucket, np.int16)
+    v16[:n] = vals.astype(np.int16)
+    mask = np.packbits(nzmask, bitorder="little")
+    return "mask", mask, v16, total, bucket
+
+
+def _unpack_coeffs_device(mode, a1, a2, total):
+    """Device-side dense coefficient reconstruction from the wire format."""
+    if mode == "dense":
+        return a1
+    if mode == "coo":
+        return jnp.zeros(total + 1, jnp.int32).at[a1].set(a2)[:total]
+    # mask: a1 = packed bits (total/8 u8), a2 = int16 values in rank order
+    bits = (
+        (a1[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None, :]) & 1
+    ).reshape(-1)[:total].astype(jnp.int32)
+    rank = jnp.cumsum(bits) - 1
+    vals = jnp.take(a2.astype(jnp.int32), rank, mode="clip")
+    return jnp.where(bits == 1, vals, 0)
 
 
 def render_vardct_frame_device(frame, coeffs_by_group=None, device_flat=None):
@@ -135,14 +154,14 @@ def render_vardct_frame_device(frame, coeffs_by_group=None, device_flat=None):
     b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
     bw, bh = header.size_blocks()
 
-    dense = device_flat is not None
-    if dense:
+    if device_flat is not None:
+        mode = "dense"
         group_ids = list(range(header.num_groups))
         total = len(group_ids) * _GROUP_STRIDE
         nz_bucket = 0
     else:
         group_ids = sorted(coeffs_by_group)
-        nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(
+        mode, nz_a1, nz_a2, total, nz_bucket = _sparse_coeffs(
             coeffs_by_group, group_ids
         )
     blocks = _frame_blocks(frame, group_ids)
@@ -163,7 +182,7 @@ def render_vardct_frame_device(frame, coeffs_by_group=None, device_flat=None):
     key = (
         tids,
         pads,
-        dense,
+        mode,
         nz_bucket,
         len(group_ids),
         bw,
@@ -189,21 +208,18 @@ def render_vardct_frame_device(frame, coeffs_by_group=None, device_flat=None):
         W = bw * BLOCK_DIM
 
         total_c = total
-        dense_c = dense
+        mode_c = mode
 
         def program(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
             # TPU matmuls default to bf16 inputs; the IDCT einsums need f32
             return _program_impl(nz_i, nz_v, lf, rq, ytox, ytob, idx_args)
 
         def _program_impl(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
-            # nz_i/nz_v: COO coefficients (padding scatters to the sentinel
-            # slot past the end), or (dense) the flat device buffer itself;
+            # nz_i/nz_v: wire-packed coefficients (see _sparse_coeffs), or
+            # (dense) the flat device buffer itself;
             # lf: (3, bh, bw) f32; rq: (bh, bw) i32; ytox/ytob: (th, tw) i8
             planes = jnp.zeros((3, bh * BLOCK_DIM * W), jnp.float32)
-            if dense_c:
-                flat = nz_i
-            else:
-                flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
+            flat = _unpack_coeffs_device(mode_c, nz_i, nz_v, total_c)
             lf_flat = lf.reshape(3, -1)
             stride_g = 3 * GROUP_DIM * GROUP_DIM
             stride_c = GROUP_DIM * GROUP_DIM
@@ -286,10 +302,10 @@ def render_vardct_frame_device(frame, coeffs_by_group=None, device_flat=None):
 
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
-    if dense:
+    if mode == "dense":
         a1, a2 = device_flat, np.zeros(1, np.int32)
     else:
-        a1, a2 = nz_idx, nz_vals
+        a1, a2 = nz_a1, nz_a2
     # one batched transfer: per-array uploads pay ~28 ms tunnel latency each
     args = jax.device_put(
         (
@@ -335,14 +351,14 @@ def render_vardct_frame_device_subsampled(
     hs = [header.hshift(c) for c in range(3)]
     vs = [header.vshift(c) for c in range(3)]
 
-    dense = device_flat is not None
-    if dense:
+    if device_flat is not None:
+        mode = "dense"
         group_ids = list(range(header.num_groups))
         total = len(group_ids) * _GROUP_STRIDE
         nz_bucket = 0
     else:
         group_ids = sorted(coeffs_by_group)
-        nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(
+        mode, nz_a1, nz_a2, total, nz_bucket = _sparse_coeffs(
             coeffs_by_group, group_ids
         )
     blocks = _frame_blocks(frame, group_ids)
@@ -381,7 +397,7 @@ def render_vardct_frame_device_subsampled(
         "sub",
         tids,
         pads,
-        dense,
+        mode,
         nz_bucket,
         len(group_ids),
         bw,
@@ -460,13 +476,10 @@ def render_vardct_frame_device_subsampled(
             return dq_c
 
         total_c = total
-        dense_c = dense
+        mode_c = mode
 
         def program(nz_i, nz_v, lf, rq, ytox, ytob, idx_args):
-            if dense_c:
-                flat = nz_i
-            else:
-                flat = jnp.zeros(total_c + 1, jnp.int32).at[nz_i].set(nz_v)[:total_c]
+            flat = _unpack_coeffs_device(mode_c, nz_i, nz_v, total_c)
             lf_flat = lf.reshape(3, -1)
             chans = []
             for c in range(3):
@@ -520,10 +533,10 @@ def render_vardct_frame_device_subsampled(
 
     th = -(-bh // COLOR_TILE_DIM_IN_BLOCKS)
     tw = -(-bw // COLOR_TILE_DIM_IN_BLOCKS)
-    if dense:
+    if mode == "dense":
         a1, a2 = device_flat, np.zeros(1, np.int32)
     else:
-        a1, a2 = nz_idx, nz_vals
+        a1, a2 = nz_a1, nz_a2
     args = jax.device_put(
         (
             a1,
