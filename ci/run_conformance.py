@@ -130,6 +130,54 @@ def _check_device_ac(path, data, rec):
         rec.setdefault("verified_by", []).append("device_host_ac_equality")
 
 
+def _check_libjxl(path, data, frames, meta, rec):
+    """Ground truth: compare every frame against the system libjxl
+    (C reference implementation) in our output space — sRGB-forced for
+    ICC-described XYB images, native otherwise. libjxl clamps negative
+    linear values to 0 (we, like jxl-rs, keep them), so both sides are
+    clamped before comparison."""
+    import numpy as np
+
+    from libjxl_ref import available, decode_ref
+    from jxl_tpu.io.headers import ExtraChannel
+
+    if not available():
+        return
+    want_srgb = meta.color_encoding.want_icc and meta.xyb_encoded
+    refs, info = decode_ref(data, prefer_srgb=want_srgb)
+    if len(refs) != len(frames):
+        rec["libjxl_mse"] = f"frame count {len(frames)} vs {len(refs)}"
+        return
+    alpha_idx = next(
+        (
+            i
+            for i, e in enumerate(meta.extra_channel_info)
+            if e.ec_type == ExtraChannel.ALPHA
+        ),
+        None,
+    )
+    worst = 0.0
+    for ours, ref in zip(frames, refs):
+        if info.num_color_channels == 1:
+            pairs = [(0, 0)]
+            if ref.shape[-1] > 1 and alpha_idx is not None:
+                pairs.append((3 + alpha_idx, 1))
+        else:
+            pairs = [(c, c) for c in range(min(3, ref.shape[-1]))]
+            if ref.shape[-1] > 3 and alpha_idx is not None:
+                pairs.append((3 + alpha_idx, 3))
+        if ours.shape[:2] != ref.shape[:2]:
+            rec["libjxl_mse"] = f"shape {ours.shape} vs {ref.shape}"
+            return
+        for oc, rc in pairs:
+            a = np.maximum(ours[..., oc].astype(np.float32), 0.0)
+            b = np.maximum(ref[..., rc], 0.0)
+            worst = max(worst, float(((a - b) ** 2).mean()))
+    rec["libjxl_mse"] = worst
+    if worst < 1e-6:
+        rec.setdefault("verified_by", []).append("libjxl_groundtruth")
+
+
 def run_one(path: pathlib.Path, verify: bool) -> dict:
     import numpy as np
 
@@ -178,6 +226,12 @@ def run_one(path: pathlib.Path, verify: bool) -> dict:
                 rec.setdefault("verified_by", []).append("pfm_golden")
 
     if verify and rec.get("success") and final_frames:
+        try:
+            _check_libjxl(
+                path, data, final_frames, d.file_header.image_metadata, rec
+            )
+        except Exception as e:
+            rec["libjxl_mse"] = f"error: {str(e)[:120]}"
         try:
             _check_progressive(path, data, final_frames[0], rec)
         except Exception as e:
