@@ -24,20 +24,21 @@ class Noise:
     def read(br: BitReader) -> "Noise":
         return Noise([br.read(10) / 1024.0 for _ in range(8)])
 
-    def strength(self, vx: np.ndarray) -> np.ndarray:
-        """Piecewise-linear 8-point LUT (ref noise.rs:20-39), vectorized."""
+    def strength(self, vx, xp=np):
+        """Piecewise-linear 8-point LUT (ref noise.rs:20-39), vectorized
+        and xp-generic (numpy oracle / jnp device stage)."""
         k_scale = np.float32(len(self.lut) - 2)
-        scaled = np.maximum(0.0, vx * k_scale)
-        floor = np.floor(scaled)
+        scaled = xp.maximum(np.float32(0.0), vx * k_scale)
+        floor = xp.floor(scaled)
         frac = scaled - floor
         big = scaled >= k_scale + 1.0
-        floor = np.where(big, k_scale, floor)
-        frac = np.where(big, 1.0, frac)
-        idx = np.minimum(floor.astype(np.int32), len(self.lut) - 2)
-        lut = np.asarray(self.lut, dtype=np.float32)
-        low = lut[idx]
-        hi = lut[idx + 1]
-        return np.clip((hi - low) * frac + low, 0.0, 1.0).astype(np.float32)
+        floor = xp.where(big, k_scale, floor)
+        frac = xp.where(big, np.float32(1.0), frac)
+        idx = xp.minimum(floor.astype(np.int32), len(self.lut) - 2)
+        lut = xp.asarray(np.asarray(self.lut, dtype=np.float32))
+        low = xp.take(lut, idx)
+        hi = xp.take(lut, idx + 1)
+        return xp.clip((hi - low) * frac + low, 0.0, 1.0).astype(np.float32)
 
 
 class Xorshift128Plus:
@@ -180,8 +181,8 @@ def add_noise(xp, planes, noise_planes, noise: Noise, ccp):
     rnd_r, rnd_g, rnd_c = noise_planes
     in_g = vy - vx
     in_r = vy + vx
-    sg = noise.strength(in_g * np.float32(0.5))
-    sr = noise.strength(in_r * np.float32(0.5))
+    sg = noise.strength(in_g * np.float32(0.5), xp)
+    sr = noise.strength(in_r * np.float32(0.5), xp)
     ar = rnd_r * norm_const
     ag = rnd_g * norm_const
     ac = rnd_c * norm_const

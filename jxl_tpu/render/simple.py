@@ -129,37 +129,29 @@ def render_frame_channels_ex(
         info = meta.extra_channel_info[i]
         planes.append(_modular_to_f32(mg.output_channel(3 + i), info.bit_depth))
 
-    # chroma upsampling (420/422/440 VarDCT); device-rendered planes are
-    # already upsampled in-program
-    if getattr(frame, "vardct_pixels_dev", None) is None:
-        for c in range(3):
-            for _ in range(header.hshift(c)):
-                planes[c] = st.chroma_upsample_h(np, planes[c])
-            for _ in range(header.vshift(c)):
-                planes[c] = st.chroma_upsample_v(np, planes[c])
+    # -- staged pipeline (ref frame/render.rs:506-885 conditional
+    # assembly; stage algebra in render/pipeline.py). Filters mirror at
+    # the VISIBLE frame edge (crop stage before them — verified bit-exact
+    # vs libjxl on 3x3_srgb_lossy). Device-rendered planes are already
+    # chroma-upsampled in-program.
+    from .pipeline import build_render_pipeline, run_stages
 
-    # Filters (and everything downstream) operate on the VISIBLE frame
-    # rect with mirror boundary at its edges — not on the 8x8-padded coded
-    # area (spec edge-extension; verified bit-exact vs libjxl on
-    # 3x3_srgb_lossy: pad-then-crop diverges on the last row/column).
-    wc_v, hc_v = header.size()
-    planes[:3] = [
-        p[:hc_v, :wc_v] if p.shape[0] > hc_v or p.shape[1] > wc_v else p
-        for p in planes[:3]
-    ]
+    dev_planes = getattr(frame, "vardct_pixels_dev", None) is not None
+    stages, ctx = build_render_pipeline(frame, skip_chroma_upsample=dev_planes)
+    if ctx.pop("needs_noise_field", False):
+        from ..features.noise import generate_noise_field
+
+        ctx["noise_field"] = generate_noise_field(frame)
 
     rf = header.restoration_filter
     color_done = False
     converted = False
     wu_f, hu_f = header.size_upsampled()
-    dev_planes = getattr(frame, "vardct_pixels_dev", None) is not None
-    can_fuse = (
+    all_device = all(s.device_ok for s in stages)
+    can_fuse_color = (
         fuse
+        and all_device
         and (rf.gab or rf.epf_iters > 0 or dev_planes)
-        and not header.has_patches
-        and not header.has_splines
-        and not header.has_noise
-        and header.upsampling == 1
         and header.frame_type != FrameType.REFERENCE_ONLY
         and not (header.can_be_referenced and header.save_before_ct)
         and header.lf_level == 0
@@ -167,102 +159,70 @@ def render_frame_channels_ex(
     # frames below ~0.16 MP aren't worth a device round trip: the host
     # numpy stage path beats dispatch+transfer latency (animation frames)
     small_frame = planes[0].size < 160_000 and not dev_planes
-    if rf.gab or rf.epf_iters > 0 or (can_fuse and dev_planes):
-        if rf.epf_iters > 0 and header.encoding == Encoding.VARDCT:
-            sigma_block = st.compute_sigma_image(frame)
-            const_sigma = None
-        else:
-            sigma_block = None
-            const_sigma = st.INV_SIGMA_NUM / rf.epf_sigma_for_modular
-        from .device_filters import run_filters, run_filters_and_color
 
-        if small_frame:
-            rgb3 = planes[:3]
-            if rf.gab:
-                gw = [
-                    (rf.gab_x_weight1, rf.gab_x_weight2),
-                    (rf.gab_y_weight1, rf.gab_y_weight2),
-                    (rf.gab_b_weight1, rf.gab_b_weight2),
-                ]
-                rgb3 = [st.gaborish(np, c, w1, w2) for c, (w1, w2) in zip(rgb3, gw)]
-            if rf.epf_iters >= 3:
-                rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 0, constant_sigma=const_sigma)
-            if rf.epf_iters >= 1:
-                rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 1, constant_sigma=const_sigma)
-            if rf.epf_iters >= 2:
-                rgb3 = st.epf_step(np, rgb3, sigma_block, rf, 2, constant_sigma=const_sigma)
-            planes[:3] = rgb3
-        elif can_fuse:
-            # output conversion can fuse too unless floats are needed
-            # downstream (blending with/as a reference, extra channels share
-            # the stacked output dtype on the host path)
-            fmt = out_format
-            if (
-                header.needs_blending()
-                or header.can_be_referenced
-                or num_ec > 0
-            ):
-                fmt = "f32"
-            planes[:3] = run_filters_and_color(
-                frame, planes[:3], sigma_block, const_sigma, (hu_f, wu_f), fmt
-            )
-            color_done = True
-            converted = fmt != "f32"
-        else:
-            planes[:3] = run_filters(
-                planes[:3], rf, sigma_block, const_sigma,
-                header.encoding == Encoding.VARDCT,
-            )
-
-    late_ec_upsample = header.upsampling > 1 and all(
-        u == header.upsampling for u in header.ec_upsampling
+    _FILTER_NAMES = {"gaborish", "epf0", "epf1", "epf2"}
+    i_filt = next(
+        (i for i, s in enumerate(stages) if s.name in _FILTER_NAMES), len(stages)
     )
+    filters_only_rest = all(s.name in _FILTER_NAMES for s in stages[i_filt:])
 
-    def _upsample(plane, n):
-        kern = st.build_upsample_kernels(
-            getattr(frame.file_header.transform_data, f"weights{n}"), n
+    fmt = out_format
+    if header.needs_blending() or header.can_be_referenced or num_ec > 0:
+        fmt = "f32"
+
+    if small_frame or not fuse:
+        planes = run_stages(np, stages, planes, ctx)
+    elif can_fuse_color and filters_only_rest:
+        # the common VarDCT path: chroma/crop on host (free slices), then
+        # filters + color transform (+ output conversion) as the bucketed
+        # shape-stable device program (single upload + download)
+        from .device_filters import run_filters_and_color
+
+        planes = run_stages(np, stages[:i_filt], planes, ctx)
+        sigma_block = ctx.get("sigma_block")
+        const_sigma = (
+            None
+            if sigma_block is not None or rf.epf_iters == 0
+            else st.INV_SIGMA_NUM / rf.epf_sigma_for_modular
         )
-        return st.upsample(np, plane, kern, n)
-
-    if not late_ec_upsample:
-        for i, ec_up in enumerate(header.ec_upsampling):
-            if ec_up > 1:
-                planes[3 + i] = _upsample(planes[3 + i], ec_up)
-
-    wc, hc = header.size()
-    if header.has_patches:
-        planes = [np.ascontiguousarray(p[:hc, :wc]) for p in planes]
-        frame.lf_global.patches.apply(
-            planes, meta.extra_channel_info,
-            frame.decoder_state.reference_frames if frame.decoder_state else [None] * 4,
+        planes[:3] = run_filters_and_color(
+            frame, planes[:3], sigma_block, const_sigma, (hu_f, wu_f), fmt
         )
+        color_done = True
+        converted = fmt != "f32"
+    elif can_fuse_color:
+        # feature frames (noise/upsampling/splines): the full device-ok
+        # stage list plus the color transform runs as one jit program
+        from .pipeline import color_transform_stage, convert_output_stage
+        from .span_exec import run_span_device
 
-    if header.has_splines and frame.lf_global.splines is not None:
-        planes = [np.ascontiguousarray(p[:hc, :wc]) for p in planes]
-        frame.lf_global.splines.draw(planes[:3])
+        full = list(stages) + [color_transform_stage(frame)]
+        if fmt != "f32":
+            full.append(convert_output_stage(fmt, (0, 1, 2)))
+        planes = run_span_device(full, planes, ctx, num_color=3)
+        color_done = True
+        converted = fmt != "f32"
+    else:
+        # mixed host/device: run maximal device spans as jit programs,
+        # host stages in numpy (ref render pipeline's per-stage dispatch)
+        from .pipeline import device_spans
+        from .span_exec import run_span_device
 
-    if header.upsampling > 1:
-        n_up = 3 + num_ec if late_ec_upsample else 3
-        for c in range(n_up):
-            planes[c] = _upsample(planes[c], header.upsampling)
+        for is_dev, span in device_spans(stages):
+            if is_dev and planes[0].size >= 160_000:
+                planes = run_span_device(span, planes, ctx)
+            else:
+                planes = run_stages(np, span, planes, ctx)
 
-    wu, hu = header.size_upsampled()
-    planes = [p[:hu, :wu] for p in planes]
-
-    if header.has_noise:
-        from ..features.noise import add_noise, convolve_noise, generate_noise_field
-
-        nf = generate_noise_field(frame)
-        nf = [convolve_noise(np, p) for p in nf]
-        planes[:3] = add_noise(
-            np, planes[:3], nf, frame.lf_global.noise,
-            frame.lf_global.color_correlation_params,
+    out = []
+    for p in planes:
+        p = np.asarray(p)
+        out.append(
+            np.ascontiguousarray(p)
+            if converted
+            else np.ascontiguousarray(p, dtype=np.float32)
         )
-    return (
-        [np.ascontiguousarray(p) if converted else np.ascontiguousarray(p, dtype=np.float32) for p in planes],
-        color_done,
-        converted,
-    )
+    return out, color_done, converted
 
 
 def color_transform(frame, planes, xp=np):
