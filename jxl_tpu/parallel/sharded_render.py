@@ -254,15 +254,21 @@ def sharded_vardct_frame(mesh: Mesh, frame, coeffs_by_group: dict,
     sh_blk, sw_blk = sgy * 32, sgx * 32  # blocks per shard
     sh_px, sw_px = sh_blk * 8, sw_blk * 8
 
-    # ---- host prep: per-shard, per-tid block tables ----------------------
-    shards = {}  # (sy, sx) -> {tid: [local_bx, local_by, coeff_base+off]}
+    # ---- host prep: per-shard, per-tid block tables (O(G)) ---------------
+    # Coefficients are SHARDED: each shard holds only its own groups'
+    # buffers at slot (local_gy * sgx + local_gx) * _GROUP_STRIDE, so the
+    # one array that grows with image size is distributed, not broadcast
+    # (VERDICT #7; group ownership per ref group_scheduler.rs:100-180).
+    shards = {}  # (sy, sx) -> {tid: [local_bx, local_by, local_coeff_off]}
     tids_all = set()
-    for g in sorted(coeffs_by_group):
+    group_ids = sorted(coeffs_by_group)
+    for g in group_ids:
         gy, gx = g // gw_groups, g % gw_groups
         sy, sx = gy // sgy, gx // sgx
         bl = _BlockList(frame, g)
         rec = shards.setdefault((sy, sx), {})
-        base = sorted(coeffs_by_group).index(g) * _GROUP_STRIDE
+        slot = (gy % sgy) * sgx + (gx % sgx)
+        base = slot * _GROUP_STRIDE
         lbx = bl.bxs + (gx % sgx) * 32
         lby = bl.bys + (gy % sgy) * 32
         for t in np.unique(bl.tids).tolist():
@@ -318,10 +324,16 @@ def sharded_vardct_frame(mesh: Mesh, frame, coeffs_by_group: dict,
     ytox_pad[: hf["ytox"].shape[0], : hf["ytox"].shape[1]] = hf["ytox"][:th, :tw]
     ytob_pad[: hf["ytob"].shape[0], : hf["ytob"].shape[1]] = hf["ytob"][:th, :tw]
 
-    group_ids = sorted(coeffs_by_group)
-    coeffs_flat = np.concatenate(
-        [coeffs_by_group[g].reshape(-1) for g in group_ids]
-    ).astype(np.int32)
+    # per-shard coefficient blocks: (ngy, ngx, sgy*sgx*stride) int32
+    per_shard = sgy * sgx * _GROUP_STRIDE
+    coeffs_sh = np.zeros((ngy, ngx, per_shard), np.int32)
+    for g in group_ids:
+        gy, gx = g // gw_groups, g % gw_groups
+        sy, sx = gy // sgy, gx // sgx
+        slot = (gy % sgy) * sgx + (gx % sgx)
+        coeffs_sh[sy, sx, slot * _GROUP_STRIDE : (slot + 1) * _GROUP_STRIDE] = (
+            coeffs_by_group[g].reshape(-1)
+        )
 
     igs = np.float32(qp.inv_global_scale)
     cf = np.float32(ccp.color_factor)
@@ -341,6 +353,7 @@ def sharded_vardct_frame(mesh: Mesh, frame, coeffs_by_group: dict,
 
     def local_fn(coeffs, lf, rq, ytox, ytob, sigma_px, *tid_args):
         # per-shard inputs arrive with a leading (1, 1) mesh-block shape
+        coeffs = coeffs[0, 0]
         lf = lf[0, 0]
         rq = rq[0, 0]
         ytox, ytob = ytox[0, 0], ytob[0, 0]
@@ -409,11 +422,18 @@ def sharded_vardct_frame(mesh: Mesh, frame, coeffs_by_group: dict,
                     planes.at[c, pidx].set(pix.reshape(-1), mode="drop")
                 )
         chans = [p.reshape(sh_px, sw_px) for p in planes]
-        # filters with 2-D halo exchange (rows then cols covers corners)
+        # filters with 2-D halo exchange (rows then cols covers corners);
+        # the per-shard gather maps then rewrite coded-padding and
+        # out-of-image taps to the spec's VISIBLE-edge mirror (matching
+        # the whole-image oracle, which crops to the visible rect before
+        # filtering — identity maps on interior shards)
+        row_map = tid_args[-2][0, 0]
+        col_map = tid_args[-1][0, 0]
         if gab_weights is not None or epf_iters > 0:
             def ext(x):
                 x = exchange_halo_rows(x, HALO, "gy")
-                return exchange_halo_cols(x, HALO, "gx")
+                x = exchange_halo_cols(x, HALO, "gx")
+                return x[row_map][:, col_map]
 
             chans = [ext(c) for c in chans]
             sig = ext(sigma_px)
@@ -456,7 +476,7 @@ def sharded_vardct_frame(mesh: Mesh, frame, coeffs_by_group: dict,
     sig_b = blockify(sigma_full.astype(np.float32))
 
     args = [
-        jnp.asarray(coeffs_flat),
+        jnp.asarray(coeffs_sh),
         jnp.asarray(lf_b),
         jnp.asarray(rq_b),
         jnp.asarray(ytox_b),
@@ -464,7 +484,7 @@ def sharded_vardct_frame(mesh: Mesh, frame, coeffs_by_group: dict,
         jnp.asarray(sig_b),
     ]
     specs = [
-        P(),  # coeffs replicated
+        P(gy_ax, gx_ax, None),  # coefficients sharded by group ownership
         P(gy_ax, gx_ax, None, None, None),
         P(gy_ax, gx_ax, None, None),
         P(gy_ax, gx_ax, None, None),
@@ -475,6 +495,36 @@ def sharded_vardct_frame(mesh: Mesh, frame, coeffs_by_group: dict,
         for arr in idx_in[t]:
             args.append(jnp.asarray(arr))
             specs.append(P(gy_ax, gx_ax, None))
+
+    # visible-edge mirror gather maps over the extended (halo-exchanged)
+    # local block: extended index e covers global rows [base-HALO,
+    # base+sh+HALO); rows outside the visible image remap to their mirror
+    # source, which always lies within the same edge shard
+    wc_vis, hc_vis = header.size()
+
+    def _mirror(g, n):
+        if g < 0:
+            g = -g - 1
+        if g >= n:
+            g = 2 * n - 1 - g
+        return min(max(g, 0), n - 1)
+
+    def _edge_map(n_shards, shard_len, visible):
+        m = np.zeros((n_shards, shard_len + 2 * HALO), np.int32)
+        for s in range(n_shards):
+            base = s * shard_len
+            for e in range(shard_len + 2 * HALO):
+                g = base - HALO + e
+                gm = _mirror(g, visible) if (g < 0 or g >= visible) else g
+                m[s, e] = gm - base + HALO
+        return m
+
+    rmap = _edge_map(ngy, sh_px, hc_vis)
+    cmap = _edge_map(ngx, sw_px, wc_vis)
+    args.append(jnp.asarray(np.broadcast_to(rmap[:, None], (ngy, ngx, rmap.shape[1])).copy()))
+    specs.append(P(gy_ax, gx_ax, None))
+    args.append(jnp.asarray(np.broadcast_to(cmap[None, :], (ngy, ngx, cmap.shape[1])).copy()))
+    specs.append(P(gy_ax, gx_ax, None))
 
     fn = shard_map(
         local_fn,
