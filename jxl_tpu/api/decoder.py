@@ -19,7 +19,7 @@ from dataclasses import dataclass, field as dfield
 
 import numpy as np
 
-from ..errors import InvalidBitstream, InvalidSignature, OutOfBounds
+from ..errors import InvalidBitstream, InvalidBox, InvalidSignature, OutOfBounds
 from ..io.bit_reader import BitReader
 from ..io.container import CODESTREAM_SIG, CONTAINER_SIG
 from ..io.headers import FileHeader
@@ -205,7 +205,7 @@ class _BoxParser:
             # parts remain whose index order cannot be satisfied: the file
             # interleaves jxlp boxes out of order (ref tests/api.rs:36-44
             # expects Error::InvalidBox for such files)
-            raise InvalidBitstream("out-of-order jxlp boxes")
+            raise InvalidBox("out-of-order jxlp boxes")
         self.done = True
 
     def _append_codestream(self, data):
@@ -433,7 +433,7 @@ class JxlDecoder:
                 if lo <= start_byte < hi:
                     # ref tests/api.rs:36-44: frames must start in a box that
                     # is a valid checkpoint (physically in logical order)
-                    raise InvalidBitstream("frame starts in out-of-order jxlp box")
+                    raise InvalidBox("frame starts in out-of-order jxlp box")
             if self._preview_pending:
                 pframe = parse_frame(br, self.file_header, None, preview=True)
                 br.jump_to_byte_boundary()

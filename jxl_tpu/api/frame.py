@@ -11,7 +11,7 @@ from dataclasses import dataclass, field as dfield
 
 import numpy as np
 
-from ..errors import InvalidBitstream, NotSupported
+from ..errors import InvalidBitstream, LfQuantFactorTooSmall, NoLfFrame, NotSupported
 from ..io.bit_reader import BitReader
 from ..io.bundle import F16
 from ..io.headers import ColorSpace, FileHeader
@@ -35,7 +35,7 @@ class LfQuantFactors:
         qf = tuple(f16.read(br) / 128.0 for _ in range(3))
         for v in qf:
             if v < 1e-8:
-                raise InvalidBitstream("LF quant factor too small")
+                raise LfQuantFactorTooSmall("LF quant factor too small")
         return LfQuantFactors(qf)
 
     @property
@@ -242,7 +242,7 @@ class Frame:
             else None
         )
         if lf is None:
-            raise InvalidBitstream("frame references a missing LF frame")
+            raise NoLfFrame("frame references a missing LF frame")
         for c in range(3):
             dst = self.lf_image[c]
             src = np.asarray(lf[c])

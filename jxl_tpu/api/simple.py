@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-from ..errors import InvalidBitstream, JxlError, NotSupported
+from ..errors import InvalidBitstream, InvalidBox, JxlError, NotSupported
 from ..io.bit_reader import BitReader
 from ..io.container import extract_codestream
 from ..io.headers import FileHeader
@@ -140,7 +140,7 @@ def decode_image(
             if lo <= start_byte < hi:
                 # ref tests/api.rs:36-44: frames must start in a box that is
                 # a valid checkpoint (physically in logical order)
-                raise InvalidBitstream("frame starts in out-of-order jxlp box")
+                raise InvalidBox("frame starts in out-of-order jxlp box")
         frame = parse_frame(br, fh, state)
         frame.icc_profile = icc_profile
         header = frame.header

@@ -13,7 +13,7 @@ device arrays for the Pallas decode kernel unchanged (see ops/ans_kernel).
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream
+from ..errors import AlphabetTooLarge, InvalidAnsHistogram, InvalidBitstream
 from ..io.bit_reader import BitReader
 
 LOG_SUM_PROBS = 12
@@ -80,7 +80,7 @@ def decode_distribution(br: BitReader, table_size: int) -> list[int]:
             v0 = read_u8(br)
             v1 = read_u8(br)
             if v0 == v1 or max(v0, v1) >= table_size:
-                raise InvalidBitstream("invalid two-symbol ANS distribution")
+                raise InvalidAnsHistogram("invalid two-symbol ANS distribution")
             prob = br.read(LOG_SUM_PROBS)
             dist[v0] = prob
             dist[v1] = SUM_PROBS - prob
@@ -88,13 +88,13 @@ def decode_distribution(br: BitReader, table_size: int) -> list[int]:
             # single symbol, probability 1
             val = read_u8(br)
             if val >= table_size:
-                raise InvalidBitstream("invalid single-symbol ANS distribution")
+                raise InvalidAnsHistogram("invalid single-symbol ANS distribution")
             dist[val] = SUM_PROBS
     elif br.read(1) != 0:
         # evenly distributed over alphabet
         alphabet_size = read_u8(br) + 1
         if alphabet_size > table_size:
-            raise InvalidBitstream("ANS alphabet too large")
+            raise AlphabetTooLarge("ANS alphabet too large")
         base, rem = divmod(SUM_PROBS, alphabet_size)
         for i in range(alphabet_size):
             dist[i] = base + (1 if i < rem else 0)
@@ -110,10 +110,10 @@ def _decode_complex_distribution(br: BitReader, dist: list[int], table_size: int
         length += 1
     shift = br.read(length) + (1 << length) - 1
     if shift > 13:
-        raise InvalidBitstream("ANS shift too large")
+        raise InvalidAnsHistogram("ANS shift too large")
     alphabet_size = read_u8(br) + 3
     if alphabet_size > table_size:
-        raise InvalidBitstream("ANS alphabet too large")
+        raise AlphabetTooLarge("ANS alphabet too large")
 
     # First pass: read log-counts; RLE marker repeats the previous count.
     logcounts = [0] * alphabet_size
@@ -126,7 +126,7 @@ def _decode_complex_distribution(br: BitReader, dist: list[int], table_size: int
         if sym == _RLE_MARKER:
             repeat = read_u8(br) + 4
             if idx + repeat > alphabet_size:
-                raise InvalidBitstream("ANS RLE overruns alphabet")
+                raise InvalidAnsHistogram("ANS RLE overruns alphabet")
             for i in range(idx, idx + repeat):
                 same_as_prev[i] = True
             idx += repeat
@@ -137,7 +137,7 @@ def _decode_complex_distribution(br: BitReader, dist: list[int], table_size: int
             omit_pos = idx
         idx += 1
     if omit_pos < 0 or (omit_pos + 1 < alphabet_size and same_as_prev[omit_pos + 1]):
-        raise InvalidBitstream("invalid ANS omit position")
+        raise InvalidAnsHistogram("invalid ANS omit position")
 
     # Second pass: expand log-counts to counts (with `shift` precision bits).
     acc = 0
@@ -147,7 +147,7 @@ def _decode_complex_distribution(br: BitReader, dist: list[int], table_size: int
             dist[i] = prev
             acc += prev
             if acc >= SUM_PROBS:
-                raise InvalidBitstream("ANS distribution overflow")
+                raise InvalidAnsHistogram("ANS distribution overflow")
             continue
         code = logcounts[i]
         if code == 0:
@@ -165,7 +165,7 @@ def _decode_complex_distribution(br: BitReader, dist: list[int], table_size: int
         prev = code
         acc += code
         if acc >= SUM_PROBS:
-            raise InvalidBitstream("ANS distribution overflow")
+            raise InvalidAnsHistogram("ANS distribution overflow")
     dist[omit_pos] = SUM_PROBS - acc
 
 

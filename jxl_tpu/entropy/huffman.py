@@ -8,7 +8,7 @@ lookup table (8-bit root) for O(1) decode. Codes are read LSB-first.
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream
+from ..errors import AlphabetTooLarge, InvalidBitstream, InvalidHuffman
 from ..io.bit_reader import BitReader
 
 HUFFMAN_MAX_BITS = 15
@@ -77,7 +77,7 @@ class Table:
     @staticmethod
     def from_code_lengths(root_bits: int, code_lengths: list[int]) -> "Table":
         if len(code_lengths) > (1 << HUFFMAN_MAX_BITS):
-            raise InvalidBitstream("huffman alphabet too large")
+            raise AlphabetTooLarge("huffman alphabet too large")
         counts = [0] * (HUFFMAN_MAX_BITS + 1)
         for v in code_lengths:
             counts[v] += 1
@@ -189,10 +189,10 @@ class Table:
         for _ in range(num_symbols):
             s = br.read(max_bits)
             if s >= al_size:
-                raise InvalidBitstream("huffman symbol out of range")
+                raise InvalidHuffman("huffman symbol out of range")
             syms.append(s)
         if len(set(syms)) != len(syms):
-            raise InvalidBitstream("duplicate huffman symbols")
+            raise InvalidHuffman("duplicate huffman symbols")
         tree_select = br.read(1) != 0 if num_symbols == 4 else False
 
         bits = [0] * TABLE_SIZE
@@ -259,7 +259,7 @@ class Table:
                     prev_len = code_len
                     space -= 32768 >> code_len
                     if space < 0:
-                        raise InvalidBitstream("huffman code over-subscribed")
+                        raise InvalidHuffman("huffman code over-subscribed")
             else:
                 extra_bits = code_len - 14
                 new_len = prev_len if code_len == CODE_LENGTH_REPEAT_CODE else 0
@@ -272,16 +272,16 @@ class Table:
                 repeat += br.read(extra_bits) + 3
                 delta = repeat - old_repeat
                 if symbol + delta > al_size:
-                    raise InvalidBitstream("huffman repeat overruns alphabet")
+                    raise InvalidHuffman("huffman repeat overruns alphabet")
                 for i in range(delta):
                     code_lengths[symbol + i] = repeat_len
                 symbol += delta
                 if repeat_len:
                     space -= delta << (15 - repeat_len)
                     if space < 0:
-                        raise InvalidBitstream("huffman code over-subscribed")
+                        raise InvalidHuffman("huffman code over-subscribed")
         if space != 0:
-            raise InvalidBitstream("huffman code under-subscribed")
+            raise InvalidHuffman("huffman code under-subscribed")
         return code_lengths
 
     @staticmethod
@@ -289,7 +289,7 @@ class Table:
         if al_size == 1:
             return Table([0] * TABLE_SIZE, [0] * TABLE_SIZE)
         if al_size >= (1 << HUFFMAN_MAX_BITS):
-            raise InvalidBitstream("huffman alphabet too large")
+            raise AlphabetTooLarge("huffman alphabet too large")
         simple_or_skip = br.read(2)
         if simple_or_skip == 1:
             return Table._simple(al_size, br)
@@ -307,7 +307,7 @@ class Table:
                 space -= 32 >> sym
                 num_codes += 1
         if num_codes != 1 and space != 0:
-            raise InvalidBitstream("invalid code-length code")
+            raise InvalidHuffman("invalid code-length code")
         code_lengths = Table._read_code_lengths(cl_lengths, al_size, br)
         return Table.from_code_lengths(TABLE_BITS, code_lengths)
 
@@ -358,7 +358,7 @@ class HuffmanCodes:
     def decode(num: int, br: BitReader) -> "HuffmanCodes":
         sizes = [decode_varint16(br) + 1 for _ in range(num)]
         if max(sizes) >= (1 << HUFFMAN_MAX_BITS):
-            raise InvalidBitstream("huffman alphabet too large")
+            raise AlphabetTooLarge("huffman alphabet too large")
         c = HuffmanCodes.__new__(HuffmanCodes)
         c.tables = [Table.decode(sz, br) for sz in sizes]
         return c

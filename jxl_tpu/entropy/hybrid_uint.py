@@ -7,7 +7,7 @@ split = value; above: token encodes msb/lsb bits and a bit count.
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream
+from ..errors import InvalidBitstream, InvalidUintConfig
 from ..io.bit_reader import BitReader
 
 
@@ -31,14 +31,14 @@ class HybridUint:
             nbits = _ceil_log2(split_exponent + 1)
             msb_in_token = br.read(nbits)
             if msb_in_token > split_exponent:
-                raise InvalidBitstream("invalid hybrid-uint config (msb)")
+                raise InvalidUintConfig("invalid hybrid-uint config (msb)")
             nbits = _ceil_log2(split_exponent - msb_in_token + 1)
             lsb_in_token = br.read(nbits)
         else:
             msb_in_token = 0
             lsb_in_token = 0
         if lsb_in_token + msb_in_token > split_exponent:
-            raise InvalidBitstream("invalid hybrid-uint config (lsb+msb)")
+            raise InvalidUintConfig("invalid hybrid-uint config (lsb+msb)")
         return HybridUint(split_exponent, msb_in_token, lsb_in_token)
 
     def read(self, token: int, br: BitReader) -> int:

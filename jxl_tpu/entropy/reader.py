@@ -10,7 +10,7 @@ progressive partial-decode rollback.
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream
+from ..errors import InvalidBitstream, InvalidContextMap, Lz77Disallowed
 from ..io.bit_reader import BitReader
 from ..io.bundle import U32, Bits, BitsOffset, Val
 from .ans import ANS_CHECKSUM, AnsCodes
@@ -67,7 +67,7 @@ def decode_context_map(num_contexts: int, br: BitReader) -> list[int]:
     vals = native.read_unsigned_run(histograms, br, 0, num_contexts, check_final=True)
     if vals is not None:
         if vals.max(initial=0) > 255:
-            raise InvalidBitstream("context map value too large")
+            raise InvalidContextMap("context map value too large")
         ctx_map = [int(v) for v in vals]
     else:
         reader = SymbolReader(histograms, br)
@@ -75,14 +75,14 @@ def decode_context_map(num_contexts: int, br: BitReader) -> list[int]:
         for _ in range(num_contexts):
             mv = reader.read_unsigned(histograms, br, 0)
             if mv > 255:
-                raise InvalidBitstream(f"context map value {mv} too large")
+                raise InvalidContextMap(f"context map value {mv} too large")
             ctx_map.append(mv)
         reader.check_final_state(histograms, br)
     if use_mtf:
         ctx_map = _move_to_front_inverse(ctx_map)
     num_histograms = max(ctx_map) + 1
     if len(set(ctx_map)) != num_histograms:
-        raise InvalidBitstream("context map has holes")
+        raise InvalidContextMap("context map has holes")
     return ctx_map
 
 
@@ -117,7 +117,7 @@ class Histograms:
         h.lz77_enabled = br.read(1) != 0
         if h.lz77_enabled:
             if not allow_lz77:
-                raise InvalidBitstream("LZ77 not allowed in this stream")
+                raise Lz77Disallowed("LZ77 not allowed in this stream")
             h.lz77_min_symbol = _LZ77_MIN_SYMBOL.read(br)
             h.lz77_min_length = _LZ77_MIN_LENGTH.read(br)
             h.lz77_length_uint = HybridUint.decode(8, br)

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..entropy import Histograms, SymbolReader
-from ..errors import InvalidBitstream
+from ..errors import InvalidBitstream, PatchesInvalidAlphaChannel, PatchesInvalidBlendMode, PatchesInvalidDelta, PatchesInvalidReference, PatchesOutOfBounds, PatchesPostColorTransform, PatchesTooMany
 from ..io.bit_reader import BitReader
 
 # contexts (ref patches.rs PatchContext)
@@ -92,7 +92,7 @@ class PatchesDictionary:
         max_ref_patches = 1024 + num_pixels // 4
         max_patches = max_ref_patches * 4
         if num_ref_patch > max_ref_patches:
-            raise InvalidBitstream("too many reference patches")
+            raise PatchesTooMany("too many reference patches")
         positions: list[PatchPosition] = []
         blendings: list[PatchBlending] = []
         ref_positions: list[RefPosition] = []
@@ -100,23 +100,23 @@ class PatchesDictionary:
         for _ in range(num_ref_patch):
             reference = reader.read_unsigned(histograms, br, _REFERENCE_FRAME)
             if reference >= MAX_STORED_FRAMES:
-                raise InvalidBitstream("patch reference too large")
+                raise PatchesInvalidReference("patch reference too large")
             x0 = reader.read_unsigned(histograms, br, _PATCH_REFERENCE_POSITION)
             y0 = reader.read_unsigned(histograms, br, _PATCH_REFERENCE_POSITION)
             rw = reader.read_unsigned(histograms, br, _PATCH_SIZE) + 1
             rh = reader.read_unsigned(histograms, br, _PATCH_SIZE) + 1
             rf = reference_frames[reference]
             if rf is None:
-                raise InvalidBitstream("patch references missing frame")
+                raise PatchesInvalidReference("patch references missing frame")
             if not rf.get("saved_before_color_transform", True):
-                raise InvalidBitstream("patch references post-CT frame")
+                raise PatchesPostColorTransform("patch references post-CT frame")
             fh0 = rf["frame"][0]
             if x0 + rw > fh0.shape[1] or y0 + rh > fh0.shape[0]:
-                raise InvalidBitstream("patch reference position out of bounds")
+                raise PatchesOutOfBounds("patch reference position out of bounds")
             id_count = reader.read_unsigned(histograms, br, _PATCH_COUNT) + 1
             total_patches += id_count
             if total_patches > max_patches:
-                raise InvalidBitstream("too many patches")
+                raise PatchesTooMany("too many patches")
             for i in range(id_count):
                 if i == 0:
                     px = reader.read_unsigned(histograms, br, _PATCH_POSITION)
@@ -127,13 +127,13 @@ class PatchesDictionary:
                     px = positions[-1].x + dx
                     py = positions[-1].y + dy
                     if px < 0 or py < 0:
-                        raise InvalidBitstream("invalid patch delta")
+                        raise PatchesInvalidDelta("invalid patch delta")
                 if px + rw > xsize or py + rh > ysize:
-                    raise InvalidBitstream("patch out of bounds")
+                    raise PatchesOutOfBounds("patch out of bounds")
                 for _ in range(stride):
                     mode = reader.read_unsigned(histograms, br, _PATCH_BLEND_MODE)
                     if mode >= BlendMode.COUNT:
-                        raise InvalidBitstream("invalid patch blend mode")
+                        raise PatchesInvalidBlendMode("invalid patch blend mode")
                     alpha_channel = 0
                     clamp = False
                     if BlendMode.uses_alpha(mode) and stride > 2:
@@ -141,7 +141,7 @@ class PatchesDictionary:
                             histograms, br, _PATCH_ALPHA_CHANNEL
                         )
                         if alpha_channel >= num_extra_channels:
-                            raise InvalidBitstream("invalid patch alpha channel")
+                            raise PatchesInvalidAlphaChannel("invalid patch alpha channel")
                     if BlendMode.uses_clamp(mode):
                         clamp = reader.read_unsigned(histograms, br, _PATCH_CLAMP) != 0
                     blendings.append(PatchBlending(mode, alpha_channel, clamp))

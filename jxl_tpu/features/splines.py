@@ -14,7 +14,7 @@ from dataclasses import dataclass, field as dfield
 
 import numpy as np
 
-from ..errors import InvalidBitstream
+from ..errors import InvalidBitstream, SplineAdjacentCoincidingControlPoints, SplinesAreaTooLarge, SplinesDeltaLimit, SplinesDistanceTooLarge, SplinesPointOutOfRange, SplinesTooMany, SplinesTooManyControlPoints
 from ..entropy import Histograms, SymbolReader
 from ..io.bit_reader import BitReader
 from ..io.bundle import unpack_signed
@@ -100,7 +100,7 @@ class Splines:
         num_splines = reader.read_unsigned(histograms, br, _NUM_SPLINES_CTX) + 1
         max_cp = min(_MAX_CP, num_pixels // 2)
         if num_splines > max_cp:
-            raise InvalidBitstream("too many splines")
+            raise SplinesTooMany("too many splines")
         last_x = last_y = 0
         for i in range(num_splines):
             ux = reader.read_unsigned(histograms, br, _START_POS_CTX)
@@ -111,7 +111,7 @@ class Splines:
             else:
                 x, y = ux, uy
             if max(abs(x), abs(y)) >= _POS_LIMIT:
-                raise InvalidBitstream("spline coordinates out of range")
+                raise SplinesPointOutOfRange("spline coordinates out of range")
             s.starting_points.append((float(x), float(y)))
             last_x, last_y = x, y
         s.quantization_adjustment = reader.read_signed(histograms, br, _QUANT_ADJ_CTX)
@@ -120,13 +120,13 @@ class Splines:
             n = reader.read_unsigned(histograms, br, _NUM_CP_CTX)
             total_cp += n
             if total_cp > max_cp:
-                raise InvalidBitstream("too many control points")
+                raise SplinesTooManyControlPoints("too many control points")
             cps = []
             for _ in range(n):
                 dx = reader.read_signed(histograms, br, _CP_CTX)
                 dy = reader.read_signed(histograms, br, _CP_CTX)
                 if max(abs(dx), abs(dy)) >= _DELTA_LIMIT:
-                    raise InvalidBitstream("spline delta too large")
+                    raise SplinesDeltaLimit("spline delta too large")
                 cps.append((dx, dy))
             color_dct = [
                 [reader.read_signed(histograms, br, _DCT_CTX) for _ in range(32)]
@@ -157,10 +157,10 @@ class Splines:
             )
             total_area += est_area
             if total_area > area_limit:
-                raise InvalidBitstream("splines area too large")
+                raise SplinesAreaTooLarge("splines area too large")
             for a, b in zip(cps, cps[1:]):
                 if a == b:
-                    raise InvalidBitstream("identical adjacent spline points")
+                    raise SplineAdjacentCoincidingControlPoints("identical adjacent spline points")
             pts = _catmull_rom(cps)
             draw_pts = _equally_spaced(pts, _DESIRED_DIST)
             if not draw_pts:
@@ -235,14 +235,14 @@ def _dequantize(qspline, start, inv_quant, y_to_x, y_to_b, image_area):
         dx += ddx
         dy += ddy
         if max(abs(dx), abs(dy)) >= _POS_LIMIT:
-            raise InvalidBitstream("spline delta out of range")
+            raise SplinesDeltaLimit("spline delta out of range")
         manhattan += abs(dx) + abs(dy)
         if manhattan > area_limit:
-            raise InvalidBitstream("spline too long")
+            raise SplinesDistanceTooLarge("spline too long")
         cur_x += dx
         cur_y += dy
         if max(abs(cur_x), abs(cur_y)) >= _POS_LIMIT:
-            raise InvalidBitstream("spline point out of range")
+            raise SplinesPointOutOfRange("spline point out of range")
         cps.append((float(cur_x), float(cur_y)))
 
     frac_sqrt2 = 1.0 / math.sqrt(2.0)

@@ -10,7 +10,7 @@ shuffles, linear prediction).
 from __future__ import annotations
 
 from ..entropy import Histograms, SymbolReader
-from ..errors import InvalidBitstream
+from ..errors import IccEndOfStream, IccTooLarge, InvalidBitstream, InvalidIccStream
 from ..io.bit_reader import BitReader
 from ..io.bundle import U64
 
@@ -60,7 +60,7 @@ def read_icc(br: BitReader) -> bytes:
     """Decode the entropy-coded ICC blob + reconstruct the profile."""
     length = U64().read(br)
     if length > (1 << 24):
-        raise InvalidBitstream("ICC too large")
+        raise IccTooLarge("ICC too large")
     histograms = Histograms.decode(ICC_CONTEXTS, br, allow_lz77=True)
     reader = SymbolReader(histograms, br)
     buf = bytearray()
@@ -69,7 +69,7 @@ def read_icc(br: BitReader) -> bytes:
         ctx = _icc_context(len(buf), b1, b2)
         sym = reader.read_unsigned(histograms, br, ctx)
         if sym >= 256:
-            raise InvalidBitstream("invalid ICC stream symbol")
+            raise InvalidIccStream("invalid ICC stream symbol")
         buf.append(sym)
         b2 = b1
         b1 = sym
@@ -84,13 +84,13 @@ class _Stream:
 
     def u8(self) -> int:
         if self.pos >= len(self.data):
-            raise InvalidBitstream("ICC end of stream")
+            raise IccEndOfStream("ICC end of stream")
         self.pos += 1
         return self.data[self.pos - 1]
 
     def exact(self, n: int) -> bytes:
         if self.pos + n > len(self.data):
-            raise InvalidBitstream("ICC end of stream")
+            raise IccEndOfStream("ICC end of stream")
         out = self.data[self.pos : self.pos + n]
         self.pos += n
         return out
@@ -193,11 +193,11 @@ def _reconstruct_profile(coded: bytes) -> bytes:
     output_size = stream.varint()
     commands_size = stream.varint()
     if stream.pos + commands_size > len(coded):
-        raise InvalidBitstream("invalid ICC stream")
+        raise InvalidIccStream("invalid ICC stream")
     if output_size > (1 << 28):
-        raise InvalidBitstream("ICC too large")
+        raise IccTooLarge("ICC too large")
     if output_size + 65536 < len(coded):
-        raise InvalidBitstream("ICC too large")
+        raise IccTooLarge("ICC too large")
     commands = _Stream(stream.exact(commands_size))
     data = stream
 
@@ -214,7 +214,7 @@ def _reconstruct_profile(coded: bytes) -> bytes:
     def w(b: bytes):
         nonlocal pos
         if pos + len(b) > output_size:
-            raise InvalidBitstream("ICC output overflow")
+            raise InvalidIccStream("ICC output overflow")
         out[pos : pos + len(b)] = b
         pos += len(b)
 
@@ -223,7 +223,7 @@ def _reconstruct_profile(coded: bytes) -> bytes:
     if v >= 1:
         num_tags = v - 1
         if (output_size - ICC_HEADER_SIZE) // 12 < num_tags:
-            raise InvalidBitstream("invalid ICC stream: num_tags")
+            raise InvalidIccStream("invalid ICC stream: num_tags")
         w(num_tags.to_bytes(4, "big"))
         prev_tagstart = num_tags * 12 + ICC_HEADER_SIZE
         prev_tagsize = 0
@@ -237,7 +237,7 @@ def _reconstruct_profile(coded: bytes) -> bytes:
             elif 2 <= tagcode <= 20:
                 tag = _COMMON_TAGS[tagcode - 2]
             else:
-                raise InvalidBitstream("invalid ICC tag code")
+                raise InvalidIccStream("invalid ICC tag code")
             if command & 64:
                 tagstart = commands.varint()
             else:
@@ -249,7 +249,7 @@ def _reconstruct_profile(coded: bytes) -> bytes:
             else:
                 tagsize = prev_tagsize
             if tagstart + tagsize > output_size:
-                raise InvalidBitstream("ICC tag overflow")
+                raise InvalidIccStream("ICC tag overflow")
             prev_tagstart, prev_tagsize = tagstart, tagsize
             w(tag)
             w(tagstart.to_bytes(4, "big"))
@@ -276,10 +276,10 @@ def _reconstruct_profile(coded: bytes) -> bytes:
             width = (flags & 3) + 1
             order = (flags >> 2) & 3
             if width == 3 or order == 3:
-                raise InvalidBitstream("invalid ICC predict command")
+                raise InvalidIccStream("invalid ICC predict command")
             stride = commands.varint() if (flags & 16) else width
             if stride < width or stride * 4 >= pos:
-                raise InvalidBitstream("invalid ICC stride")
+                raise InvalidIccStream("invalid ICC stride")
             num = commands.varint()
             b = data.exact(num)
             if width == 2:
@@ -311,10 +311,10 @@ def _reconstruct_profile(coded: bytes) -> bytes:
         elif 16 <= command <= 23:
             w(_COMMON_DATA[command - 16] + b"\0" * 4)
         else:
-            raise InvalidBitstream("invalid ICC command")
+            raise InvalidIccStream("invalid ICC command")
 
     if pos != output_size:
-        raise InvalidBitstream("ICC profile size mismatch")
+        raise InvalidIccStream("ICC profile size mismatch")
     if not data.at_end:
-        raise InvalidBitstream("ICC stream not fully consumed")
+        raise InvalidIccStream("ICC stream not fully consumed")
     return bytes(out)

@@ -29,7 +29,7 @@ import dataclasses
 import struct as _struct
 from typing import Any, Callable, Optional
 
-from ..errors import InvalidBitstream, InvalidEnum, SizeOverflow
+from ..errors import FloatNaNOrInf, InvalidBitstream, InvalidEnum, SizeOverflow
 from .bit_reader import BitReader
 
 
@@ -135,7 +135,7 @@ class F16:
         bits = br.read(16)
         v = _struct.unpack("<e", bits.to_bytes(2, "little"))[0]
         if v != v or v in (float("inf"), float("-inf")):
-            raise InvalidBitstream("f16 header field is NaN or Inf")
+            raise FloatNaNOrInf("f16 header field is NaN or Inf")
         return float(v)
 
 

@@ -9,7 +9,7 @@ api/signature.rs.
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream, InvalidSignature, OutOfBounds
+from ..errors import InvalidBitstream, InvalidBox, InvalidSignature, OutOfBounds
 
 CONTAINER_SIG = bytes(
     [0x00, 0x00, 0x00, 0x0C, 0x4A, 0x58, 0x4C, 0x20, 0x0D, 0x0A, 0x87, 0x0A]
@@ -51,7 +51,7 @@ def iter_boxes(data: bytes):
             pos = len(data)
         else:
             if size < header:
-                raise InvalidBitstream(f"box size {size} smaller than header")
+                raise InvalidBox(f"box size {size} smaller than header")
             if pos + size > len(data):
                 raise OutOfBounds(pos + size - len(data))
             payload = view[pos + header : pos + size]
@@ -77,7 +77,7 @@ def extract_codestream_ex(data: bytes) -> tuple[bytes, list[tuple[int, int]]]:
             jxlc = bytes(payload)
         elif btype == b"jxlp":
             if len(payload) < 4:
-                raise InvalidBitstream("jxlp box too small")
+                raise InvalidBox("jxlp box too small")
             idx = int.from_bytes(payload[:4], "big") & 0x7FFFFFFF
             # in-order iff every logically-preceding part is physically
             # before this one and no logically-later part has been seen
@@ -88,7 +88,7 @@ def extract_codestream_ex(data: bytes) -> tuple[bytes, list[tuple[int, int]]]:
         return jxlc, []
     if parts:
         if sorted(parts) != list(range(len(parts))):
-            raise InvalidBitstream("jxlp part indices not contiguous")
+            raise InvalidBox("jxlp part indices not contiguous")
         ranges = []
         pos = 0
         for i in sorted(parts):
@@ -96,7 +96,7 @@ def extract_codestream_ex(data: bytes) -> tuple[bytes, list[tuple[int, int]]]:
                 ranges.append((pos, pos + len(parts[i])))
             pos += len(parts[i])
         return b"".join(parts[i] for i in sorted(parts)), ranges
-    raise InvalidBitstream("container has no codestream boxes")
+    raise InvalidBox("container has no codestream boxes")
 
 
 def extract_codestream(data: bytes) -> bytes:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass, field as dfield
 
-from ...errors import InvalidBitstream
+from ...errors import InvalidBitstream, InvalidBlending, InvalidEcUpsampling, InvalidLfLevel, InvalidPasses, Non444ChromaSubsampling, NonPatchReferenceWithCrop, PatchesUnsupportedMixedUpsampling
 from ..bit_reader import BitReader
 from ..bundle import (
     Bits,
@@ -125,7 +125,7 @@ class BlendingInfo:
         b = BlendingInfo()
         raw_mode = U32(Val(0), Val(1), Val(2), BitsOffset(2, 3)).read(br)
         if raw_mode > BlendingMode.MUL:
-            raise InvalidBitstream(f"invalid blending mode {raw_mode}")
+            raise InvalidBlending(f"invalid blending mode {raw_mode}")
         b.mode = BlendingMode(raw_mode)
         uses_alpha = b.mode in (BlendingMode.BLEND, BlendingMode.ALPHA_WEIGHTED_ADD)
         if num_extra_channels > 0 and uses_alpha:
@@ -370,11 +370,11 @@ class FrameHeader:
             for info, ec_up in zip(extra_channel_info, self.ec_upsampling):
                 eff = ec_up << info.dim_shift
                 if eff < self.upsampling or eff > 8:
-                    raise InvalidBitstream("invalid ec_upsampling")
+                    raise InvalidEcUpsampling("invalid ec_upsampling")
         if self.has_patches and self.upsampling != 1:
             for ec_up in self.ec_upsampling:
                 if ec_up != self.upsampling:
-                    raise InvalidBitstream("patches with mixed upsampling")
+                    raise PatchesUnsupportedMixedUpsampling("patches with mixed upsampling")
         num_ec = self.num_extra_channels
         for info in [self.blending_info] + self.ec_blending_info:
             if (
@@ -382,33 +382,33 @@ class FrameHeader:
                 and info.mode in (BlendingMode.BLEND, BlendingMode.ALPHA_WEIGHTED_ADD)
                 and info.alpha_channel >= num_ec
             ):
-                raise InvalidBitstream("invalid blending alpha channel")
+                raise InvalidBlending("invalid blending alpha channel")
         if self.has_lf_frame and self.lf_level >= 4:
-            raise InvalidBitstream("invalid lf_level")
+            raise InvalidLfLevel("invalid lf_level")
         p = self.passes
         if p.num_ds >= p.num_passes:
-            raise InvalidBitstream("num_ds >= num_passes")
+            raise InvalidPasses("num_ds >= num_passes")
         for a, b in zip(p.downsample, p.downsample[1:]):
             if b >= a:
-                raise InvalidBitstream("passes downsample non-decreasing")
+                raise InvalidPasses("passes downsample non-decreasing")
         for a, b in zip(p.last_pass, p.last_pass[1:]):
             if b <= a:
-                raise InvalidBitstream("passes last_pass non-increasing")
+                raise InvalidPasses("passes last_pass non-increasing")
         for lp in p.last_pass:
             if lp >= p.num_passes:
-                raise InvalidBitstream("last_pass too large")
+                raise InvalidPasses("last_pass too large")
         if (
             not self.save_before_ct
             and not self.full_frame
             and self.frame_type == FrameType.REFERENCE_ONLY
         ):
-            raise InvalidBitstream("cropped non-patch reference frame")
+            raise NonPatchReferenceWithCrop("cropped non-patch reference frame")
         if (
             not self.is444
             and (self.flags & Flags.SKIP_ADAPTIVE_LF_SMOOTHING) == 0
             and self.encoding == Encoding.VARDCT
         ):
-            raise InvalidBitstream("non-444 chroma subsampling with LF smoothing")
+            raise Non444ChromaSubsampling("non-444 chroma subsampling with LF smoothing")
 
     # -- feature flags ---------------------------------------------------------
 

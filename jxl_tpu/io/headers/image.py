@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import enum
 
-from ...errors import InvalidBitstream, InvalidSignature
+from ...errors import DimShiftTooLarge, ImageDimensionTooLarge, InvalidBitsPerSample, InvalidBitstream, InvalidColorEncoding, InvalidExponent, InvalidGamma, InvalidIntensityTarget, InvalidLinearBelow, InvalidMantissa, InvalidMinNits, InvalidSignature, TooManyExtraChannels
 from ..bit_reader import BitReader
 from ..bundle import (
     Array,
@@ -151,7 +151,7 @@ class Size:
             fb = 0
         x = _apply_ratio(self.ysize, self.ratio, fb)
         if x >= (1 << 32):
-            raise InvalidBitstream(f"image xsize {x} too large")
+            raise ImageDimensionTooLarge(f"image xsize {x} too large")
         return x
 
     def check(self, ns):
@@ -214,12 +214,12 @@ class BitDepth:
         if self.floating_point_sample:
             e = self.exponent_bits_per_sample
             if not (2 <= e <= 8):
-                raise InvalidBitstream(f"invalid exponent bits {e}")
+                raise InvalidExponent(f"invalid exponent bits {e}")
             m = self.bits_per_sample - e - 1
             if not (2 <= m <= 23):
-                raise InvalidBitstream(f"invalid mantissa bits {m}")
+                raise InvalidMantissa(f"invalid mantissa bits {m}")
         elif self.bits_per_sample > 31:
-            raise InvalidBitstream(f"invalid bits_per_sample {self.bits_per_sample}")
+            raise InvalidBitsPerSample(f"invalid bits_per_sample {self.bits_per_sample}")
 
     @staticmethod
     def integer(bits: int) -> "BitDepth":
@@ -256,7 +256,7 @@ class ExtraChannelInfo:
 
     def check(self, ns):
         if self.dim_shift > 3:
-            raise InvalidBitstream(f"dim_shift {self.dim_shift} too large")
+            raise DimShiftTooLarge(f"dim_shift {self.dim_shift} too large")
 
 
 # -- color encoding ---------------------------------------------------------
@@ -307,7 +307,7 @@ class CustomTransferFunction:
         if self.have_gamma:
             g = self.gamma_value()
             if g > 1.0 or g * 8192.0 < 1.0:
-                raise InvalidBitstream(f"invalid gamma {g}")
+                raise InvalidGamma(f"invalid gamma {g}")
 
 
 def _default_ctf():
@@ -360,7 +360,7 @@ class ColorEncoding:
             self.color_space in (ColorSpace.UNKNOWN, ColorSpace.XYB)
             or self.tf.transfer_function == TransferFunction.UNKNOWN
         ):
-            raise InvalidBitstream("invalid color encoding")
+            raise InvalidColorEncoding("invalid color encoding")
 
 
 class _CtfReader:
@@ -394,13 +394,13 @@ class ToneMapping:
 
     def check(self, ns):
         if self.intensity_target <= 0.0:
-            raise InvalidBitstream("invalid intensity target")
+            raise InvalidIntensityTarget("invalid intensity target")
         if self.min_nits < 0.0 or self.min_nits > self.intensity_target:
-            raise InvalidBitstream("invalid min_nits")
+            raise InvalidMinNits("invalid min_nits")
         if self.linear_below < 0.0 or (
             self.relative_to_max_display and self.linear_below > 1.0
         ):
-            raise InvalidBitstream("invalid linear_below")
+            raise InvalidLinearBelow("invalid linear_below")
 
 
 def _default_tone_mapping():
@@ -450,7 +450,7 @@ class ImageMetadata:
 
     def check(self, ns):
         if len(self.extra_channel_info) > 256:
-            raise InvalidBitstream("too many extra channels")
+            raise TooManyExtraChannels("too many extra channels")
 
     @property
     def num_extra_channels(self) -> int:

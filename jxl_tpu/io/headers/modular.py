@@ -8,7 +8,7 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass, field as dfield
 
-from ...errors import InvalidBitstream
+from ...errors import InvalidBitstream, InvalidPredictor, InvalidRCT, InvalidVarDCTTransform
 from ..bit_reader import BitReader
 from ..bundle import Bits, BitsOffset, U32, Val
 
@@ -86,7 +86,7 @@ class Transform:
     def read(br: BitReader) -> "Transform":
         tid = br.read(2)
         if tid == 3:
-            raise InvalidBitstream("invalid transform id")
+            raise InvalidVarDCTTransform("invalid transform id")
         t = Transform(TransformId(tid))
         begin_coder = U32(Bits(3), BitsOffset(6, 8), BitsOffset(10, 72), BitsOffset(13, 1096))
         if t.id in (TransformId.RCT, TransformId.PALETTE):
@@ -94,14 +94,14 @@ class Transform:
         if t.id == TransformId.RCT:
             t.rct_type = U32(Val(6), Bits(2), BitsOffset(4, 2), BitsOffset(6, 10)).read(br)
             if t.rct_type >= 42:
-                raise InvalidBitstream(f"invalid RCT type {t.rct_type}")
+                raise InvalidRCT(f"invalid RCT type {t.rct_type}")
         if t.id == TransformId.PALETTE:
             t.num_channels = U32(Val(1), Val(3), Val(4), BitsOffset(13, 1)).read(br)
             t.num_colors = U32(Bits(8), BitsOffset(10, 256), BitsOffset(12, 1280), BitsOffset(16, 5376)).read(br)
             t.num_deltas = U32(Val(0), BitsOffset(8, 1), BitsOffset(10, 257), BitsOffset(16, 1281)).read(br)
             t.predictor_id = br.read(4)
             if t.predictor_id >= NUM_PREDICTORS:
-                raise InvalidBitstream(f"invalid predictor {t.predictor_id}")
+                raise InvalidPredictor(f"invalid predictor {t.predictor_id}")
         if t.id == TransformId.SQUEEZE:
             n = U32(Val(0), BitsOffset(4, 1), BitsOffset(6, 9), BitsOffset(8, 41)).read(br)
             t.squeezes = [SqueezeParams.read(br) for _ in range(n)]

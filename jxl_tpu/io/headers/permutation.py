@@ -7,7 +7,7 @@ ceil_log2(prev+1) clamped to 7.
 
 from __future__ import annotations
 
-from ...errors import InvalidBitstream
+from ...errors import InvalidBitstream, InvalidPermutation
 from ...io.bit_reader import BitReader
 
 
@@ -23,7 +23,7 @@ def decode_lehmer_code(code: list[int], base: list[int]) -> list[int]:
     """Apply Lehmer code `code` to `base`: out[i] = i-th smallest unused."""
     n = len(base)
     if n == 0:
-        raise InvalidBitstream("empty permutation")
+        raise InvalidPermutation("empty permutation")
     # Fenwick tree over "still unused" counts, padded to a power of two
     padded = 1
     while padded < n:
@@ -34,7 +34,7 @@ def decode_lehmer_code(code: list[int], base: list[int]) -> list[int]:
     for i in range(n):
         code_i = code[i] if i < len(code) else 0
         if code_i > n - i - 1:
-            raise InvalidBitstream("invalid Lehmer code value")
+            raise InvalidPermutation("invalid Lehmer code value")
         rank = code_i + 1
         bit = padded
         nxt = 0
@@ -61,7 +61,7 @@ def decode_permutation(
         # distinguish truncated input (optimistic reads return zero-padded
         # garbage) from a genuinely invalid stream, so streaming resume works
         br.check_no_overrun()
-        raise InvalidBitstream(f"invalid permutation size {end} > {size - skip}")
+        raise InvalidPermutation(f"invalid permutation size {end} > {size - skip}")
     lehmer = []
     prev = 0
     for _ in range(end):

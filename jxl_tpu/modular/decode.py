@@ -8,7 +8,7 @@ verified against this oracle).
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream, OutOfBounds
+from ..errors import InvalidBitstream, NoGlobalTree, OutOfBounds
 from ..entropy import Histograms, SymbolReader
 from ..io.bit_reader import BitReader
 from ..io.headers.modular import GroupHeader
@@ -218,7 +218,7 @@ def decode_modular_subbitstream(
             local_buffers, transform_steps, storage = meta_apply_local(buffers, header)
 
     if header.use_global_tree and global_tree is None:
-        raise InvalidBitstream("stream uses global tree but none was decoded")
+        raise NoGlobalTree("stream uses global tree but none was decoded")
     if not header.use_global_tree:
         num_local_samples = sum(
             b.data.shape[0] * b.data.shape[1] for b in local_buffers

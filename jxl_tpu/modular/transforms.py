@@ -15,7 +15,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..errors import InvalidBitstream
+from ..errors import InvalidBitstream, InvalidChannelRange, InvalidVarDCTTransform, MetaSqueezeRequiresInPlace, MixingDifferentChannels, TooManySqueezes
 from ..io.headers.modular import GroupHeader, Transform, TransformId, WeightedHeader
 from .channel import ChannelInfo, ModularChannel
 from .predict import Predictor, WeightedPredictorState, clamped_gradient, predict_one, wrap_i32
@@ -67,10 +67,10 @@ class _Chan:
 
 def _check_equal(channels: List[_Chan], first: int, num: int):
     if first + num > len(channels):
-        raise InvalidBitstream("invalid channel range for transform")
+        raise InvalidChannelRange("invalid channel range for transform")
     for i in range(1, num):
         if not channels[first].info.is_equivalent(channels[first + i].info):
-            raise InvalidBitstream("transform mixes different channels")
+            raise MixingDifferentChannels("transform mixes different channels")
 
 
 def default_squeeze(channels: List[_Chan]):
@@ -141,17 +141,17 @@ def meta_apply_single_transform(
             num = step.num_channels
             end = begin + num
             if end > len(channels):
-                raise InvalidBitstream("invalid squeeze channel range")
+                raise InvalidChannelRange("invalid squeeze channel range")
             if channels[begin].info.is_meta != channels[end - 1].info.is_meta:
-                raise InvalidBitstream("squeeze mixes meta and data channels")
+                raise MixingDifferentChannels("squeeze mixes meta and data channels")
             if channels[begin].info.is_meta and not step.in_place:
-                raise InvalidBitstream("meta squeeze requires in_place")
+                raise MetaSqueezeRequiresInPlace("meta squeeze requires in_place")
             new_offset = end if step.in_place else len(channels)
             for ic in range(num):
                 chan = channels[begin + ic].info
                 if chan.shift is not None:
                     if chan.shift[0] > 30 or chan.shift[1] > 30:
-                        raise InvalidBitstream("too many squeezes")
+                        raise TooManySqueezes("too many squeezes")
                     new_shift = (
                         (chan.shift[0] + 1, chan.shift[1])
                         if step.horizontal
@@ -207,7 +207,7 @@ def meta_apply_single_transform(
         channels[begin] = _Chan(inchan, in_info)
         channels.insert(0, _Chan(pchan, pal_info))
     else:
-        raise InvalidBitstream("invalid transform id")
+        raise InvalidVarDCTTransform("invalid transform id")
 
 
 def meta_apply_transforms(channel_infos: List[ChannelInfo], header: GroupHeader):

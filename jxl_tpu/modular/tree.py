@@ -8,7 +8,7 @@ device decoders consume.
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream
+from ..errors import InvalidBitstream, InvalidPredictor, InvalidProperty, TreeMultiplierTooLarge, TreeSplitOnEmptyRange, TreeTooLarge, TreeTooTall
 from ..entropy import Histograms, SymbolReader
 from ..io.bit_reader import BitReader
 from .predict import NUM_PREDICTORS, Predictor
@@ -93,14 +93,14 @@ class Tree:
         max_property = 0
         while to_decode > 0:
             if len(nodes) > size_limit:
-                raise InvalidBitstream(f"MA tree too large (> {size_limit})")
+                raise TreeTooLarge(f"MA tree too large (> {size_limit})")
             to_decode -= 1
             prop_plus1 = reader.read_unsigned(tree_histograms, br, _PROPERTY_CTX)
             node = TreeNode()
             if prop_plus1 > 0:
                 prop = prop_plus1 - 1
                 if prop > 255:
-                    raise InvalidBitstream(f"invalid property {prop}")
+                    raise InvalidProperty(f"invalid property {prop}")
                 max_property = max(max_property, prop)
                 node.property = prop
                 node.splitval = reader.read_signed(tree_histograms, br, _SPLIT_VAL_CTX)
@@ -110,16 +110,16 @@ class Tree:
             else:
                 pred = reader.read_unsigned(tree_histograms, br, _PREDICTOR_CTX)
                 if pred >= NUM_PREDICTORS:
-                    raise InvalidBitstream(f"invalid predictor {pred}")
+                    raise InvalidPredictor(f"invalid predictor {pred}")
                 node.predictor = Predictor(pred)
                 node.offset = reader.read_signed(tree_histograms, br, _OFFSET_CTX)
                 mul_log = reader.read_unsigned(tree_histograms, br, _MULTIPLIER_LOG_CTX)
                 if mul_log >= 31:
-                    raise InvalidBitstream("tree multiplier too large")
+                    raise TreeMultiplierTooLarge("tree multiplier too large")
                 mul_bits = reader.read_unsigned(tree_histograms, br, _MULTIPLIER_BITS_CTX)
                 multiplier = (mul_bits + 1) << mul_log
                 if multiplier > 0xFFFFFFFF:
-                    raise InvalidBitstream("tree multiplier bits too large")
+                    raise TreeMultiplierTooLarge("tree multiplier bits too large")
                 node.multiplier = multiplier
                 node.context = leaf_id
                 leaf_id += 1
@@ -144,14 +144,14 @@ class Tree:
 
         def visit(idx: int, depth: int):
             if depth > height_limit:
-                raise InvalidBitstream("MA tree too tall")
+                raise TreeTooTall("MA tree too tall")
             node = nodes[idx]
             if node.is_leaf:
                 return
             p = node.property
             lo, hi = ranges.get(p, (INT_MIN, INT_MAX))
             if lo > node.splitval or hi <= node.splitval:
-                raise InvalidBitstream("MA tree split on empty range")
+                raise TreeSplitOnEmptyRange("MA tree split on empty range")
             ranges[p] = (node.splitval + 1, hi)
             visit(node.left, depth + 1)
             ranges[p] = (lo, node.splitval)

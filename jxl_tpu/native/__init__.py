@@ -217,7 +217,7 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     lib = get_lib()
     if lib is None:
         return None
-    from ..errors import InvalidBitstream, OutOfBounds
+    from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError, OutOfBounds
     from ..entropy.ans import NativeAnsCodes
     from ..entropy.hybrid_uint import HybridUint
     from ..entropy.reader import Histograms
@@ -253,7 +253,7 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     if ret == 2:
         raise OutOfBounds(1)
     if ret != 0:
-        raise InvalidBitstream(f"native histogram decode failed (code {ret})")
+        raise NativeDecodeError(f"native histogram decode failed (code {ret})")
     br.pos = bit_pos.value
 
     h = Histograms.__new__(Histograms)
@@ -331,7 +331,7 @@ def decode_tree_native(histograms, br, size_limit: int):
     lib = get_lib()
     if lib is None:
         return None
-    from ..errors import InvalidBitstream, OutOfBounds
+    from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError, OutOfBounds
 
     ent = pack_entropy(histograms)
     data = br.data if isinstance(br.data, bytes) else bytes(br.data)
@@ -354,7 +354,7 @@ def decode_tree_native(histograms, br, size_limit: int):
     if ret == 2:
         raise OutOfBounds(1)
     if ret != 0:
-        raise InvalidBitstream(f"native tree decode failed (code {ret})")
+        raise NativeDecodeError(f"native tree decode failed (code {ret})")
     br.pos = bit_pos.value
     return nodes[: count.value], int(max_prop.value)
 
@@ -365,7 +365,7 @@ def read_permutations_native(histograms, br, sizes, skips, check_final: bool):
     lib = get_lib()
     if lib is None:
         return None
-    from ..errors import InvalidBitstream, OutOfBounds
+    from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError, OutOfBounds
 
     ent = pack_entropy(histograms)
     data = br.data if isinstance(br.data, bytes) else bytes(br.data)
@@ -386,9 +386,9 @@ def read_permutations_native(histograms, br, sizes, skips, check_final: bool):
     if ret == 2:
         raise OutOfBounds(1)
     if ret == 3:
-        raise InvalidBitstream("invalid permutation size")
+        raise InvalidPermutation("invalid permutation size")
     if ret != 0:
-        raise InvalidBitstream(f"native permutation decode failed (code {ret})")
+        raise NativeDecodeError(f"native permutation decode failed (code {ret})")
     br.pos = bit_pos.value
     out = []
     pos = 0
@@ -406,7 +406,7 @@ def read_unsigned_run(histograms, br, ctx: int, count: int,
     lib = get_lib()
     if lib is None:
         return None
-    from ..errors import InvalidBitstream
+    from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError
 
     ent = pack_entropy(histograms)
     out = np.zeros(max(count, 1), dtype=np.uint32)
@@ -429,7 +429,7 @@ def read_unsigned_run(histograms, br, ctx: int, count: int,
         ctypes.c_int(1 if check_final else 0),
     )
     if ret != 0:
-        raise InvalidBitstream(f"native unsigned-run decode failed (code {ret})")
+        raise NativeDecodeError(f"native unsigned-run decode failed (code {ret})")
     br.pos = bit_pos.value
     return out
 
@@ -450,7 +450,7 @@ def decode_modular_native(
     lib = get_lib()
     if lib is None:
         return False
-    from ..errors import InvalidBitstream
+    from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError
 
     ent = pack_entropy(tree.histograms)
     tree_arr = pack_tree(tree)
@@ -504,7 +504,7 @@ def decode_modular_native(
                 if i < num_decoded.value:
                     b.data[...] = out[off : off + h * w].reshape(h, w)
                 off += h * w
-        raise InvalidBitstream(f"native modular decode failed (code {ret})")
+        raise NativeDecodeError(f"native modular decode failed (code {ret})")
     br.pos = bit_pos.value
     off = 0
     for b in buffers:

@@ -5,7 +5,7 @@ Capability reference: jxl/src/frame/block_context_map.rs.
 
 from __future__ import annotations
 
-from ..errors import InvalidBitstream
+from ..errors import InvalidBitstream, InvalidContextMap, TooManyBlockContexts
 from ..io.bit_reader import BitReader
 from ..io.bundle import unpack_signed
 
@@ -95,14 +95,14 @@ class BlockContextMap:
                 v = br.read(8) + 44
             qf_thresholds.append(v + 1)
         if num_lf_contexts * (nq + 1) > 64:
-            raise InvalidBitstream("block context map too large")
+            raise InvalidContextMap("block context map too large")
         from ..entropy.reader import decode_context_map
 
         size = 3 * NUM_ORDERS * num_lf_contexts * (nq + 1)
         context_map = decode_context_map(size, br)
         num_contexts = max(context_map) + 1
         if num_contexts > 16:
-            raise InvalidBitstream("too many block contexts")
+            raise TooManyBlockContexts("too many block contexts")
         return BlockContextMap(
             lf_thresholds, qf_thresholds, context_map, num_lf_contexts, num_contexts
         )

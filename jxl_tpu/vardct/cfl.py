@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from ..errors import InvalidBitstream
+from ..errors import BaseColorCorrelationOutOfRange, InvalidBitstream
 from ..io.bit_reader import BitReader
 from ..io.bundle import F16
 
@@ -41,7 +41,7 @@ class ColorCorrelationParams:
         bx = f16.read(br)
         bb = f16.read(br)
         if bx > 4.0 or bb > 4.0:
-            raise InvalidBitstream("base color correlation out of range")
+            raise BaseColorCorrelationOutOfRange("base color correlation out of range")
         ytox_lf = br.read(8) - 128
         ytob_lf = br.read(8) - 128
         return ColorCorrelationParams(color_factor, bx, bb, ytox_lf, ytob_lf)

@@ -90,7 +90,7 @@ def decode_ac_sections_device(frame, group_readers: dict) -> bool:
     streams (after the device flags are checked)."""
     import jax.numpy as jnp
 
-    from ..errors import InvalidBitstream
+    from ..errors import InvalidBitstream, InvalidHistogramIndex, NativeDecodeError
     from ..ops.device_ac import decode_ac_sections
     from .. import native
 
@@ -185,7 +185,7 @@ def decode_ac_sections_device(frame, group_readers: dict) -> bool:
             br = group_readers[(g, p)]
             hist_idx = br.read(num_histo_bits)
             if hist_idx >= hf_global.num_histograms:
-                raise InvalidBitstream("invalid histogram index")
+                raise InvalidHistogramIndex("invalid histogram index")
             lane_group[li] = g
             lane_ctx_off[li] = (
                 hist_idx * bctx.num_ac_contexts + ctx_base[p]
@@ -236,7 +236,7 @@ def decode_ac_sections_device(frame, group_readers: dict) -> bool:
 
 def check_device_ac_ok(frame) -> None:
     """Force the validity flags (sync point) and raise on corrupt lanes."""
-    from ..errors import InvalidBitstream
+    from ..errors import InvalidBitstream, InvalidHistogramIndex, NativeDecodeError
 
     ok = getattr(frame, "_device_ac_ok", None)
     if ok is None:
@@ -245,4 +245,4 @@ def check_device_ac_ok(frame) -> None:
     frame._device_ac_ok = None
     if not flags.all():
         bad = np.nonzero(~flags)[0].tolist()
-        raise InvalidBitstream(f"device AC decode failed for sections {bad}")
+        raise NativeDecodeError(f"device AC decode failed for sections {bad}")

@@ -14,7 +14,7 @@ import ctypes
 import numpy as np
 
 from ..entropy import SymbolReader
-from ..errors import InvalidBitstream
+from ..errors import EndOfBlockResidualNonZeros, InvalidBitstream, InvalidHistogramIndex, InvalidNumNonZeros, NativeDecodeError
 from .block_context import zero_density_context
 from .cfl import COLOR_TILE_DIM_IN_BLOCKS
 from .transform_map import (
@@ -144,7 +144,7 @@ def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = Tr
     for pass_idx, br in pass_readers:
         histogram_index = br.read(num_histo_bits)
         if histogram_index >= hf_global.num_histograms:
-            raise InvalidBitstream("invalid histogram index")
+            raise InvalidHistogramIndex("invalid histogram index")
         shift = (
             header.passes.shift[pass_idx] if pass_idx < len(header.passes.shift) else 0
         )
@@ -297,7 +297,7 @@ def _decode_pass_native(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx, nat
         native._ptr(nz_dims, ctypes.c_int32),
     )
     if ret != 0:
-        raise InvalidBitstream(f"native vardct AC decode failed (code {ret})")
+        raise NativeDecodeError(f"native vardct AC decode failed (code {ret})")
     br.pos = bit_pos.value
 
 
@@ -326,7 +326,7 @@ def _decode_pass_oracle(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx):
             nonzero_ctx = bctx.nonzero_context(predicted, block_context) + ctx_off
             nonzeros = reader.read_unsigned(histograms, br, nonzero_ctx)
             if nonzeros + num_blocks > num_coeffs:
-                raise InvalidBitstream("invalid number of nonzeros")
+                raise InvalidNumNonZeros("invalid number of nonzeros")
             fill = -(-nonzeros // num_blocks)
             for iy in range(cy):
                 row = nz[sby[c] + iy]
@@ -345,7 +345,7 @@ def _decode_pass_oracle(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx):
                 nonzeros -= prev
                 cbuf[off + order[k]] += coeff
             if nonzeros != 0:
-                raise InvalidBitstream("end-of-block residual nonzeros")
+                raise EndOfBlockResidualNonZeros("end-of-block residual nonzeros")
     reader.check_final_state(histograms, br)
 
 

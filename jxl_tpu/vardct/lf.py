@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..errors import InvalidBitstream
+from ..errors import HFBlockOutOfBounds, InvalidBitstream, InvalidBlockSizeForChromaSubsampling, InvalidEpfValue, InvalidVarDCTTransform, InvalidVarDCTTransformMap
 from ..io.bit_reader import BitReader
 from ..modular.channel import ModularChannel
 from ..modular.decode import ModularStreamId, decode_modular_subbitstream
@@ -153,7 +153,7 @@ def decode_hf_metadata(frame, group: int, br: BitReader) -> None:
     transform_image = buffers[2].data
     epf_image = buffers[3].data
     if np.any((epf_image < 0) | (epf_image >= 8)):
-        raise InvalidBitstream("invalid EPF value")
+        raise InvalidEpfValue("invalid EPF value")
     hf["epf"][oy : oy + h, ox : ox + w] = epf_image.astype(np.uint8)
 
     tmap = hf["transform"]
@@ -207,19 +207,19 @@ def _place_transforms(frame, tmap, rqmap, transform_image, count, ox, oy, w, h, 
             if trow[ox + x] != INVALID_TRANSFORM:
                 continue
             if num >= count:
-                raise InvalidBitstream("invalid VarDCT transform map")
+                raise InvalidVarDCTTransformMap("invalid VarDCT transform map")
             raw_transform = int(raw_transforms[num])
             raw_quant = 1 + max(0, min(int(raw_quants[num]), 255))
             if not (0 <= raw_transform < INVALID_TRANSFORM):
-                raise InvalidBitstream(f"invalid transform {raw_transform}")
+                raise InvalidVarDCTTransform(f"invalid transform {raw_transform}")
             cx = covered_blocks_x(raw_transform)
             cy = covered_blocks_y(raw_transform)
             if (cx > 1 or cy > 1) and not header.is444:
-                raise InvalidBitstream("big block with chroma subsampling")
+                raise InvalidBlockSizeForChromaSubsampling("big block with chroma subsampling")
             next_gx = (x // 32 + 1) * 32
             next_gy = (y // 32 + 1) * 32
             if x + cx > min(w, next_gx) or y + cy > min(h, next_gy):
-                raise InvalidBitstream("HF block out of bounds")
+                raise HFBlockOutOfBounds("HF block out of bounds")
             num += 1
             tmap[oy + y : oy + y + cy, ox + x : ox + x + cx] = raw_transform
             tmap[oy + y, ox + x] = raw_transform | 128

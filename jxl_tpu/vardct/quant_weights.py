@@ -13,7 +13,7 @@ import math
 
 import numpy as np
 
-from ..errors import InvalidBitstream
+from ..errors import HfQuantFactorTooSmall, InvalidAFVBands, InvalidBitstream, InvalidDistanceBand, InvalidQuantEncoding, InvalidQuantizationTableWeight, InvalidRawQuantTable
 from ..io.bit_reader import BitReader
 from ..io.bundle import F16 as _F16
 from .transform_map import HfTransformType as T
@@ -151,7 +151,7 @@ class DctParams:
         for _ in range(3):
             row = [f16.read(br) for _ in range(num_bands)]
             if row[0] < ALMOST_ZERO:
-                raise InvalidBitstream("HF quant factor too small")
+                raise HfQuantFactorTooSmall("HF quant factor too small")
             row[0] *= 64.0
             params.append(row)
         return DctParams(params)
@@ -180,10 +180,10 @@ def _bands(row) -> list:
     for v in row[1:]:
         nb = bands[-1] * _mult(v)
         if nb < ALMOST_ZERO:
-            raise InvalidBitstream("invalid distance band")
+            raise InvalidDistanceBand("invalid distance band")
         bands.append(nb)
     if bands[0] < ALMOST_ZERO:
-        raise InvalidBitstream("invalid distance band")
+        raise InvalidDistanceBand("invalid distance band")
     return bands
 
 
@@ -266,7 +266,7 @@ def _compute_table(mode: str, data, table_idx: int) -> np.ndarray:
     elif mode == "raw":
         qtable, qtable_den = data
         if len(qtable) != 3 * num:
-            raise InvalidBitstream("invalid raw quant table size")
+            raise InvalidRawQuantTable("invalid raw quant table size")
         arr = np.array(qtable, dtype=np.float32).reshape(3, num)
         weights[:] = 1.0 / (qtable_den * arr)
     elif mode == "afv":
@@ -283,11 +283,11 @@ def _compute_table(mode: str, data, table_idx: int) -> np.ndarray:
             aw = afv_weights[c]
             bands = [aw[5]]
             if bands[0] < ALMOST_ZERO:
-                raise InvalidBitstream("invalid AFV band")
+                raise InvalidAFVBands("invalid AFV band")
             for i in range(1, 4):
                 bands.append(bands[-1] * _mult(aw[i + 5]))
                 if bands[-1] < ALMOST_ZERO:
-                    raise InvalidBitstream("invalid AFV band")
+                    raise InvalidAFVBands("invalid AFV band")
             m = weights[c].reshape(8, 8)
             m[0, 0] = 1.0
             m[1, 0] = aw[0]
@@ -314,7 +314,7 @@ def _compute_table(mode: str, data, table_idx: int) -> np.ndarray:
         raise AssertionError(mode)
 
     if np.any((weights < ALMOST_ZERO) | (weights > 1.0 / ALMOST_ZERO)):
-        raise InvalidBitstream("invalid quantization table weight")
+        raise InvalidQuantizationTableWeight("invalid quantization table weight")
     return (1.0 / weights).astype(np.float32)
 
 
@@ -393,7 +393,7 @@ class DequantMatrices:
                 tables.append(library_table(i))
                 continue
             if mode in (1, 2, 3, 4, 5) and required_size != 1:
-                raise InvalidBitstream("invalid quant encoding for table size")
+                raise InvalidQuantEncoding("invalid quant encoding for table size")
             if mode == 1:
                 w = []
                 for _ in range(3):
@@ -401,7 +401,7 @@ class DequantMatrices:
                     for _ in range(3):
                         v = f16.read(br)
                         if abs(v) < ALMOST_ZERO:
-                            raise InvalidBitstream("HF quant factor too small")
+                            raise HfQuantFactorTooSmall("HF quant factor too small")
                         row.append(v * 64.0)
                     w.append(row)
                 tables.append(_compute_table("identity", w, i))
@@ -412,7 +412,7 @@ class DequantMatrices:
                     for _ in range(6):
                         v = f16.read(br)
                         if abs(v) < ALMOST_ZERO:
-                            raise InvalidBitstream("HF quant factor too small")
+                            raise HfQuantFactorTooSmall("HF quant factor too small")
                         row.append(v * 64.0)
                     w.append(row)
                 tables.append(_compute_table("dct2", w, i))
@@ -423,7 +423,7 @@ class DequantMatrices:
                     for _ in range(2):
                         v = f16.read(br)
                         if abs(v) < ALMOST_ZERO:
-                            raise InvalidBitstream("HF quant factor too small")
+                            raise HfQuantFactorTooSmall("HF quant factor too small")
                         row.append(v)
                     xyb_mul.append(row)
                 params = DctParams.decode(br)
@@ -433,7 +433,7 @@ class DequantMatrices:
                 for _ in range(3):
                     v = f16.read(br)
                     if abs(v) < ALMOST_ZERO:
-                        raise InvalidBitstream("HF quant factor too small")
+                        raise HfQuantFactorTooSmall("HF quant factor too small")
                     xyb_mul.append(v)
                 params = DctParams.decode(br)
                 tables.append(_compute_table("dct4x8", (params, xyb_mul), i))
@@ -453,7 +453,7 @@ class DequantMatrices:
             elif mode == 7:
                 qtable_den = f16.read(br)
                 if qtable_den < ALMOST_ZERO:
-                    raise InvalidBitstream("invalid raw quant table denominator")
+                    raise InvalidRawQuantTable("invalid raw quant table denominator")
                 from ..modular.decode import ModularStreamId, decode_modular_subbitstream
                 from ..modular.channel import ModularChannel
 
@@ -470,9 +470,9 @@ class DequantMatrices:
                 for ch in chans:
                     vals = ch.data.ravel().tolist()
                     if any(v <= 0 for v in vals):
-                        raise InvalidBitstream("invalid raw quant table entry")
+                        raise InvalidRawQuantTable("invalid raw quant table entry")
                     qtable.extend(vals)
                 tables.append(_compute_table("raw", (qtable, qtable_den), i))
             else:
-                raise InvalidBitstream("invalid quant encoding mode")
+                raise InvalidQuantEncoding("invalid quant encoding mode")
         return DequantMatrices(tables)
