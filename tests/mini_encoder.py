@@ -1,0 +1,257 @@
+"""Minimal JPEG XL encoder (test tooling).
+
+Produces valid codestreams for CONSTANT-COLOR images of arbitrary size in
+a few hundred bytes: Modular encoding, global MA tree with a single leaf
+(predictor Zero, offset = sample value, multiplier 1) and singleton
+prefix codes, so every residual token costs zero bits. Used to
+synthesize the >=64 MP inputs the bounded-memory decode tests need (the
+corpus tops out at 24 MP and the reference implementation ships no
+encoder either — ref README: decode-only).
+
+All field layouts invert this package's own readers
+(io/bundle.py, io/headers/*, entropy/*); decode is verified against
+libjxl in the tests.
+"""
+
+from __future__ import annotations
+
+
+class BW:
+    """LSB-first bit writer (matches io/bit_reader.py read order)."""
+
+    def __init__(self):
+        self.bits = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def write(self, value: int, nbits: int):
+        assert 0 <= value < (1 << nbits) or nbits == 0
+        self.bits |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.bits & 0xFF)
+            self.bits >>= 8
+            self.n -= 8
+
+    def pad_to_byte(self):
+        if self.n:
+            self.out.append(self.bits & 0xFF)
+            self.bits = 0
+            self.n = 0
+
+    def finish(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.out)
+
+
+def u32(w: BW, opts, value: int):
+    """U32 coder: pick the first selector that can represent `value`.
+    opts entries: ("val", v) | ("bits", n) | ("bitsoff", n, off)."""
+    for sel, opt in enumerate(opts):
+        kind = opt[0]
+        if kind == "val" and opt[1] == value:
+            w.write(sel, 2)
+            return
+        if kind == "bits" and 0 <= value < (1 << opt[1]):
+            w.write(sel, 2)
+            w.write(value, opt[1])
+            return
+        if kind == "bitsoff" and opt[2] <= value < opt[2] + (1 << opt[1]):
+            w.write(sel, 2)
+            w.write(value - opt[2], opt[1])
+            return
+    raise ValueError(f"u32 cannot encode {value} with {opts}")
+
+
+def u64(w: BW, value: int):
+    if value == 0:
+        w.write(0, 2)
+    elif 1 <= value <= 16:
+        w.write(1, 2)
+        w.write(value - 1, 4)
+    elif 17 <= value <= 272:
+        w.write(2, 2)
+        w.write(value - 17, 8)
+    else:
+        raise NotImplementedError("large u64")
+
+
+def varint16(w: BW, v: int):
+    """huffman.py decode_varint16 inverse."""
+    if v == 0:
+        w.write(0, 1)
+        return
+    w.write(1, 1)
+    if v == 1:
+        w.write(0, 4)
+        return
+    nbits = v.bit_length() - 1
+    w.write(nbits, 4)
+    w.write(v - (1 << nbits), nbits)
+
+
+def _ceil_log2(x: int) -> int:
+    return (x - 1).bit_length() if x > 1 else 0
+
+
+def write_prefix_histograms(w: BW, num_contexts: int, tokens: set):
+    """Histograms bundle where all contexts share ONE prefix-coded cluster
+    whose alphabet contains exactly `tokens` (1 or 2 distinct values).
+    Each symbol then costs 0 bits (singleton) or 1 bit (pair)."""
+    toks = sorted(tokens)
+    assert 1 <= len(toks) <= 2
+    w.write(0, 1)  # lz77_enabled = 0
+    if num_contexts > 1:
+        w.write(1, 1)  # context map: simple
+        w.write(0, 2)  # bits_per_entry = 0 -> all zeros
+    w.write(1, 1)  # use_prefix_code
+    # hybrid-uint config for cluster 0 at log_alpha_size=15:
+    # split_exponent (4 bits) = 15 -> token == value, no msb/lsb fields
+    w.write(15, 4)
+    # HuffmanCodes: varint16(alphabet_size - 1) then the table
+    al_size = toks[-1] + 1
+    varint16(w, al_size - 1)
+    if al_size == 1:
+        return  # trivial table, zero bits per symbol
+    # simple form
+    w.write(1, 2)  # simple_or_skip = 1
+    w.write(len(toks) - 1, 2)  # num_symbols - 1
+    max_bits = _ceil_log2(al_size)
+    for s in toks:
+        w.write(s, max_bits)
+    # 1 symbol -> 0 bits/symbol; 2 symbols -> 1 bit: '0'=min, '1'=max
+
+
+def token_bits(tokens: set, value: int):
+    """The bits one symbol costs under write_prefix_histograms."""
+    toks = sorted(tokens)
+    if len(toks) == 1:
+        return (0, 0)
+    return (toks.index(value), 1)
+
+
+def _signed_token(v: int) -> int:
+    return 2 * v if v >= 0 else -2 * v - 1
+
+
+def write_single_leaf_tree(w: BW, predictor: int, offset: int):
+    """Tree bitstream: tree histograms + the node/leaf token sequence +
+    the (empty-alphabet) leaf histograms for 1 leaf context."""
+    off_tok = _signed_token(offset)
+    toks = {0, off_tok}
+    write_prefix_histograms(w, 6, toks)
+    seq = [0, predictor, off_tok, 0, 0]  # prop+1, predictor, offset, log, bits
+    assert predictor == 0, "only Zero costs no extra alphabet entries"
+    for t in seq:
+        bits, n = token_bits(toks, t)
+        w.write(bits, n)
+    # leaf histograms: 1 context, all residual tokens are 0
+    write_prefix_histograms(w, 1, {0})
+
+
+def write_group_header(w: BW, use_global_tree: bool):
+    w.write(1 if use_global_tree else 0, 1)
+    w.write(1, 1)  # wp_header all_default
+    u32(w, (("val", 0), ("val", 1), ("bitsoff", 4, 2), ("bitsoff", 8, 18)), 0)
+
+
+def encode_constant_modular(width: int, height: int, value: int = 128) -> bytes:
+    """A width x height 8-bit sRGB (non-XYB) image, every sample `value`."""
+    # ---- per-section payloads (byte-aligned units) -----------------------
+    # LfGlobal: flags-free modular global
+    lg = BW()
+    lg.write(1, 1)  # LfQuantFactors all_default
+    lg.write(1, 1)  # global tree present
+    write_single_leaf_tree(lg, 0, value)
+    write_group_header(lg, True)  # GlobalModular group header
+    # section 0 has no meta/small channels for a large image -> no data
+    lf_global = lg.finish()
+
+    # LF group sections: no channels with shift>=3 -> empty streams
+    lf_section = b""
+    # HfGlobal: nothing for modular
+    hf_global = b""
+    # each HF group stream: GroupHeader(use_global_tree) + 0-bit tokens
+    hw = BW()
+    write_group_header(hw, True)
+    hf_section = hw.finish()
+
+    group_dim = 256
+    gx = -(-width // group_dim)
+    gy = -(-height // group_dim)
+    num_groups = gx * gy
+    lgx = -(-width // 2048)
+    lgy = -(-height // 2048)
+    num_lf_groups = lgx * lgy
+
+    if num_groups == 1:
+        sections = [lf_global + lf_section + hf_global + hf_section]
+    else:
+        sections = (
+            [lf_global]
+            + [lf_section] * num_lf_groups
+            + [hf_global]
+            + [hf_section] * num_groups
+        )
+
+    # ---- headers ---------------------------------------------------------
+    w = BW()
+    w.write(0xFF, 8)
+    w.write(0x0A, 8)
+    # Size: small=0, ysize U32(Bits9/13/18/30)=h-1, ratio=0, xsize=w-1
+    w.write(0, 1)
+    u32(w, (("bits", 9), ("bits", 13), ("bits", 18), ("bits", 30)), height - 1)
+    w.write(0, 3)
+    u32(w, (("bits", 9), ("bits", 13), ("bits", 18), ("bits", 30)), width - 1)
+    # ImageMetadata
+    w.write(0, 1)  # all_default = 0
+    w.write(0, 1)  # extra_fields = 0
+    w.write(0, 1)  # bit_depth: float = 0
+    w.write(0, 2)  # bits_per_sample selector Val(8)
+    w.write(1, 1)  # modular_16bit_sufficient
+    w.write(0, 2)  # extra_channel_info: Vector len U32 Val(0)
+    w.write(0, 1)  # xyb_encoded = 0
+    w.write(1, 1)  # color_encoding all_default (sRGB)
+    w.write(0, 2)  # extensions: u64 selector 0
+    # CustomTransformData (ns = xyb_encoded = False)
+    w.write(1, 1)  # all_default
+    # FrameHeader (byte-aligned)
+    w.pad_to_byte()
+    w.write(0, 1)  # all_default = 0
+    w.write(0, 2)  # frame_type REGULAR
+    w.write(1, 1)  # encoding MODULAR
+    u64(w, 0)  # flags
+    w.write(0, 1)  # do_ycbcr = 0 (non-xyb)
+    u32(w, (("val", 1), ("val", 2), ("val", 4), ("val", 8)), 1)  # upsampling
+    w.write(1, 2)  # group_size_shift = 1 -> group_dim 256
+    # passes: num_passes U32 Val(1)
+    u32(w, (("val", 1), ("val", 2), ("val", 3), ("bitsoff", 3, 4)), 1)
+    w.write(0, 1)  # have_crop = 0
+    # BlendingInfo (full_frame, REPLACE): mode U32 Val(0); source skipped
+    u32(w, (("val", 0), ("val", 1), ("val", 2), ("bitsoff", 2, 3)), 0)
+    # no EC blending infos (num_ec = 0); no animation
+    w.write(1, 1)  # is_last = 1
+    # save_as_reference skipped (is_last)
+    # save_before_ct skipped (not REFERENCE_ONLY, no can_be_referenced)
+    u32(w, (("val", 0), ("bits", 4), ("bitsoff", 5, 16), ("bitsoff", 10, 48)), 0)  # name len 0
+    w.write(1, 1)  # RestorationFilter all_default (gab on, epf 2)
+    w.write(0, 2)  # extensions
+    # TOC: entries are byte-aligned after the (absent) permutation
+    w.write(0, 1)  # not permuted
+    w.pad_to_byte()
+    for s in sections:
+        u32(
+            w,
+            (
+                ("bits", 10),
+                ("bitsoff", 14, 1024),
+                ("bitsoff", 22, 17408),
+                ("bitsoff", 30, 4211712),
+            ),
+            len(s),
+        )
+    w.pad_to_byte()
+    out = bytearray(w.finish())
+    for s in sections:
+        out.extend(s)
+    return bytes(out)
