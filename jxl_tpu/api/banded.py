@@ -1,0 +1,251 @@
+"""Bounded-memory (banded) decode: O(group-row) peak memory.
+
+Capability reference: jxl/src/render/low_memory_pipeline/ — the
+reference streams groups through per-stage row rings
+(row_buffers.rs) with per-group halo buffers and 3x3 readiness
+scheduling (group_scheduler.rs:100-180). The TPU-first analog processes
+one GROUP ROW BAND at a time in raster order: entropy-decode the band's
+sections, run the filter chain over [tail of band k-1 | band k | head of
+band k+1] (one-band lookahead replaces the readiness mask), color
+transform, convert, and emit rows to a sink — the whole image is never
+resident. Filters mirror at the visible frame edges exactly like the
+whole-image pipeline, so output rows are bit-identical to the one-shot
+decoder.
+
+Eligibility (everything else falls back to the whole-image decoder):
+single REGULAR last frame, upsampling 1, no patches/splines/noise, no
+extra channels, no blending/reference saves, and for Modular encoding no
+global transforms (squeeze couples distant rows). This mirrors the
+reference's own pipeline split: the general path exists, the low-memory
+path engages where its preconditions hold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import NotSupported
+from ..io.bit_reader import BitReader
+from ..io.headers import FileHeader
+from ..io.headers.frame import Encoding, FrameType
+from ..render.stages import core as st
+
+FILTER_HALO = 8  # gaborish 1 + EPF 3+2+1 rounded up to a whole block row
+
+
+def eligible(frame) -> bool:
+    h = frame.header
+    if h.frame_type != FrameType.REGULAR or not h.is_last:
+        return False
+    if h.upsampling != 1 or any(u != 1 for u in h.ec_upsampling):
+        return False
+    if h.has_patches or h.has_splines or h.has_noise:
+        return False
+    if h.num_extra_channels != 0:
+        return False
+    if h.needs_blending() or h.can_be_referenced or h.lf_level != 0:
+        return False
+    if h.num_toc_entries == 1:
+        return False  # single-section streams are small by definition
+    if h.encoding == Encoding.MODULAR:
+        mg = frame.lf_global.modular_global if frame.lf_global else None
+        if mg is None or mg.transform_steps:
+            return False
+        if mg.global_header is None:
+            return False
+    else:
+        if not h.is444:
+            return False
+    return True
+
+
+def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
+    """Decode `data`, calling emit(y0, band) for each finished row band
+    (band: (rows, width, 3) array in `pixel_format`). Returns summary
+    info. Raises NotSupported for ineligible streams."""
+    from .decoder import _BoxParser
+    from .simple import parse_frame
+
+    boxes = _BoxParser()
+    boxes.feed(data)
+    boxes.finish()
+    codestream = bytes(boxes.codestream)
+
+    br = BitReader(codestream)
+    fh = FileHeader.read(br)
+    meta = fh.image_metadata
+    if meta.color_encoding.want_icc:
+        from ..icc.decode import read_icc
+
+        read_icc(br)
+    frame = parse_frame(br, fh, None)
+    header = frame.header
+    br.jump_to_byte_boundary()
+    toc_end = br.pos // 8
+
+    # LfGlobal (modular storage NOT allocated: band buffers replace it)
+    frame.begin_sections()
+    import jxl_tpu.modular.image as mod_image
+
+    orig_read = mod_image.FullModularImage.read
+    if header.encoding == Encoding.MODULAR:
+        def lazy_read(fhdr, imeta, mcc, br2, allocate=True):
+            return orig_read(fhdr, imeta, mcc, br2, allocate=False)
+
+        mod_image.FullModularImage.read = staticmethod(lazy_read)
+    try:
+        sec = frame._section_reader(frame.section_index("lf_global"), codestream, toc_end)
+        frame.decode_lf_global(sec)
+    finally:
+        mod_image.FullModularImage.read = orig_read
+
+    if not eligible(frame):
+        raise NotSupported("stream not eligible for banded decode")
+
+    for g in range(header.num_lf_groups):
+        sec = frame._section_reader(
+            frame.section_index("lf", group=g), codestream, toc_end
+        )
+        frame.decode_lf_group(g, sec)
+    sec = frame._section_reader(frame.section_index("hf_global"), codestream, toc_end)
+    frame.decode_hf_global(sec)
+    frame.finalize_lf()
+
+    wv, hv = header.size()
+    gdim = header.group_dim
+    gx_count, gy_count = header.size_groups()
+
+    def decode_band(gy: int) -> np.ndarray:
+        """Entropy-decode group row `gy` -> (rows<=gdim, wv, 3) f32 planes
+        (pre-filter, visible-cropped)."""
+        y0 = gy * gdim
+        rows = min(gdim, hv - y0)
+        if header.encoding == Encoding.MODULAR:
+            band = np.zeros((3, rows, wv), np.int32)
+            mg = frame.lf_global.modular_global
+            from ..modular.channel import ModularChannel
+            from ..modular.decode import ModularStreamId, decode_modular_subbitstream
+
+            for gx in range(gx_count):
+                g = gy * gx_count + gx
+                x0 = gx * gdim
+                cols = min(gdim, wv - x0)
+                bufs = [
+                    ModularChannel((cols, rows), (0, 0), meta.bit_depth.bits_per_sample)
+                    for _ in range(3)
+                ]
+                sec2 = frame._section_reader(
+                    frame.section_index("hf", group=g, pass_idx=0), codestream, toc_end
+                )
+                decode_modular_subbitstream(
+                    bufs,
+                    ModularStreamId.modular_hf(header, 0, g),
+                    None,
+                    frame.lf_global.tree,
+                    sec2,
+                )
+                for c in range(3):
+                    band[c, :, x0 : x0 + cols] = bufs[c].data
+            from ..render.simple import _modular_to_f32
+
+            if meta.xyb_encoded:
+                sx_f, sy_f, sb_f = frame.lf_global.lf_quant.quant_factors
+                iy = band[0].astype(np.float32)
+                ix = band[1].astype(np.float32)
+                ib = band[2].astype(np.float32)
+                return np.stack(
+                    [
+                        ix * np.float32(sx_f),
+                        iy * np.float32(sy_f),
+                        (ib + iy) * np.float32(sb_f),
+                    ]
+                )
+            return np.stack(
+                [_modular_to_f32(band[c], meta.bit_depth) for c in range(3)]
+            )
+        # VarDCT: render this band's groups from their coefficients
+        from ..vardct.group import decode_vardct_group
+
+        bw_blk, bh_blk = header.size_blocks()
+        y1 = min(y0 + gdim, bh_blk * 8)
+        band_planes = [
+            np.zeros((y1 - y0, bw_blk * 8), np.float32) for _ in range(3)
+        ]
+        frame.vardct_pixels = band_planes
+        frame._band_block_y0 = y0 // 8
+        try:
+            for gx in range(gx_count):
+                g = gy * gx_count + gx
+                sec2 = frame._section_reader(
+                    frame.section_index("hf", group=g, pass_idx=0), codestream, toc_end
+                )
+                decode_vardct_group(frame, g, [(0, sec2)], render=True)
+        finally:
+            frame.vardct_pixels = None
+            frame._band_block_y0 = 0
+        return np.stack([p[:rows, :wv] for p in band_planes])
+
+    # ---- band pipeline with one-band lookahead ---------------------------
+    rf = header.restoration_filter
+    have_filters = rf.gab or rf.epf_iters > 0
+    sigma_block = None
+    const_sigma = None
+    if rf.epf_iters > 0:
+        if header.encoding == Encoding.VARDCT:
+            sigma_block = st.compute_sigma_image(frame)
+        else:
+            const_sigma = st.INV_SIGMA_NUM / rf.epf_sigma_for_modular
+
+    from ..render.simple import color_transform
+
+    def finalize(gy: int, prev_tail, cur, next_head):
+        """Filter/color/convert band `cur` using real neighbor rows."""
+        y0 = gy * gdim
+        if have_filters:
+            top = prev_tail if prev_tail is not None else cur[:, :0]
+            bot = next_head if next_head is not None else cur[:, :0]
+            slab = np.concatenate([top, cur, bot], axis=1)
+            pad_top = top.shape[1]
+            chans = [slab[c] for c in range(3)]
+            if rf.epf_iters > 0:
+                if sigma_block is not None:
+                    by0 = (y0 - pad_top) // 8
+                    sig = st._expand_sigma(
+                        np, sigma_block, slab.shape[1], slab.shape[2],
+                        (0, y0 - pad_top),
+                    )
+                else:
+                    sig = np.full(slab.shape[1:], np.float32(const_sigma))
+            gw = (
+                (rf.gab_x_weight1, rf.gab_x_weight2),
+                (rf.gab_y_weight1, rf.gab_y_weight2),
+                (rf.gab_b_weight1, rf.gab_b_weight2),
+            )
+            if rf.gab:
+                chans = [st.gaborish(np, c, w1, w2) for c, (w1, w2) in zip(chans, gw)]
+            rf_steps = [s for s, cond in ((0, rf.epf_iters >= 3), (1, rf.epf_iters >= 1), (2, rf.epf_iters >= 2)) if cond]
+            for s in rf_steps:
+                chans = st.epf_step_px(np, chans, sig, rf, s, pos=(0, y0 - pad_top))
+            out = [c[pad_top : pad_top + cur.shape[1]] for c in chans]
+        else:
+            out = [cur[c] for c in range(3)]
+        out = color_transform(frame, list(out))
+        if pixel_format != "f32":
+            out = [
+                st.convert_output(np, p, pixel_format, channel=i, )
+                for i, p in enumerate(out)
+            ]
+        emit(y0, np.stack(out, axis=-1))
+
+    prev = None  # (gy, planes)
+    prev_prev_tail = None
+    for gy in range(gy_count):
+        cur = decode_band(gy)
+        if prev is not None:
+            pgy, pplanes = prev
+            finalize(pgy, prev_prev_tail, pplanes, cur[:, :FILTER_HALO])
+            prev_prev_tail = pplanes[:, -FILTER_HALO:]
+        prev = (gy, cur)
+    pgy, pplanes = prev
+    finalize(pgy, prev_prev_tail, pplanes, None)
+    return {"width": wv, "height": hv, "bands": gy_count}

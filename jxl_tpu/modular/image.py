@@ -60,6 +60,7 @@ class FullModularImage:
         image_metadata,
         modular_color_channels: int,
         br: BitReader,
+        allocate: bool = True,
     ) -> "FullModularImage":
         self = FullModularImage()
         bits = image_metadata.bit_depth.bits_per_sample
@@ -134,11 +135,19 @@ class FullModularImage:
             for b in sec:
                 self.grid_kind[b] = "hf"
 
-        # Allocate full-size planes for every buffer.
-        self.storage = [
-            ModularChannel(info.size, info.shift, info.bit_depth_bits)
-            for info in self.buffer_infos
-        ]
+        # Allocate full-size planes for every buffer. Banded (O(group-row)
+        # memory) decoding passes allocate=False and supplies its own
+        # per-band buffers instead (api/banded.py).
+        if allocate:
+            self.storage = [
+                ModularChannel(info.size, info.shift, info.bit_depth_bits)
+                for info in self.buffer_infos
+            ]
+        else:
+            self.storage = [
+                ModularChannel((0, 0), info.shift, info.bit_depth_bits)
+                for info in self.buffer_infos
+            ]
 
         from ..io.headers.modular import TransformId
 

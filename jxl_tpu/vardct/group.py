@@ -436,6 +436,10 @@ def _render_group(frame, group, bl, coeffs):
             # LF tiles: (Nc, cy, cx)
             lf_plane = frame.lf_image[c]
             outp = frame.vardct_pixels[c]
+            # banded decode (api/banded.py) renders into a group-row band:
+            # output rows shift down by the band origin (inputs — LF, CfL
+            # tiles, raw_quant — stay absolute)
+            oby = getattr(frame, "_band_block_y0", 0)
             if cx == 1 and cy == 1:
                 # dominant case (DCT8/DCT4x4/DCT2/identity/AFV): fully
                 # vectorized gather + scatter, no per-block python loop
@@ -445,9 +449,9 @@ def _render_group(frame, group, bl, coeffs):
                 if ph == BLOCK_DIM and pw == BLOCK_DIM:
                     oh, ow = outp.shape
                     v = outp.reshape(oh // BLOCK_DIM, BLOCK_DIM, ow // BLOCK_DIM, BLOCK_DIM)
-                    v[lfy, :, lfx, :] = pix
+                    v[lfy - oby, :, lfx, :] = pix
                     continue
-                for i, (x, y) in enumerate(zip(lfx.tolist(), lfy.tolist())):
+                for i, (x, y) in enumerate(zip(lfx.tolist(), (lfy - oby).tolist())):
                     outp[y * BLOCK_DIM : y * BLOCK_DIM + ph, x * BLOCK_DIM : x * BLOCK_DIM + pw] = pix[i]
                 continue
             tiles = np.stack(
@@ -458,5 +462,5 @@ def _render_group(frame, group, bl, coeffs):
             )
             pix = transform_to_pixels_batch(np, tid, tiles, dq[sel, c])
             ph, pw = pix.shape[1], pix.shape[2]
-            for i, (x, y) in enumerate(zip(lfx.tolist(), lfy.tolist())):
+            for i, (x, y) in enumerate(zip(lfx.tolist(), (lfy - oby).tolist())):
                 outp[y * BLOCK_DIM : y * BLOCK_DIM + ph, x * BLOCK_DIM : x * BLOCK_DIM + pw] = pix[i]

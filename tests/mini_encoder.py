@@ -155,8 +155,12 @@ def write_group_header(w: BW, use_global_tree: bool):
     u32(w, (("val", 0), ("val", 1), ("bitsoff", 4, 2), ("bitsoff", 8, 18)), 0)
 
 
-def encode_constant_modular(width: int, height: int, value: int = 128) -> bytes:
-    """A width x height 8-bit sRGB (non-XYB) image, every sample `value`."""
+def encode_constant_modular(
+    width: int, height: int, value: int = 128, filters: bool = True
+) -> bytes:
+    """A width x height 8-bit sRGB (non-XYB) image, every sample `value`.
+    With filters=False the RestorationFilter disables gaborish and EPF
+    (fast huge-image decode for memory tests)."""
     # ---- per-section payloads (byte-aligned units) -----------------------
     # LfGlobal: flags-free modular global
     lg = BW()
@@ -234,7 +238,13 @@ def encode_constant_modular(width: int, height: int, value: int = 128) -> bytes:
     # save_as_reference skipped (is_last)
     # save_before_ct skipped (not REFERENCE_ONLY, no can_be_referenced)
     u32(w, (("val", 0), ("bits", 4), ("bitsoff", 5, 16), ("bitsoff", 10, 48)), 0)  # name len 0
-    w.write(1, 1)  # RestorationFilter all_default (gab on, epf 2)
+    if filters:
+        w.write(1, 1)  # RestorationFilter all_default (gab on, epf 2)
+    else:
+        w.write(0, 1)  # all_default = 0
+        w.write(0, 1)  # gab = 0
+        w.write(0, 2)  # epf_iters = 0
+        w.write(0, 2)  # rf extensions: u64 selector 0
     w.write(0, 2)  # extensions
     # TOC: entries are byte-aligned after the (absent) permutation
     w.write(0, 1)  # not permuted
