@@ -9,6 +9,7 @@ BASELINE.json-style configs that exist in the corpus.
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -69,10 +70,25 @@ def bench_device_render(reps: int = 20) -> float:
     return (1024 * 1024 / 1e6) / dt
 
 
-def main():
+def _run_child(kind: str, fname: str) -> None:
+    """Child-process entry: bench one config, print one JSON line."""
     from jxl_tpu import enable_persistent_jit_cache
 
     enable_persistent_jit_cache()
+    if kind == "file":
+        mp, best = bench_one(CORPUS / fname)
+        print(json.dumps({"mp": mp, "best": best}))
+    else:
+        print(json.dumps({"mps": bench_device_render()}))
+
+
+def main():
+    # Each config runs in a subprocess under a hard timeout: the tunneled
+    # TPU intermittently stalls for minutes, and a wedged device call in C
+    # cannot be interrupted in-process — the bench must always emit its
+    # JSON line (partial results beat none).
+    import subprocess
+
     detail = {}
     total_mp = 0.0
     total_s = 0.0
@@ -82,14 +98,32 @@ def main():
             detail[name] = "missing"
             continue
         try:
-            mp, best = bench_one(path)
+            r = subprocess.run(
+                [sys.executable, __file__, "--child", "file", fname],
+                capture_output=True,
+                text=True,
+                timeout=int(os.environ.get("JXL_BENCH_TIMEOUT", "900")),
+            )
+            out = json.loads(r.stdout.strip().splitlines()[-1])
+            mp, best = out["mp"], out["best"]
             detail[name + "_mps"] = round(mp / best, 3)
             total_mp += mp
             total_s += best
+        except subprocess.TimeoutExpired:
+            detail[name + "_error"] = "timeout (tunnel stall?)"
         except Exception as e:  # pragma: no cover
             detail[name + "_error"] = str(e)[:100]
     try:
-        detail["device_render_mps"] = round(bench_device_render(), 1)
+        r = subprocess.run(
+            [sys.executable, __file__, "--child", "render", ""],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("JXL_BENCH_TIMEOUT", "900")),
+        )
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        detail["device_render_mps"] = round(out["mps"], 1)
+    except subprocess.TimeoutExpired:
+        detail["render_error"] = "timeout (tunnel stall?)"
     except Exception as e:  # pragma: no cover
         detail["render_error"] = str(e)[:100]
 
@@ -112,4 +146,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _run_child(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "")
+    else:
+        main()

@@ -391,19 +391,27 @@ class Frame:
 
         if self._lf_finalized:
             num_passes = header.passes.num_passes
+            jobs = []
             for g in range(header.num_groups):
-                while self._passes_done[g] < num_passes:
-                    p = self._passes_done[g]
+                readers = []
+                p = self._passes_done[g]
+                while p < num_passes:
                     i = self.section_index("hf", group=g, pass_idx=p)
                     if not ready(i):
                         break
-                    self.decode_hf_group(
-                        g,
-                        [(p, self._section_reader(i, codestream, toc_end))],
-                        render=(p == num_passes - 1),
-                    )
+                    readers.append((p, self._section_reader(i, codestream, toc_end)))
                     self._sec_decoded[i] = True
-                    self._passes_done[g] = p + 1
+                    p += 1
+                if readers:
+                    self._passes_done[g] = p
+                    jobs.append((g, readers, p == num_passes))
+            if len(jobs) >= 2:
+                self._decode_hf_groups_parallel(
+                    [(g, r, last) for g, r, last in jobs]
+                )
+            else:
+                for g, readers, last in jobs:
+                    self.decode_hf_group(g, readers, render=last)
 
         if all(self._sec_decoded):
             if not self._transforms_done:
@@ -427,6 +435,10 @@ class Frame:
             return
         if getattr(self, "_defer_render", False):
             return  # batched-animation path renders all frames in one program
+        from ..utils.devhealth import device_ok
+
+        if not device_ok():
+            return  # wedged/degraded tunnel: keep the host numeric path
         h = self.header
         rf = h.restoration_filter
         has_filters = rf.gab or rf.epf_iters > 0
@@ -497,14 +509,46 @@ class Frame:
             self.finalize_lf()
             self._maybe_enable_device_render()
             if not self._try_device_ac(sections):
-                for g in range(header.num_groups):
-                    readers = [
-                        (p, sections[self.section_index("hf", group=g, pass_idx=p)])
-                        for p in range(header.passes.num_passes)
-                    ]
-                    self.decode_hf_group(g, readers)
+                jobs = [
+                    (
+                        g,
+                        [
+                            (p, sections[self.section_index("hf", group=g, pass_idx=p)])
+                            for p in range(header.passes.num_passes)
+                        ],
+                    )
+                    for g in range(header.num_groups)
+                ]
+                self._decode_hf_groups_parallel(jobs)
         self._finish_device_render()
         self.lf_global.modular_global.run_transforms()
+
+    def _decode_hf_groups_parallel(self, jobs) -> None:
+        """Fan HF-group section decoding out over a host thread pool (the
+        reference's work-stealing render fan-out, frame/render.rs:373-459).
+        Per-group entropy runs in C++ with the GIL released, and groups
+        write disjoint rects, so sections decode concurrently; pass order
+        within a group is preserved inside each job."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [j if len(j) == 3 else (j[0], j[1], True) for j in jobs]
+        n_workers = min(len(jobs), int(os.environ.get("JXL_TPU_THREADS", "0")) or (os.cpu_count() or 1))
+        if len(jobs) < 2 or n_workers < 2:
+            for g, readers, render in jobs:
+                self.decode_hf_group(g, readers, render=render)
+            return
+        if self.header.encoding == Encoding.VARDCT and any(r for _, _, r in jobs):
+            from ..vardct.group import ensure_pixel_buffers
+
+            ensure_pixel_buffers(self)  # allocate once, outside the race
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs = [
+                ex.submit(self.decode_hf_group, g, r, render)
+                for g, r, render in jobs
+            ]
+            for f in futs:
+                f.result()
 
     def _try_device_ac(self, sections) -> bool:
         """Decode all HF sections' AC coefficients on device (lanes =

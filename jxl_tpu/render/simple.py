@@ -157,8 +157,18 @@ def render_frame_channels_ex(
         and header.lf_level == 0
     )
     # frames below ~0.16 MP aren't worth a device round trip: the host
-    # numpy stage path beats dispatch+transfer latency (animation frames)
-    small_frame = planes[0].size < 160_000 and not dev_planes
+    # numpy stage path beats dispatch+transfer latency (animation frames).
+    # Modular frames pay BOTH an upload and a readback (VarDCT device
+    # planes are already resident), so their crossover sits near 1 MP on
+    # the tunneled chip (measured: 0.26 MP lossless is ~4x faster on host
+    # numpy than through upload+filters+readback).
+    host_cutoff = 160_000 if header.encoding == Encoding.VARDCT else 1 << 20
+    small_frame = planes[0].size < host_cutoff and not dev_planes
+    if not dev_planes and fuse:
+        from ..utils.devhealth import device_ok
+
+        if not device_ok():
+            small_frame = True  # degraded tunnel: host numpy stages
 
     _FILTER_NAMES = {"gaborish", "epf0", "epf1", "epf2"}
     i_filt = next(

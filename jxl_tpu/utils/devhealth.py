@@ -1,0 +1,69 @@
+"""Device health probe: route around a wedged or degraded accelerator.
+
+The tunneled TPU in this environment intermittently stalls for minutes
+(BASELINE.md "tunnel transfer economics"); a decode that would win on a
+healthy device loses badly — or hangs — through a wedged one. The first
+device-path decision in a process runs a tiny round-trip probe in a
+daemon thread with a hard wall-clock budget; if the probe times out or
+its latency exceeds the threshold, every subsequent eligibility check
+prefers the host path for the process lifetime.
+
+Override with JXL_TPU_DEVICE=on|off (on: trust the device uncondition-
+ally; off: never dispatch device render work).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+_status: bool | None = None
+_lock = threading.Lock()
+
+
+def _probe(result: list) -> None:
+    try:
+        t0 = time.perf_counter()
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jnp.ones((64, 64), jnp.float32)
+        y = (x + 1.0).block_until_ready()
+        np.asarray(y)
+        result.append(time.perf_counter() - t0)
+    except Exception:
+        result.append(None)
+
+
+def device_ok(max_latency: float = 5.0, timeout: float = 45.0) -> bool:
+    """True when device render dispatch is worth it right now."""
+    global _status
+    mode = os.environ.get("JXL_TPU_DEVICE", "auto")
+    if mode in ("off", "host"):
+        return False
+    if mode in ("on", "device"):
+        return True
+    with _lock:
+        if _status is not None:
+            return _status
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                # virtual CPU devices (tests / dryrun): no tunnel involved
+                _status = True
+                return True
+        except Exception:
+            _status = False
+            return False
+        result: list = []
+        t = threading.Thread(target=_probe, args=(result,), daemon=True)
+        t.start()
+        t.join(timeout)
+        if not result or result[0] is None or result[0] > max_latency:
+            _status = False
+        else:
+            _status = True
+        return _status
