@@ -37,7 +37,7 @@ def _probe(result: list) -> None:
         result.append(None)
 
 
-def device_ok(max_latency: float = 5.0, timeout: float = 45.0) -> bool:
+def device_ok(max_latency: float = 2.0, timeout: float = 45.0) -> bool:
     """True when device render dispatch is worth it right now."""
     global _status
     mode = os.environ.get("JXL_TPU_DEVICE", "auto")
