@@ -616,6 +616,64 @@ int jxl_decode_modular(
   if (num_props > kNumNonrefProps)
     num_ref_props = ((num_props - kNumNonrefProps + 3) / 4) * 4;
 
+  // WP-specialized loop (ref decode/specialized_trees.rs lattice, the
+  // WP-on branch): trees that split only on property 15 with all-WEIGHTED
+  // leaves (the shape effort-3+ encoders emit for photographic modular)
+  // skip the generic property vector, the predictor dispatch, and the
+  // unused neighborhood loads entirely.
+  bool wp_only = use_wp && used_props == (1u << 15) && num_ref_props == 0 &&
+                 !single_leaf;
+  if (wp_only)
+    for (int i = 0; i < num_nodes; i++)
+      if (tree[i].property < 0 && tree[i].predictor != 6) { wp_only = false; break; }
+  if (wp_only) {
+    WPState wp;
+    for (int ci = 0; ci < num_channels; ci++) {
+      const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
+      int w = (int)cd.w, h = (int)cd.h;
+      if (w == 0 || h == 0) continue;
+      mark_safe(ci);
+      int32_t* base_ptr = out + cd.offset;
+      int64_t stride = cd.row_stride;
+      wp.Init(wp_params, w);
+      for (int y = 0; y < h; y++) {
+        int32_t* row = base_ptr + (int64_t)y * stride;
+        const int32_t* prev = y > 0 ? row - stride : nullptr;
+        const int32_t* prevprev = y > 1 ? row - 2 * stride : nullptr;
+        for (int x = 0; x < w; x++) {
+          int32_t pd[5];
+          int32_t left = x > 0 ? row[x - 1] : (y > 0 ? prev[0] : 0);
+          if (y > 0) {
+            pd[1] = prev[x];
+            pd[3] = x > 0 ? prev[x - 1] : left;
+            pd[4] = x + 1 < w ? prev[x + 1] : pd[1];
+          } else {
+            pd[1] = pd[3] = pd[4] = left;
+          }
+          pd[0] = left;
+          pd[2] = y > 1 ? prevprev[x] : pd[1];
+          int64_t wp_pred;
+          int32_t wp_prop;
+          wp.PredictAndProperty(x, y, pd, &wp_pred, &wp_prop);
+          const TreeNode* node = &tree[0];
+          while (node->property >= 0)
+            node = wp_prop > node->splitval ? &tree[node->lchild]
+                                            : &tree[node->rchild];
+          int32_t decd = dec.ReadSigned(br, node->ctx);
+          int32_t val =
+              (int32_t)(wp_pred + node->offset + (int64_t)node->multiplier * decd);
+          wp.UpdateErrors(val, x, y);
+          row[x] = val;
+        }
+      }
+      if (dec.error || br.Overrun()) return fail_partial(br.Overrun() ? 2 : 1);
+    }
+    *bit_pos = br.pos;
+    if (!dec.CheckFinal(br)) return fail_partial(br.Overrun() ? 2 : 1);
+    if (num_decoded_out) *num_decoded_out = num_channels;
+    return 0;
+  }
+
   std::vector<int32_t> props(kNumNonrefProps + num_ref_props, 0);
   props[1] = stream_id;
 

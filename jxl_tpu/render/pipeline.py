@@ -298,6 +298,7 @@ def color_transform_stage(frame) -> Stage:
         out = list(chans)
         return render_simple.color_transform(frame, out, xp=xp)
 
+    t = ce.tf
     key = (
         bool(meta.xyb_encoded),
         bool(frame.header.do_ycbcr),
@@ -305,8 +306,12 @@ def color_transform_stage(frame) -> Stage:
         int(ce.color_space),
         int(ce.white_point),
         int(ce.primaries),
+        ce.white.as_f32(),
+        tuple(p.as_f32() for p in ce.custom_primaries),
+        ("gamma", float(t.gamma_value())) if t.have_gamma else int(t.transfer_function),
         float(meta.tone_mapping.intensity_target),
         tuple(frame.file_header.transform_data.opsin_inverse_matrix.inverse_matrix),
+        tuple(frame.file_header.transform_data.opsin_inverse_matrix.opsin_biases),
     )
     return Stage("color_transform", fn, key=key)
 

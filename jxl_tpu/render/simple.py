@@ -218,8 +218,10 @@ def render_frame_channels_ex(
         from .pipeline import device_spans
         from .span_exec import run_span_device
 
+        from ..utils.devhealth import device_ok
+
         for is_dev, span in device_spans(stages):
-            if is_dev and planes[0].size >= 160_000:
+            if is_dev and planes[0].size >= 160_000 and device_ok():
                 planes = run_span_device(span, planes, ctx)
             else:
                 planes = run_stages(np, span, planes, ctx)
