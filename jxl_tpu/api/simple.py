@@ -144,6 +144,26 @@ def decode_image(
         frame = parse_frame(br, fh, state)
         frame.icc_profile = icc_profile
         header = frame.header
+
+        # overlapped banded decode (api/overlap.py): host entropy, device
+        # IDCT+filters, and band readbacks pipeline instead of serializing
+        from . import overlap
+
+        if overlap.eligible(frame) and overlap.enabled():
+            arr = overlap.try_decode(frame, br, pixel_format)
+            if arr is not None:
+                out.frames.append(apply_orientation(arr, meta.orientation))
+                dur = 0.0
+                if meta.animation is not None:
+                    dur = (
+                        header.duration
+                        * 1000.0
+                        * meta.animation.tps_denominator
+                        / meta.animation.tps_numerator
+                    )
+                out.durations.append(dur)
+                break
+
         frame.decode_all_sections(br)
 
         planes, color_done, converted = render_frame_channels_ex(

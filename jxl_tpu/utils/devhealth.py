@@ -24,11 +24,18 @@ _lock = threading.Lock()
 
 def _probe(result: list) -> None:
     try:
-        t0 = time.perf_counter()
         import jax
         import jax.numpy as jnp
         import numpy as np
 
+        # backend init itself is the first thing that hangs on a wedged
+        # tunnel — it MUST run inside this budgeted thread, never on the
+        # caller's thread
+        if jax.default_backend() == "cpu":
+            # virtual CPU devices (tests / dryrun): no tunnel involved
+            result.append(0.0)
+            return
+        t0 = time.perf_counter()
         x = jnp.ones((64, 64), jnp.float32)
         y = (x + 1.0).block_until_ready()
         np.asarray(y)
@@ -48,16 +55,6 @@ def device_ok(max_latency: float = 2.0, timeout: float = 45.0) -> bool:
     with _lock:
         if _status is not None:
             return _status
-        try:
-            import jax
-
-            if jax.default_backend() == "cpu":
-                # virtual CPU devices (tests / dryrun): no tunnel involved
-                _status = True
-                return True
-        except Exception:
-            _status = False
-            return False
         result: list = []
         t = threading.Thread(target=_probe, args=(result,), daemon=True)
         t.start()

@@ -1,0 +1,321 @@
+"""Per-band VarDCT dequant + CfL + IDCT device programs (overlap pipeline).
+
+The whole-frame device program (device_frame.py) dispatches once after ALL
+host entropy finishes, so host entropy, device compute, and the final
+readback serialize. This module compiles the same numeric path (ref
+frame/group.rs:138-237 dequant_and_transform_to_pixels) per GROUP-ROW BAND
+so the orchestrator (api/overlap.py) can dispatch band k's IDCT while the
+host entropy-decodes band k+1 — the reference's work-stealing
+decode/render fan-out (frame/render.rs:373-459) re-expressed as an async
+device pipeline instead of a thread pool.
+
+Every band program has the same static shape (GROUP_DIM rows x frame
+width); per-band block index arrays are padded to power-of-two buckets
+shared across bands so XLA compiles a handful of variants per frame, not
+one per band. Padding entries scatter with index -1 (mode="drop"), so a
+transform type absent from one band is harmless.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import GROUP_DIM
+from .device_frame import (
+    _GROUP_STRIDE,
+    _sparse_coeffs,
+    _unpack_coeffs_device,
+)
+from .transform_map import covered_blocks_x, covered_blocks_y
+from .transforms_batch import transform_to_pixels_batch
+
+BLOCK_DIM = 8
+BLOCK_SIZE = 64
+COLOR_TILE_DIM_IN_BLOCKS = 8
+BAND_BLOCKS = GROUP_DIM // BLOCK_DIM  # block rows per band (32)
+BAND_TILES = BAND_BLOCKS // COLOR_TILE_DIM_IN_BLOCKS  # CfL tile rows (4)
+
+_CACHE: dict = {}
+
+
+def _band_blocks(frame, gy: int):
+    """Per-tid block arrays for group row `gy`, band-local coordinates.
+
+    Returns {tid: (bx, by_local, gi_local, coeff_off)} where gi_local
+    indexes the band's groups left-to-right (matching the coefficient
+    pack order) and by_local is relative to the band's top block row.
+    """
+    header = frame.header
+    tmap = frame.hf_meta["transform"]
+    gx_count, _ = header.size_groups()
+    by_tid: dict[int, list] = {}
+    for gx in range(gx_count):
+        g = gy * gx_count + gx
+        (gx0, gy0), (gw, gh) = header.block_group_rect(g)
+        sub = tmap[gy0 : gy0 + gh, gx0 : gx0 + gw]
+        ys, xs = np.nonzero(sub >= 128)
+        tids = sub[ys, xs] & 127
+        order = np.argsort(ys * gw + xs, kind="stable")
+        offs = np.zeros(len(ys), dtype=np.int64)
+        acc = 0
+        for i in order:
+            offs[i] = acc
+            acc += (
+                covered_blocks_x(int(tids[i]))
+                * covered_blocks_y(int(tids[i]))
+                * BLOCK_SIZE
+            )
+        for t in np.unique(tids):
+            sel = tids == t
+            rec = by_tid.setdefault(int(t), [[], [], [], []])
+            rec[0].append(xs[sel] + gx0)
+            rec[1].append(ys[sel])  # gy0 is the band top: local row
+            rec[2].append(np.full(sel.sum(), gx, dtype=np.int64))
+            rec[3].append(offs[sel])
+    out = {}
+    for t, (bx, by, gi, off) in by_tid.items():
+        out[t] = (
+            np.concatenate(bx).astype(np.int32),
+            np.concatenate(by).astype(np.int32),
+            np.concatenate(gi).astype(np.int32),
+            np.concatenate(off).astype(np.int32),
+        )
+    return out
+
+
+class BandRenderer:
+    """Compiles + dispatches per-band IDCT programs for one frame.
+
+    Usage: r = BandRenderer(frame); dev = r.dispatch(gy) after band gy's
+    coefficients are in frame.hf_global.hf_coefficients. The returned
+    jax.Array is (3, GROUP_DIM, W) f32 and is NOT synchronized — the
+    dispatch is async.
+    """
+
+    def __init__(self, frame):
+        header = frame.header
+        self.frame = frame
+        self.gx_count, self.gy_count = header.size_groups()
+        self.bw, self.bh = header.size_blocks()
+        self.W = self.bw * BLOCK_DIM
+        hf = frame.hf_meta
+        qp = frame.lf_global.quant_params
+        ccp = frame.lf_global.color_correlation_params
+        dqm = frame.hf_global.dequant_matrices
+        self._biases = np.asarray(
+            frame.file_header.transform_data.opsin_inverse_matrix.quant_biases,
+            dtype=np.float32,
+        )
+        self._x_dm = np.float32((1.0 / 1.25) ** (header.x_qm_scale - 2.0))
+        self._b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
+        self._igs = np.float32(qp.inv_global_scale)
+        self._cf = np.float32(ccp.color_factor)
+        self._bcx = np.float32(ccp.base_correlation_x)
+        self._bcb = np.float32(ccp.base_correlation_b)
+
+        # per-band block tables + frame-wide per-tid buckets so all bands
+        # share one compiled program per (tids, buckets, nz wire) signature
+        self._bands = [_band_blocks(frame, gy) for gy in range(self.gy_count)]
+        tids = sorted({t for b in self._bands for t in b})
+        self.tids = tuple(tids)
+        self._pads = tuple(
+            1
+            << max(
+                4,
+                int(
+                    np.ceil(
+                        np.log2(
+                            max(
+                                max((len(b[t][0]) for b in self._bands if t in b), default=1),
+                                1,
+                            )
+                        )
+                    )
+                ),
+            )
+            for t in tids
+        )
+        self._ncs = {
+            t: covered_blocks_x(t) * covered_blocks_y(t) * BLOCK_SIZE for t in tids
+        }
+        self._mats = {
+            t: np.stack(
+                [
+                    np.asarray(dqm.matrix(t, c)[: self._ncs[t]], np.float32)
+                    for c in range(3)
+                ]
+            )
+            for t in tids
+        }
+        # static per-frame device-resident inputs, uploaded once
+        th = -(-self.bh // COLOR_TILE_DIM_IN_BLOCKS)
+        tw = -(-self.bw // COLOR_TILE_DIM_IN_BLOCKS)
+        lf = np.stack(frame.lf_image)
+        pad_bh = self.gy_count * BAND_BLOCKS
+        if lf.shape[1] < pad_bh:
+            lf = np.pad(lf, ((0, 0), (0, pad_bh - lf.shape[1]), (0, 0)), mode="edge")
+        rq = np.asarray(hf["raw_quant"], dtype=np.int32)
+        if rq.shape[0] < pad_bh:
+            rq = np.pad(rq, ((0, pad_bh - rq.shape[0]), (0, 0)), mode="edge")
+        pad_th = self.gy_count * BAND_TILES
+        ytox = np.ascontiguousarray(hf["ytox"][:th, :tw])
+        ytob = np.ascontiguousarray(hf["ytob"][:th, :tw])
+        if ytox.shape[0] < pad_th:
+            ytox = np.pad(ytox, ((0, pad_th - ytox.shape[0]), (0, 0)), mode="edge")
+            ytob = np.pad(ytob, ((0, pad_th - ytob.shape[0]), (0, 0)), mode="edge")
+        self._static_dev = jax.device_put((lf, rq, ytox, ytob))
+
+    def _program(self, mode: str, nz_bucket: int, total: int):
+        mats_key = tuple(
+            hashlib.sha1(self._mats[t].tobytes()).hexdigest() for t in self.tids
+        )
+        key = (
+            "band",
+            self.tids,
+            self._pads,
+            mode,
+            nz_bucket,
+            self.gx_count,
+            self.bw,
+            float(self._igs),
+            float(self._x_dm),
+            float(self._b_dm),
+            float(self._bcx),
+            float(self._bcb),
+            float(self._cf),
+            tuple(float(b) for b in self._biases),
+            mats_key,
+        )
+        fn = _CACHE.get(key)
+        if fn is not None:
+            return fn
+
+        tids = self.tids
+        ncs = self._ncs
+        mats_c = {t: jnp.asarray(self._mats[t]) for t in tids}
+        b_c = jnp.asarray(self._biases)
+        igs, cf, bcx, bcb = self._igs, self._cf, self._bcx, self._bcb
+        x_dm, b_dm = self._x_dm, self._b_dm
+        W = self.W
+        bw = self.bw
+
+        def program(nz_a1, nz_a2, lf_band, rq_band, ytox_band, ytob_band, idx_args):
+            # band-local planes (3, BAND_BLOCKS*8 * W) flat
+            planes = jnp.zeros((3, GROUP_DIM * W), jnp.float32)
+            flat = _unpack_coeffs_device(mode, nz_a1, nz_a2, total)
+            lf_flat = lf_band.reshape(3, -1)
+            stride_c = GROUP_DIM * GROUP_DIM
+            for ti, t in enumerate(tids):
+                gbx, gby, gi, off, valid = idx_args[ti]
+                n = gbx.shape[0]
+                nc = ncs[t]
+                cx = covered_blocks_x(t)
+                cy = covered_blocks_y(t)
+                base = gi.astype(jnp.int32) * _GROUP_STRIDE + off.astype(jnp.int32)
+                lanes = jnp.arange(nc, dtype=jnp.int32)
+                gidx = base[:, None, None] + (
+                    jnp.arange(3, dtype=jnp.int32)[None, :, None] * stride_c
+                ) + lanes[None, None, :]
+                qb = jnp.take(flat, gidx.reshape(-1), mode="clip").reshape(n, 3, nc)
+                q = qb.astype(jnp.float32)
+                adj = jnp.where(
+                    jnp.abs(qb) < 2,
+                    q * b_c[:3][None, :, None],
+                    q - b_c[3] / jnp.where(qb == 0, 1.0, q),
+                )
+                adj = jnp.where(qb == 0, 0.0, adj)
+                rq_b = rq_band[gby, gbx].astype(jnp.float32)
+                scaled_y = igs / rq_b
+                tx = gbx // COLOR_TILE_DIM_IN_BLOCKS
+                ty = gby // COLOR_TILE_DIM_IN_BLOCKS
+                x_cc = bcx + ytox_band[ty, tx].astype(jnp.float32) / cf
+                b_cc = bcb + ytob_band[ty, tx].astype(jnp.float32) / cf
+                scales = jnp.stack(
+                    [scaled_y * x_dm, scaled_y, scaled_y * b_dm], axis=1
+                )
+                dq = adj * mats_c[t][None] * scales[:, :, None]
+                dq = dq.at[:, 0].add(x_cc[:, None] * dq[:, 1])
+                dq = dq.at[:, 2].add(b_cc[:, None] * dq[:, 1])
+                iy = jnp.arange(cy, dtype=jnp.int32)
+                ix = jnp.arange(cx, dtype=jnp.int32)
+                lf_idx = (
+                    (gby[:, None, None] + iy[None, :, None]) * bw
+                    + gbx[:, None, None]
+                    + ix[None, None, :]
+                ).reshape(-1)
+                ph, pw = cy * BLOCK_DIM, cx * BLOCK_DIM
+                py = jnp.arange(ph, dtype=jnp.int32)
+                px = jnp.arange(pw, dtype=jnp.int32)
+                pidx = (
+                    (gby[:, None, None] * BLOCK_DIM + py[None, :, None]) * W
+                    + gbx[:, None, None] * BLOCK_DIM
+                    + px[None, None, :]
+                )
+                # padding entries (valid==0) scatter one-past-the-end and
+                # drop (negative indices would WRAP to the last pixel)
+                pidx = jnp.where(
+                    valid[:, None, None] != 0, pidx, GROUP_DIM * W
+                ).reshape(-1)
+                for c in (1, 0, 2):
+                    lf_tiles = jnp.take(lf_flat[c], lf_idx, mode="clip").reshape(
+                        n, cy, cx
+                    )
+                    pix = transform_to_pixels_batch(jnp, t, lf_tiles, dq[:, c])
+                    planes = planes.at[c, pidx].set(pix.reshape(-1), mode="drop")
+            return planes.reshape(3, GROUP_DIM, W)
+
+        def wrapped(*args):
+            with jax.default_matmul_precision("float32"):
+                return program(*args)
+
+        fn = jax.jit(wrapped)
+        _CACHE[key] = fn
+        return fn
+
+    def dispatch(self, gy: int, free_coeffs: bool = True):
+        """Pack band gy's coefficients, upload, and async-dispatch its
+        IDCT program. Returns the (3, GROUP_DIM, W) device array."""
+        frame = self.frame
+        hfc = frame.hf_global.hf_coefficients
+        group_ids = [
+            gy * self.gx_count + gx for gx in range(self.gx_count)
+        ]
+        mode, a1, a2, total, nz_bucket = _sparse_coeffs(
+            {g: hfc[g] for g in group_ids}, group_ids
+        )
+        if free_coeffs:
+            for g in group_ids:
+                del hfc[g]
+        blocks = self._bands[gy]
+        idx_args = []
+        for t, p in zip(self.tids, self._pads):
+            if t in blocks:
+                gbx, gby, gi, off = blocks[t]
+            else:
+                gbx = gby = gi = off = np.zeros(0, np.int32)
+            n = len(gbx)
+            valid = np.ones(n, np.int32)
+            if p > n:
+                gbx = np.concatenate([gbx, np.zeros(p - n, np.int32)])
+                gby = np.concatenate([gby, np.zeros(p - n, np.int32)])
+                gi = np.concatenate([gi, np.zeros(p - n, np.int32)])
+                off = np.concatenate([off, np.zeros(p - n, np.int32)])
+                valid = np.concatenate([valid, np.zeros(p - n, np.int32)])
+            idx_args.append((gbx, gby, gi, off, valid))
+
+        fn = self._program(mode, nz_bucket, total)
+        lf, rq, ytox, ytob = self._static_dev
+        by0 = gy * BAND_BLOCKS
+        ty0 = gy * BAND_TILES
+        lf_band = jax.lax.slice_in_dim(lf, by0, by0 + BAND_BLOCKS, axis=1)
+        rq_band = jax.lax.slice_in_dim(rq, by0, by0 + BAND_BLOCKS, axis=0)
+        ytox_band = jax.lax.slice_in_dim(ytox, ty0, ty0 + BAND_TILES, axis=0)
+        ytob_band = jax.lax.slice_in_dim(ytob, ty0, ty0 + BAND_TILES, axis=0)
+        band_args = jax.device_put((a1, a2, tuple(idx_args)))
+        a1d, a2d, idx_dev = band_args
+        return fn(a1d, a2d, lf_band, rq_band, ytox_band, ytob_band, idx_dev)
