@@ -487,6 +487,30 @@ class Frame:
             self.vardct_pixels_dev = render(self, self.hf_global.hf_coefficients)
 
     def decode_all_sections(self, br: BitReader) -> None:
+        import contextlib
+
+        from ..modular import device_lossless
+
+        header = self.header
+        # full-frame modular decode: batch gradient-only streams through
+        # the device wavefront reconstruction (residual entropy on host,
+        # async reconstruction on device, write-back at flush)
+        dl_ctx = (
+            device_lossless.BatchContext()
+            if header.encoding == Encoding.MODULAR and device_lossless.enabled()
+            else None
+        )
+        with (
+            device_lossless.activate(dl_ctx)
+            if dl_ctx is not None
+            else contextlib.nullcontext()
+        ):
+            self._decode_all_sections_inner(br)
+        if dl_ctx is not None:
+            dl_ctx.flush()
+        self.lf_global.modular_global.run_transforms()
+
+    def _decode_all_sections_inner(self, br: BitReader) -> None:
         header = self.header
         if header.num_toc_entries == 1:
             sec = self.split_sections(br)[0]
@@ -521,7 +545,6 @@ class Frame:
                 ]
                 self._decode_hf_groups_parallel(jobs)
         self._finish_device_render()
-        self.lf_global.modular_global.run_transforms()
 
     def _decode_hf_groups_parallel(self, jobs) -> None:
         """Fan HF-group section decoding out over a host thread pool (the

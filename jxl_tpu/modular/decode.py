@@ -230,6 +230,17 @@ def decode_modular_subbitstream(
 
     image_width = max((b.data.shape[1] for b in local_buffers), default=0)
 
+    # gradient-only streams route to the batched device wavefront
+    # reconstruction when a batch context is active (the lossless
+    # orchestrator activates one around whole-frame section decode)
+    from . import device_lossless
+
+    if device_lossless.maybe_submit(
+        local_buffers, tree, header, transform_steps, br,
+        stream_id, image_width, partial_out,
+    ):
+        return
+
     from .. import native
 
     if not native.decode_modular_native(

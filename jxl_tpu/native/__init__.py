@@ -55,6 +55,7 @@ def get_lib():
         lib.jxl_decode_histograms.restype = ctypes.c_int
         lib.jxl_decode_tree.restype = ctypes.c_int
         lib.jxl_read_permutations.restype = ctypes.c_int
+        lib.jxl_gradient_reconstruct.restype = None
         _lib = lib
     return _lib
 
@@ -435,12 +436,17 @@ def read_unsigned_run(histograms, br, ctx: int, count: int,
 
 
 def decode_modular_native(
-    buffers, stream_id, header, tree, br, image_width, partial_out=None
+    buffers, stream_id, header, tree, br, image_width, partial_out=None,
+    residuals=False,
 ) -> bool:
     """Decode all channels of a modular sub-bitstream natively.
 
     Returns True on success (br.pos advanced, buffers filled); raises on
     bitstream errors. Falls back (returns False) if unavailable.
+
+    With residuals=True (caller must have checked tree.is_gradient_only),
+    buffers receive the raw signed residuals instead of reconstructed
+    pixels — the device wavefront reconstruction consumes these.
 
     With `partial_out` (a 1-element list), bitstream errors still raise but
     partial_out[0] receives the number of channels decoded with a safety
@@ -494,6 +500,10 @@ def decode_modular_native(
         ctypes.c_int(len(buffers)), _ptr(chan_info, ctypes.c_int64),
         _ptr(out, ctypes.c_int32), ctypes.c_int(stream_id),
         ctypes.byref(num_decoded),
+        ctypes.c_int(
+            (1 if residuals else 0)
+            | (2 if os.environ.get("JXL_TPU_NO_GRAD_SPEC") else 0)
+        ),
     )
     if ret != 0:
         if partial_out is not None:
@@ -512,3 +522,21 @@ def decode_modular_native(
         b.data[...] = out[off : off + h * w].reshape(h, w)
         off += h * w
     return True
+
+
+def gradient_reconstruct(arr: np.ndarray) -> None:
+    """In-place clamped-gradient reconstruction of a residual plane
+    (host fallback for the device wavefront reconstruction,
+    modular/device_lossless.py). `arr` must be int32, C-contiguous rows
+    (a row-sliced view of a larger plane is fine)."""
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        return
+    lib = get_lib()
+    assert lib is not None and arr.dtype == np.int32
+    assert arr.strides[1] == 4
+    lib.jxl_gradient_reconstruct(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        ctypes.c_int64(arr.strides[0] // 4),
+    )

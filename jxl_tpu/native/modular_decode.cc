@@ -449,6 +449,33 @@ int jxl_read_unsigned_run(
   return 0;
 }
 
+// In-place clamped-gradient reconstruction from raw signed residuals
+// (the host fallback for the device wavefront reconstruction; identical
+// math to the gradient-only decode loop below).
+void jxl_gradient_reconstruct(int32_t* p, int64_t h, int64_t w,
+                              int64_t stride) {
+  if (h <= 0 || w <= 0) return;
+  int32_t last = 0;
+  for (int64_t x = 0; x < w; x++) {
+    last += p[x];
+    p[x] = last;
+  }
+  for (int64_t y = 1; y < h; y++) {
+    int32_t* row = p + y * stride;
+    const int32_t* prev = row - stride;
+    int32_t left = prev[0];
+    int32_t topleft = left;
+    for (int64_t x = 0; x < w; x++) {
+      int32_t top = prev[x];
+      int64_t pred = ClampedGradient(left, top, topleft);
+      int32_t val = (int32_t)(pred + row[x]);
+      row[x] = val;
+      left = val;
+      topleft = top;
+    }
+  }
+}
+
 // Returns 0 on success; 1 = entropy error; 2 = overrun.
 // Decodes all channels of one modular sub-bitstream.
 int jxl_decode_modular(
@@ -468,7 +495,11 @@ int jxl_decode_modular(
     int num_channels, const int64_t* chan_info, int32_t* out, int stream_id,
     // partial decode: number of channels decoded with a safety margin
     // before the first error (ref decode/bitstream.rs last_safe_buf)
-    int64_t* num_decoded_out) {
+    int64_t* num_decoded_out,
+    // bit 0: emit raw signed residuals instead of reconstructed values
+    // (honored only for gradient-only trees; the caller checks the tree
+    // shape first — the device wavefront reconstruction consumes these)
+    int flags) {
   BitReader br{data, size, *bit_pos};
   EntropyDecoder dec;
   dec.use_prefix = use_prefix != 0;
@@ -539,7 +570,9 @@ int jxl_decode_modular(
     return code;
   };
 
-  if (gradient_only && is_rle) {
+  const bool residual_mode = (flags & 1) != 0 && gradient_only;
+
+  if (gradient_only && is_rle && !residual_mode) {
     uint32_t rle_len = 0;
     int32_t rle_sym = 0;
     for (int ci = 0; ci < num_channels; ci++) {
@@ -612,6 +645,61 @@ int jxl_decode_modular(
     if (num_decoded_out) *num_decoded_out = num_channels;
     return 0;
   }
+  // Specialized gradient-only loop, any entropy coder (ref
+  // decode/specialized_trees.rs lattice, the gradient branch): channel-
+  // split trees with pure-gradient leaves skip the generic loop's
+  // per-pixel property vector, neighborhood loads, and tree walk. In
+  // residual_mode prediction is skipped entirely and the raw signed
+  // residuals are emitted — the device wavefront reconstruction
+  // (modular/device_lossless.py) turns them back into pixels.
+  if (gradient_only && (flags & 2) == 0) {
+    for (int ci = 0; ci < num_channels; ci++) {
+      const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
+      int w = (int)cd.w, h = (int)cd.h;
+      if (w == 0 || h == 0) continue;
+      mark_safe(ci);
+      int32_t* base_ptr = out + cd.offset;
+      int64_t stride = cd.row_stride;
+      // walk tree on property 0 = channel index, once per channel
+      const TreeNode* node = &tree[0];
+      while (node->property >= 0)
+        node = ci > node->splitval ? &tree[node->lchild] : &tree[node->rchild];
+      int ctx = node->ctx;
+      if (residual_mode) {
+        for (int y = 0; y < h; y++) {
+          int32_t* row = base_ptr + (int64_t)y * stride;
+          for (int x = 0; x < w; x++) row[x] = dec.ReadSigned(br, ctx);
+        }
+      } else {
+        int32_t last = 0;
+        int32_t* row0 = base_ptr;
+        for (int x = 0; x < w; x++) {
+          last += dec.ReadSigned(br, ctx);
+          row0[x] = last;
+        }
+        for (int y = 1; y < h; y++) {
+          int32_t* row = base_ptr + (int64_t)y * stride;
+          const int32_t* prev = row - stride;
+          int32_t left = prev[0];
+          int32_t topleft = left;
+          for (int x = 0; x < w; x++) {
+            int32_t top = prev[x];
+            int64_t pred = ClampedGradient(left, top, topleft);
+            int32_t val = (int32_t)(pred + dec.ReadSigned(br, ctx));
+            row[x] = val;
+            left = val;
+            topleft = top;
+          }
+        }
+      }
+      if (dec.error || br.Overrun()) return fail_partial(br.Overrun() ? 2 : 1);
+    }
+    *bit_pos = br.pos;
+    if (!dec.CheckFinal(br)) return fail_partial(br.Overrun() ? 2 : 1);
+    if (num_decoded_out) *num_decoded_out = num_channels;
+    return 0;
+  }
+
   int num_ref_props = 0;
   if (num_props > kNumNonrefProps)
     num_ref_props = ((num_props - kNumNonrefProps + 3) / 4) * 4;
