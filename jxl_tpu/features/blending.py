@@ -13,11 +13,11 @@ from ..io.headers import ExtraChannel
 from .patches import BlendMode, PatchBlending
 
 
-def _clamp01(v, clamp):
-    return np.clip(v, 0.0, 1.0) if clamp else v
+def _clamp01(v, clamp, xp=np):
+    return xp.clip(v, 0.0, 1.0) if clamp else v
 
 
-def _muladd_weight(v):
+def _muladd_weight(v, xp=np):
     """AlphaWeightedAdd weights are clamped to [0,1] regardless of the
     bitstream clamp flag (verified bit-exact vs libjxl on blendmodes.jxl,
     whose MulAdd layer carries alpha in [-0.98, 1.98]; kBlend weights by
@@ -25,16 +25,17 @@ def _muladd_weight(v):
     multiple_layers_noise_spline composes bit-exact only with raw kBlend
     alphas). The reference's blending.rs clamps neither, diverging on
     out-of-range alpha."""
-    return np.clip(v, 0.0, 1.0)
+    return xp.clip(v, 0.0, 1.0)
 
 
-def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_channel_info):
+def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_channel_info, xp=np):
     """Blend fg onto bg (lists of (h, w) planes: 3 color + num_ec extras).
 
-    Returns new planes (list). ref blending.rs:200-459.
+    Returns new planes (list). ref blending.rs:200-459. xp-generic:
+    numpy host oracle / jnp in the device patches stage.
     """
     num_ec = len(extra_channel_info)
-    out = [np.array(p, dtype=np.float32, copy=True) for p in bg]
+    out = [xp.array(p, dtype=xp.float32) for p in bg]
 
     if color_blending.mode == BlendMode.NONE and all(
         b.mode == BlendMode.NONE for b in ec_blending
@@ -45,14 +46,14 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
         b.mode in (BlendMode.REPLACE, BlendMode.NONE) for b in ec_blending
     ):
         for c in range(3):
-            out[c] = fg[c].astype(np.float32)
+            out[c] = fg[c].astype(xp.float32)
         for i, b in enumerate(ec_blending):
             if b.mode == BlendMode.REPLACE:
-                out[3 + i] = fg[3 + i].astype(np.float32)
+                out[3 + i] = fg[3 + i].astype(xp.float32)
         return out
 
     has_alpha = any(info.ec_type == ExtraChannel.ALPHA for info in extra_channel_info)
-    old_ec = [np.array(bg[3 + i], dtype=np.float32, copy=True) for i in range(num_ec)]
+    old_ec = [xp.array(bg[3 + i], dtype=xp.float32) for i in range(num_ec)]
 
     # extra channels first (ref order)
     for i, b in enumerate(ec_blending):
@@ -60,47 +61,47 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
         clamp = b.clamp
         assoc = extra_channel_info[alpha].alpha_associated if num_ec else False
         eo = out[3 + i]
-        fgi = fg[3 + i].astype(np.float32)
+        fgi = fg[3 + i].astype(xp.float32)
         if b.mode == BlendMode.ADD:
             out[3 + i] = eo + fgi
         elif b.mode == BlendMode.BLEND_ABOVE:
             if i == alpha:
-                ta = _clamp01(fgi, clamp)
+                ta = _clamp01(fgi, clamp, xp)
                 out[3 + i] = 1.0 - (1.0 - ta) * (1.0 - eo)
             elif assoc:
-                fa = _clamp01(fg[3 + alpha].astype(np.float32), clamp)
+                fa = _clamp01(fg[3 + alpha].astype(xp.float32), clamp, xp)
                 out[3 + i] = fgi + eo * (1.0 - fa)
             else:
-                fa = _clamp01(fg[3 + alpha].astype(np.float32), clamp)
+                fa = _clamp01(fg[3 + alpha].astype(xp.float32), clamp, xp)
                 oa = old_ec[alpha]
                 new_a = 1.0 - (1.0 - fa) * (1.0 - oa)
-                r = np.where(new_a > 0.0, 1.0 / np.where(new_a == 0, 1, new_a), 0.0)
+                r = xp.where(new_a > 0.0, 1.0 / xp.where(new_a == 0, 1, new_a), 0.0)
                 out[3 + i] = (fgi * fa + eo * oa * (1.0 - fa)) * r
         elif b.mode == BlendMode.BLEND_BELOW:
             if i == alpha:
-                ta = _clamp01(eo, clamp)
+                ta = _clamp01(eo, clamp, xp)
                 out[3 + i] = 1.0 - (1.0 - ta) * (1.0 - fgi)
             elif assoc:
-                ba = _clamp01(old_ec[alpha], clamp)
+                ba = _clamp01(old_ec[alpha], clamp, xp)
                 out[3 + i] = eo + fgi * (1.0 - ba)
             else:
-                ba = _clamp01(old_ec[alpha], clamp)
-                fa = fg[3 + alpha].astype(np.float32)
+                ba = _clamp01(old_ec[alpha], clamp, xp)
+                fa = fg[3 + alpha].astype(xp.float32)
                 new_a = 1.0 - (1.0 - ba) * (1.0 - fa)
-                r = np.where(new_a > 0.0, 1.0 / np.where(new_a == 0, 1, new_a), 0.0)
+                r = xp.where(new_a > 0.0, 1.0 / xp.where(new_a == 0, 1, new_a), 0.0)
                 out[3 + i] = (eo * ba + fgi * fa * (1.0 - ba)) * r
         elif b.mode == BlendMode.ALPHA_WEIGHTED_ADD_ABOVE:
             if i != alpha:
-                w = _muladd_weight(fg[3 + alpha].astype(np.float32))
+                w = _muladd_weight(fg[3 + alpha].astype(xp.float32), xp)
                 out[3 + i] = eo + fgi * w
         elif b.mode == BlendMode.ALPHA_WEIGHTED_ADD_BELOW:
             if i == alpha:
                 out[3 + i] = fgi
             else:
-                w = _muladd_weight(old_ec[alpha])
+                w = _muladd_weight(old_ec[alpha], xp)
                 out[3 + i] = fgi + eo * w
         elif b.mode == BlendMode.MUL:
-            out[3 + i] = eo * _clamp01(fgi, clamp)
+            out[3 + i] = eo * _clamp01(fgi, clamp, xp)
         elif b.mode == BlendMode.REPLACE:
             out[3 + i] = fgi
 
@@ -115,51 +116,51 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
             if not has_alpha:
                 out[c] = out[c] + fg[c]
             else:
-                w = _muladd_weight(fg[3 + alpha].astype(np.float32))
+                w = _muladd_weight(fg[3 + alpha].astype(xp.float32), xp)
                 out[c] = out[c] + fg[c] * w
     elif mode == BlendMode.ALPHA_WEIGHTED_ADD_BELOW:
         for c in range(3):
             if not has_alpha:
                 out[c] = out[c] + fg[c]
             else:
-                w = _muladd_weight(old_ec[alpha])
+                w = _muladd_weight(old_ec[alpha], xp)
                 out[c] = fg[c] + out[c] * w
     elif mode == BlendMode.BLEND_ABOVE:
         if not has_alpha:
             for c in range(3):
-                out[c] = fg[c].astype(np.float32)
+                out[c] = fg[c].astype(xp.float32)
         else:
             _blend_color(out, fg, old_ec[alpha], clamp,
-                         extra_channel_info[alpha].alpha_associated, True, alpha)
+                         extra_channel_info[alpha].alpha_associated, True, alpha, xp)
     elif mode == BlendMode.BLEND_BELOW:
         if has_alpha:
             _blend_color(out, fg, old_ec[alpha], clamp,
-                         extra_channel_info[alpha].alpha_associated, False, alpha)
+                         extra_channel_info[alpha].alpha_associated, False, alpha, xp)
     elif mode == BlendMode.MUL:
         for c in range(3):
-            out[c] = out[c] * _clamp01(fg[c].astype(np.float32), clamp)
+            out[c] = out[c] * _clamp01(fg[c].astype(xp.float32), clamp, xp)
     elif mode == BlendMode.REPLACE:
         for c in range(3):
-            out[c] = fg[c].astype(np.float32)
+            out[c] = fg[c].astype(xp.float32)
     return out
 
 
-def _blend_color(out, fg, bg_alpha_old, clamp, assoc, fg_on_top, alpha):
+def _blend_color(out, fg, bg_alpha_old, clamp, assoc, fg_on_top, alpha, xp=np):
     """ref blending.rs blend_impl: the top layer's alpha drives the blend;
     also updates the alpha channel itself (out[3+alpha])."""
-    fga = fg[3 + alpha].astype(np.float32)
+    fga = fg[3 + alpha].astype(xp.float32)
     if fg_on_top:
-        top_a = _clamp01(fga, clamp)
+        top_a = _clamp01(fga, clamp, xp)
         bottom_a = bg_alpha_old
     else:
-        top_a = _clamp01(bg_alpha_old, clamp)
+        top_a = _clamp01(bg_alpha_old, clamp, xp)
         bottom_a = fga
     one_minus = 1.0 - top_a
     new_a = 1.0 - one_minus * (1.0 - bottom_a)
-    r = np.where(new_a > 0.0, 1.0 / np.where(new_a == 0, 1, new_a), 0.0)
+    r = xp.where(new_a > 0.0, 1.0 / xp.where(new_a == 0, 1, new_a), 0.0)
     for c in range(3):
         bgv = out[c]
-        fgv = fg[c].astype(np.float32)
+        fgv = fg[c].astype(xp.float32)
         top_c, bottom_c = (fgv, bgv) if fg_on_top else (bgv, fgv)
         if assoc:
             out[c] = top_c + bottom_c * one_minus

@@ -334,16 +334,122 @@ def convert_output_stage(fmt: str, channels) -> Stage:
 # -- patches (device scatter for eligible dictionaries) ----------------------
 
 
-def patches_stage(frame, num_ec: int) -> Stage:
+def _dense_patch_layers(frame, num_ec: int, h: int, w: int, max_layers: int = 4):
+    """Precompute dense per-layer fg planes + coverage masks for the
+    device patches stage (ref stages/patches.rs re-expressed as masked
+    whole-image blends).
+
+    Sequential patch semantics are preserved by layering: each patch is
+    first-fit assigned to the earliest layer whose coverage it doesn't
+    intersect, so any patch overlapping an earlier one lands in a later
+    layer and blends against the earlier result. Eligible only when all
+    patches share one blending descriptor (every corpus dictionary does);
+    returns None (host fallback) otherwise."""
+    pd = frame.lf_global.patches
+    refs = (
+        frame.decoder_state.reference_frames if frame.decoder_state else [None] * 4
+    )
+    stride = pd.blendings_stride
+    n = len(pd.positions)
+    if n == 0:
+        return None
+    desc0 = tuple((b.mode, b.alpha_channel, b.clamp) for b in pd.blendings[:stride])
+    for pi in range(1, n):
+        if (
+            tuple(
+                (b.mode, b.alpha_channel, b.clamp)
+                for b in pd.blendings[pi * stride : (pi + 1) * stride]
+            )
+            != desc0
+        ):
+            return None
+    C = 3 + num_ec
+    layers_fg: list = []
+    layers_mask: list = []
+    for pos in pd.positions:
+        rp = pd.ref_positions[pos.ref_pos_idx]
+        ref = refs[rp.reference]
+        if ref is None or ref.get("frame") is None:
+            return None
+        rfp = ref["frame"]
+        if len(rfp) < C:
+            return None
+        ph = min(rp.ysize, h - pos.y, rfp[0].shape[0] - rp.y0)
+        pw = min(rp.xsize, w - pos.x, rfp[0].shape[1] - rp.x0)
+        if ph <= 0 or pw <= 0:
+            continue
+        li = 0
+        while li < len(layers_mask) and layers_mask[li][
+            pos.y : pos.y + ph, pos.x : pos.x + pw
+        ].any():
+            li += 1
+        if li >= max_layers:
+            return None
+        if li == len(layers_mask):
+            layers_fg.append(np.zeros((C, h, w), np.float32))
+            layers_mask.append(np.zeros((h, w), bool))
+        for c in range(C):
+            layers_fg[li][c, pos.y : pos.y + ph, pos.x : pos.x + pw] = rfp[c][
+                rp.y0 : rp.y0 + ph, rp.x0 : rp.x0 + pw
+            ]
+        layers_mask[li][pos.y : pos.y + ph, pos.x : pos.x + pw] = True
+    if not layers_mask:
+        return None
+    return np.stack(layers_fg), np.stack(layers_mask)
+
+
+def patches_stage(frame, num_ec: int, ctx: dict | None = None) -> Stage:
     """PatchesStage (ref stages/patches.rs; dictionary features/patches.rs).
 
-    Host fallback applies the full 8-blend-mode dictionary; the device
-    path is engaged for small all-ADD/REPLACE dictionaries as a
-    precomputed scatter (indices/values built host-side once per frame).
-    """
+    Device path: uniform-descriptor dictionaries blend as L masked
+    whole-image passes (fg planes + coverage masks precomputed host-side
+    per layer, entering the program as data); every blend mode is
+    pointwise so the math is the shared xp-generic perform_blending.
+    Host fallback applies the full sequential dictionary."""
     pd = frame.lf_global.patches
+    wc, hc = frame.header.size()
+    dense = (
+        _dense_patch_layers(frame, num_ec, hc, wc) if ctx is not None else None
+    )
 
-    def fn(xp, chans, ctx):
+    if dense is not None:
+        fg_layers, mask_layers = dense
+        ctx["patch_fg"] = fg_layers
+        ctx["patch_mask"] = mask_layers
+        num_layers = fg_layers.shape[0]
+        stride = pd.blendings_stride
+        color_blending = pd.blendings[0]
+        ec_blending = list(pd.blendings[1:stride])
+        eci = frame.file_header.image_metadata.extra_channel_info
+        C = 3 + num_ec
+
+        def fn(xp, chans, ctx_):
+            from ..features.blending import perform_blending
+
+            fg_l = ctx_["patch_fg"]
+            mask_l = ctx_["patch_mask"]
+            out = list(chans)
+            for li in range(num_layers):
+                fg = [fg_l[li, c] for c in range(C)]
+                blended = perform_blending(
+                    out[:C], fg, color_blending, ec_blending, eci, xp=xp
+                )
+                m = mask_l[li]
+                out[:C] = [
+                    xp.where(m, b, o) for b, o in zip(blended, out[:C])
+                ]
+            return out
+
+        desc = tuple((b.mode, b.alpha_channel, b.clamp) for b in pd.blendings[:stride])
+        return Stage(
+            "patches",
+            fn,
+            channels=tuple(range(C)),
+            device_ok=True,
+            key=("patches_dev", num_layers, desc),
+        )
+
+    def fn(xp, chans, ctx_):
         out = [np.ascontiguousarray(p) for p in chans]
         refs = (
             frame.decoder_state.reference_frames
@@ -420,7 +526,7 @@ def build_render_pipeline(frame, *, skip_chroma_upsample: bool = False):
                 stages.append(upsample_stage(frame, ec_up, (3 + i,)))
 
     if header.has_patches:
-        stages.append(patches_stage(frame, num_ec))
+        stages.append(patches_stage(frame, num_ec, ctx))
     if header.has_splines and frame.lf_global.splines is not None:
         splines = frame.lf_global.splines
         ctx["spline_splat"] = _spline_splat(splines, hc, wc)
