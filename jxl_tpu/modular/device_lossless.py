@@ -80,12 +80,16 @@ def _pow2ceil(n: int, lo: int = 32) -> int:
     return v
 
 
-def _program(L: int, H: int, W: int, wire_dtype: str):
-    """Jitted wavefront reconstruction: (L, H, W) residuals -> pixels."""
+def _program(L: int, H: int, W: int, wire_dtype: str, mesh=None):
+    """Jitted wavefront reconstruction: (L, H, W) residuals -> pixels.
+
+    With `mesh` (a 1-axis jax.sharding.Mesh), lanes shard across devices
+    — the scan is elementwise over lanes, so the pod-scale program runs
+    with zero collectives (each chip reconstructs its own lane slice)."""
     import jax
     import jax.numpy as jnp
 
-    key = (L, H, W, wire_dtype)
+    key = (L, H, W, wire_dtype, None if mesh is None else tuple(mesh.shape.items()))
     fn = _CACHE.get(key)
     if fn is not None:
         return fn
@@ -122,7 +126,14 @@ def _program(L: int, H: int, W: int, wire_dtype: str):
         idx = jnp.arange(H, dtype=jnp.int32)[:, None] + x_idx[None, :]
         return jnp.take_along_axis(st, idx[None, :, :], axis=1)
 
-    fn = jax.jit(program)
+    if mesh is None:
+        fn = jax.jit(program)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = tuple(mesh.shape)[0]
+        lanes = NamedSharding(mesh, PartitionSpec(axis, None, None))
+        fn = jax.jit(program, in_shardings=lanes, out_shardings=lanes)
     _CACHE[key] = fn
     return fn
 

@@ -76,11 +76,42 @@ def natural_coeff_order(t: int) -> tuple:
     return tuple(out)
 
 
-def decode_coeff_orders(used_orders: int, br: BitReader) -> list:
+@functools.lru_cache(maxsize=None)
+def natural_order_array(t: int):
+    """Process-cached int32 array view of the natural zig-zag order."""
+    import numpy as np
+
+    a = np.array(natural_coeff_order(t), dtype=np.int32)
+    a.setflags(write=False)
+    return a
+
+
+class CoeffOrders:
+    """Lazy per-(order, channel) scan permutations: only coded
+    permutations are materialized; natural orders resolve to the
+    process-wide cached arrays (animations decode one of these per
+    frame — building all 39 dense orders each time dominated small-frame
+    HfGlobal cost)."""
+
+    __slots__ = ("_coded",)
+
+    def __init__(self, coded: dict):
+        self._coded = coded
+
+    def __getitem__(self, idx: int):
+        v = self._coded.get(idx)
+        if v is not None:
+            return v
+        return natural_order_array(TRANSFORM_TYPE_LUT[idx // 3])
+
+
+def decode_coeff_orders(used_orders: int, br: BitReader) -> "CoeffOrders":
     """Per (order, channel) scan permutations. ref coeff_order.rs:123-149."""
-    permutations = [list(natural_coeff_order(TRANSFORM_TYPE_LUT[o // 3])) for o in range(3 * NUM_ORDERS)]
+    import numpy as np
+
     if used_orders == 0:
-        return permutations
+        return CoeffOrders({})
+    coded_perms: dict = {}
     histograms = Histograms.decode(NUM_PERMUTATION_CONTEXTS, br, allow_lz77=True)
 
     coded = [
@@ -113,13 +144,13 @@ def decode_coeff_orders(used_orders: int, br: BitReader) -> list:
                 li += 1
                 idx = 3 * ord_idx + c
                 if code:
-                    base = permutations[idx]
+                    base = natural_order_array(t)
                     order = list(range(size))
                     order[num_blocks:] = decode_lehmer_code(
                         code, order[num_blocks:]
                     )
-                    permutations[idx] = [base[order[i]] for i in range(size)]
-        return permutations
+                    coded_perms[idx] = base[np.asarray(order, dtype=np.int32)]
+        return CoeffOrders(coded_perms)
 
     reader = SymbolReader(histograms, br)
     for ord_idx, t in coded:
@@ -128,7 +159,7 @@ def decode_coeff_orders(used_orders: int, br: BitReader) -> list:
         for c in range(3):
             perm = decode_permutation(size, num_blocks, histograms, br, reader)
             idx = 3 * ord_idx + c
-            base = permutations[idx]
-            permutations[idx] = [base[perm[i]] for i in range(size)]
+            base = natural_order_array(t)
+            coded_perms[idx] = base[np.asarray(perm, dtype=np.int32)]
     reader.check_final_state(histograms, br)
-    return permutations
+    return CoeffOrders(coded_perms)
