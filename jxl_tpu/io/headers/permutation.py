@@ -24,6 +24,12 @@ def decode_lehmer_code(code: list[int], base: list[int]) -> list[int]:
     n = len(base)
     if n == 0:
         raise InvalidPermutation("empty permutation")
+    if n >= 64:
+        from ... import native
+
+        idx = native.apply_lehmer(code, n) if native.available() else None
+        if idx is not None:
+            return [base[i] for i in idx]
     # Fenwick tree over "still unused" counts, padded to a power of two
     padded = 1
     while padded < n:

@@ -51,7 +51,7 @@ class TreeNode:
 
 
 class Tree:
-    __slots__ = ("nodes", "histograms", "num_properties")
+    __slots__ = ("nodes", "histograms", "num_properties", "_native_packed")
 
     @staticmethod
     def read(br: BitReader, size_limit: int) -> "Tree":

@@ -56,6 +56,7 @@ def get_lib():
         lib.jxl_decode_tree.restype = ctypes.c_int
         lib.jxl_read_permutations.restype = ctypes.c_int
         lib.jxl_gradient_reconstruct.restype = None
+        lib.jxl_apply_lehmer.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -459,7 +460,13 @@ def decode_modular_native(
     from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError
 
     ent = pack_entropy(tree.histograms)
-    tree_arr = pack_tree(tree)
+    tree_arr = getattr(tree, "_native_packed", None)
+    if tree_arr is None:
+        tree_arr = pack_tree(tree)
+        try:
+            tree._native_packed = tree_arr
+        except AttributeError:
+            pass
     wp = header.wp_header
     wp_params = np.array(
         [wp.p1c, wp.p2c, wp.p3ca, wp.p3cb, wp.p3cc, wp.p3cd, wp.p3ce,
@@ -469,7 +476,8 @@ def decode_modular_native(
 
     # scratch contiguous buffer holding all channels
     total = sum(b.data.shape[0] * b.data.shape[1] for b in buffers)
-    out = np.zeros(max(total, 1), dtype=np.int32)
+    # every live channel element is written by the decode loops
+    out = np.empty(max(total, 1), dtype=np.int32)
     chan_info = np.zeros((len(buffers), 6), dtype=np.int64)
     off = 0
     for i, b in enumerate(buffers):
@@ -481,19 +489,29 @@ def decode_modular_native(
     data = br.data if isinstance(br.data, bytes) else bytes(br.data)
     bit_pos = ctypes.c_uint64(br.pos)
     num_decoded = ctypes.c_int64(0)
+    # the per-histograms / per-tree ctypes argument tuples are constant
+    # across the hundreds of substreams sharing one bundle — memoize them
+    # (animations spend real time in this marshaling otherwise)
+    margs = ent.get("_modular_args")
+    if margs is None:
+        margs = (
+            ctypes.c_int(ent["use_prefix"]),
+            _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
+            ctypes.c_int(ent["log_bucket"]),
+            _ptr(ent["huff_offsets"], ctypes.c_int32),
+            _ptr(ent["huff_bits"], ctypes.c_int32),
+            _ptr(ent["huff_values"], ctypes.c_int32),
+            _ptr(ent["context_map"], ctypes.c_uint8), ctypes.c_int(len(ent["context_map"])),
+            _ptr(ent["uint_configs"], ctypes.c_int32),
+            ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
+            ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
+            ctypes.c_int(ent["lz_dist_cluster"]),
+        )
+        ent["_modular_args"] = margs
     ret = lib.jxl_decode_modular(
         data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
-        ctypes.c_int(ent["use_prefix"]),
-        _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
-        ctypes.c_int(ent["log_bucket"]),
-        _ptr(ent["huff_offsets"], ctypes.c_int32),
-        _ptr(ent["huff_bits"], ctypes.c_int32),
-        _ptr(ent["huff_values"], ctypes.c_int32),
-        _ptr(ent["context_map"], ctypes.c_uint8), ctypes.c_int(len(ent["context_map"])),
-        _ptr(ent["uint_configs"], ctypes.c_int32),
-        ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
-        ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
-        ctypes.c_int(ent["lz_dist_cluster"]), ctypes.c_uint32(image_width if ent["lz77"] else 0),
+        *margs,
+        ctypes.c_uint32(image_width if ent["lz77"] else 0),
         _ptr(tree_arr, ctypes.c_int32), ctypes.c_int(len(tree_arr)),
         ctypes.c_int(tree.num_properties),
         _ptr(wp_params, ctypes.c_int32),
@@ -540,3 +558,26 @@ def gradient_reconstruct(arr: np.ndarray) -> None:
         ctypes.c_int64(h), ctypes.c_int64(w),
         ctypes.c_int64(arr.strides[0] // 4),
     )
+
+
+def apply_lehmer(code, n: int):
+    """Order-statistics application of a Lehmer code: returns the int32
+    index array `idx` with out[i] = base[idx[i]] (the i-th smallest
+    still-unused position), or None when the native lib is unavailable.
+    Raises InvalidPermutation on invalid code values."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import InvalidPermutation
+
+    code_arr = np.asarray(code, dtype=np.uint32)
+    out = np.empty(n, dtype=np.int32)
+    ret = lib.jxl_apply_lehmer(
+        _ptr(code_arr, ctypes.c_uint32),
+        ctypes.c_int64(len(code_arr)),
+        ctypes.c_int64(n),
+        _ptr(out, ctypes.c_int32),
+    )
+    if ret != 0:
+        raise InvalidPermutation("invalid Lehmer code value")
+    return out

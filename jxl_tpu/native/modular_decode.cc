@@ -449,6 +449,40 @@ int jxl_read_unsigned_run(
   return 0;
 }
 
+// Apply a Lehmer code: out_idx[i] = index of the (code[i]+1)-th smallest
+// still-unused element (order-statistics Fenwick tree, ref
+// headers/permutation.rs). Returns 0, or 1 on an invalid code value.
+int jxl_apply_lehmer(const uint32_t* code, int64_t code_len, int64_t n,
+                     int32_t* out_idx) {
+  if (n <= 0) return 1;
+  int64_t padded = 1;
+  while (padded < n) padded <<= 1;
+  std::vector<int32_t> tree(padded);
+  for (int64_t i = 0; i < padded; i++) tree[i] = (int32_t)((i + 1) & -(i + 1));
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t code_i = i < code_len ? code[i] : 0;
+    if ((int64_t)code_i > n - i - 1) return 1;
+    int64_t rank = (int64_t)code_i + 1;
+    int64_t bit = padded;
+    int64_t nxt = 0;
+    while (bit) {
+      int64_t cand = nxt + bit;
+      bit >>= 1;
+      if (cand <= padded && tree[cand - 1] < rank) {
+        nxt = cand;
+        rank -= tree[cand - 1];
+      }
+    }
+    out_idx[i] = (int32_t)nxt;
+    nxt += 1;
+    while (nxt <= padded) {
+      tree[nxt - 1] -= 1;
+      nxt += nxt & -nxt;
+    }
+  }
+  return 0;
+}
+
 // In-place clamped-gradient reconstruction from raw signed residuals
 // (the host fallback for the device wavefront reconstruction; identical
 // math to the gradient-only decode loop below).

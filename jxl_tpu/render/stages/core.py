@@ -95,14 +95,24 @@ def _epf_generic(xp, planes, inv_sigma_px, sad_mul, neighbors, sad_pattern, chan
         return p[border + dy : border + dy + h, border + dx : border + dx + w]
 
     inv_sigma = inv_sigma_px * sad_mul
+    # SAD(n) over a shifted pattern reuses one |I - shift(I, n)| plane per
+    # neighbor: the pattern points are shifted views of the same diff
+    # (5x fewer abs-diffs than the naive (neighbor, pattern) double loop)
+    r = max(max(abs(py), abs(px)) for (py, px) in sad_pattern)
     sads = []
     for (ny, nx) in neighbors:
         sad = None
         for c, p in enumerate(padded):
             cs = np.float32(channel_scale[c])
+            a = p[border - r : border + r + h, border - r : border + r + w]
+            b = p[
+                border - r + ny : border + r + ny + h,
+                border - r + nx : border + r + nx + w,
+            ]
+            diff = xp.abs(a - b)
             s = None
             for (py, px) in sad_pattern:
-                d = xp.abs(at(p, py, px) - at(p, ny + py, nx + px))
+                d = diff[r + py : r + py + h, r + px : r + px + w]
                 s = d if s is None else s + d
             term = s * cs
             sad = term if sad is None else sad + term
