@@ -510,6 +510,20 @@ class Frame:
             dl_ctx.flush()
         self.lf_global.modular_global.run_transforms()
 
+    def _maybe_enable_host_wholeframe(self) -> None:
+        """When the device render is not engaged, large multi-group VarDCT
+        frames defer per-group IDCT and render the whole frame in one
+        host pass (render_vardct_frame_host): per-group numpy glue and
+        small einsum batches amortize frame-wide."""
+        if getattr(self, "_device_vardct", False) or not self.render_after_decode:
+            return
+        if self.header.encoding != Encoding.VARDCT:
+            return
+        if self.header.num_groups < 2:
+            return
+        self.render_after_decode = False
+        self._host_wholeframe = True
+
     def _decode_all_sections_inner(self, br: BitReader) -> None:
         header = self.header
         if header.num_toc_entries == 1:
@@ -520,6 +534,7 @@ class Frame:
             self.decode_hf_global(sec)
             self.finalize_lf()
             self._maybe_enable_device_render()
+            self._maybe_enable_host_wholeframe()
             for g in range(header.num_groups):
                 self.decode_hf_group(
                     g, [(p, sec) for p in range(header.passes.num_passes)]
@@ -532,6 +547,7 @@ class Frame:
             self.decode_hf_global(sections[self.section_index("hf_global")])
             self.finalize_lf()
             self._maybe_enable_device_render()
+            self._maybe_enable_host_wholeframe()
             if not self._try_device_ac(sections):
                 jobs = [
                     (
@@ -545,6 +561,11 @@ class Frame:
                 ]
                 self._decode_hf_groups_parallel(jobs)
         self._finish_device_render()
+        if getattr(self, "_host_wholeframe", False):
+            from ..vardct.group import render_vardct_frame_host
+
+            render_vardct_frame_host(self)
+            self._host_wholeframe = False
 
     def _decode_hf_groups_parallel(self, jobs) -> None:
         """Fan HF-group section decoding out over a host thread pool (the

@@ -349,6 +349,45 @@ def _decode_pass_oracle(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx):
     reader.check_final_state(histograms, br)
 
 
+def render_vardct_frame_host(frame) -> None:
+    """Whole-frame host render: dequant + CfL + IDCT bucketed by
+    transform type across ALL groups in one pass (the numpy twin of
+    vardct/device_frame.py). Per-group glue and small einsum batches
+    amortize frame-wide — ~15% of host photo decode vs the per-group
+    loop. Consumes frame.hf_global.hf_coefficients (groups decoded with
+    render_after_decode=False)."""
+    import types
+
+    header = frame.header
+    hfc = frame.hf_global.hf_coefficients
+    ensure_pixel_buffers(frame)
+    groups = sorted(hfc)
+    stride = GROUP_DIM * GROUP_DIM
+    bxs, bys, tids, offs = [], [], [], []
+    for slot, g in enumerate(groups):
+        bl = _BlockList(frame, g)
+        (gx0, gy0) = bl.origin
+        bxs.append(bl.bxs + np.int32(gx0))
+        bys.append(bl.bys + np.int32(gy0))
+        tids.append(bl.tids)
+        offs.append(bl.offs + np.int32(slot * stride))
+    if not bxs:
+        return
+    union = types.SimpleNamespace(
+        origin=(0, 0),
+        hshift=[header.hshift(c) for c in range(3)],
+        vshift=[header.vshift(c) for c in range(3)],
+        bxs=np.concatenate(bxs),
+        bys=np.concatenate(bys),
+        tids=np.concatenate(tids),
+        offs=np.concatenate(offs),
+    )
+    coeffs = np.concatenate([hfc[g] for g in groups], axis=1)
+    _render_group(frame, None, union, coeffs)
+    if header.passes.num_passes == 1:
+        hfc.clear()
+
+
 def _render_group(frame, group, bl, coeffs):
     """Numeric part: dequant + CfL + IDCT, batched per transform type.
 
@@ -409,7 +448,7 @@ def _render_group(frame, group, bl, coeffs):
         with np.errstate(divide="ignore", invalid="ignore"):
             adj = np.where(qb == 0, 0.0, q - quant_biases[3] / q)
         adj = np.where(np.abs(qb) < 2, q * quant_biases[None, :3, None], adj).astype(np.float32)
-        mats = np.stack([dqm.matrix(tid, c)[:num_coeffs] for c in range(3)])  # (3, nc)
+        mats = dqm.matrix3(tid, num_coeffs)  # (3, nc), memoized
         scales = np.stack([scaled_y * x_dm, scaled_y, scaled_y * b_dm], axis=1)  # (N,3)
         dq = adj * mats[None] * scales[:, :, None]
         dq[:, 0] += x_cc[:, None] * dq[:, 1]

@@ -378,6 +378,21 @@ class DequantMatrices:
         idx = _TABLE_FOR_TYPE[T(hf_type)]
         return self.tables[idx][c]
 
+    def matrix3(self, hf_type: int, num_coeffs: int) -> np.ndarray:
+        """(3, num_coeffs) channel stack, memoized per transform type
+        (the per-group render loop asks for it once per tid per group)."""
+        cache = getattr(self, "_m3", None)
+        if cache is None:
+            cache = self._m3 = {}
+        key = (hf_type, num_coeffs)
+        m = cache.get(key)
+        if m is None:
+            m = np.stack(
+                [self.matrix(hf_type, c)[:num_coeffs] for c in range(3)]
+            )
+            cache[key] = m
+        return m
+
     @staticmethod
     def decode(frame, br: BitReader) -> "DequantMatrices":
         """ref quant_weights.rs:1090-1128 + QuantEncoding::decode."""
