@@ -25,8 +25,16 @@ def idct2d_batch(xp, coeffs, rows: int, cols: int):
     else:
         t = coeffs.reshape(n, cols, rows)
     a1 = xp.asarray(idct_matrix(t.shape[1]))
+    a2 = xp.asarray(idct_matrix(t.shape[2]))
+    if xp is np:
+        # numpy's c_einsum never touches BLAS; reshape the separable IDCT
+        # into two whole-batch sgemms instead (~7x on 16k 8x8 blocks)
+        d1, d2 = t.shape[1], t.shape[2]
+        s1 = (a1 @ np.ascontiguousarray(t.transpose(1, 0, 2)).reshape(d1, n * d2))
+        s1 = s1.reshape(d1, n, d2).transpose(1, 0, 2)  # (n, y, x)
+        s2 = (a2 @ np.ascontiguousarray(s1.transpose(2, 0, 1)).reshape(d2, n * d1))
+        return s2.reshape(d2, n, d1).transpose(1, 0, 2)
     step1 = xp.einsum("yu,nux->nyx", a1, t)
-    a2 = xp.asarray(idct_matrix(step1.shape[2]))
     return xp.einsum("yu,nxu->nyx", a2, step1)
 
 
@@ -75,12 +83,52 @@ def _idct2_top_block_batch(xp, s, block):
     return out
 
 
+_LINMAT_CACHE: dict = {}
+_LINMAT_MAX_PIXELS = 1024  # dense path for transforms up to 32x32
+
+
 def transform_to_pixels_batch(xp, t: int, lf, coeffs):
     """Batched inverse transform for one type.
 
     lf: (N, cy, cx) f32; coeffs: (N, num_coeffs) f32 (dequantized).
     Returns (N, rows, cols) pixels.
+
+    Host fast path: every inverse transform here is LINEAR in
+    (coeffs, lf), so for block sizes up to 32x32 the whole transform
+    collapses to one dense map `pixels = coeffs @ A + lf @ B`. A and B
+    are built once per type by pushing basis vectors through the generic
+    implementation below (so DC-replacement/layout are exactly the
+    oracle's), and each bucket then runs as a single BLAS sgemm — ~20x
+    the einsum formulation for 8x8 blocks.
     """
+    rows, cols = pixel_shape(t)
+    if xp is np and rows * cols <= _LINMAT_MAX_PIXELS and coeffs.shape[0] > 2:
+        n = coeffs.shape[0]
+        key = (int(t), coeffs.shape[1], lf.shape[1], lf.shape[2])
+        AB = _LINMAT_CACHE.get(key)
+        if AB is None:
+            nc = coeffs.shape[1]
+            nl = lf.shape[1] * lf.shape[2]
+            A = _transform_to_pixels_impl(
+                np, t,
+                np.zeros((nc, lf.shape[1], lf.shape[2]), np.float32),
+                np.eye(nc, dtype=np.float32),
+            ).reshape(nc, rows * cols)
+            B = _transform_to_pixels_impl(
+                np, t,
+                np.eye(nl, dtype=np.float32).reshape(nl, lf.shape[1], lf.shape[2]),
+                np.zeros((nl, nc), np.float32),
+            ).reshape(nl, rows * cols)
+            AB = (np.ascontiguousarray(A), np.ascontiguousarray(B))
+            _LINMAT_CACHE[key] = AB
+        A, B = AB
+        out = coeffs.astype(np.float32, copy=False) @ A
+        out += lf.reshape(n, -1).astype(np.float32, copy=False) @ B
+        return out.reshape(n, rows, cols)
+    return _transform_to_pixels_impl(xp, t, lf, coeffs)
+
+
+def _transform_to_pixels_impl(xp, t: int, lf, coeffs):
     n = coeffs.shape[0]
     rows, cols = pixel_shape(t)
 
