@@ -22,15 +22,18 @@ _lib = None
 _disabled = os.environ.get("JXL_TPU_NO_NATIVE", "") == "1"
 
 
+_SRC_FILTERS = _DIR / "filters.cc"
+
+
 def _build() -> pathlib.Path | None:
-    src = _SRC.read_bytes()
+    src = _SRC.read_bytes() + _SRC_FILTERS.read_bytes()
     tag = hashlib.sha256(src).hexdigest()[:16]
     out = _DIR / f"_modular_decode_{tag}.so"
     if out.exists():
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(out),
+        str(_SRC), str(_SRC_FILTERS), "-o", str(out),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -57,6 +60,7 @@ def get_lib():
         lib.jxl_read_permutations.restype = ctypes.c_int
         lib.jxl_gradient_reconstruct.restype = None
         lib.jxl_apply_lehmer.restype = ctypes.c_int
+        lib.jxl_filter_chain.restype = None
         _lib = lib
     return _lib
 
@@ -581,3 +585,43 @@ def apply_lehmer(code, n: int):
     if ret != 0:
         raise InvalidPermutation("invalid Lehmer code value")
     return out
+
+
+def filter_chain_native(planes, inv_sigma_px, gab_weights, epf_iters, rf):
+    """Native gaborish + EPF chain over 3 whole-frame planes (in place).
+
+    planes: list of 3 contiguous (h, w) f32 arrays; inv_sigma_px: (h, w)
+    stored 1/sigma (or None when epf_iters == 0); gab_weights: flat
+    [w1_c0, w2_c0, ...] or None. Returns the filtered planes, or None if
+    the native lib is unavailable (caller falls back to numpy).
+    Semantics: render/stages/core.py gaborish + epf_step_px at pos (0,0).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = planes[0].shape
+    if h < 8 or w < 8:
+        return None  # mirror excursions need n >= border; numpy handles tiny frames
+    ps = [np.ascontiguousarray(p, dtype=np.float32) for p in planes]
+    if inv_sigma_px is not None:
+        sig = np.ascontiguousarray(inv_sigma_px, dtype=np.float32)
+        sigp = _ptr(sig, ctypes.c_float)
+    else:
+        sigp = None
+    if gab_weights is not None:
+        gw = np.asarray(gab_weights, dtype=np.float32).reshape(6)
+        gwp = _ptr(gw, ctypes.c_float)
+    else:
+        gwp = None
+    cs = np.asarray(rf.epf_channel_scale, dtype=np.float32)
+    lib.jxl_filter_chain(
+        _ptr(ps[0], ctypes.c_float), _ptr(ps[1], ctypes.c_float),
+        _ptr(ps[2], ctypes.c_float),
+        ctypes.c_int(h), ctypes.c_int(w),
+        sigp, gwp, ctypes.c_int(int(epf_iters)),
+        _ptr(cs, ctypes.c_float),
+        ctypes.c_float(float(rf.epf_pass0_sigma_scale)),
+        ctypes.c_float(float(rf.epf_pass2_sigma_scale)),
+        ctypes.c_float(float(rf.epf_border_sad_mul)),
+    )
+    return ps

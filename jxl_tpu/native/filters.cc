@@ -1,0 +1,215 @@
+// Native host restoration filters: gaborish + EPF steps 0/1/2.
+//
+// Same math as the numpy/jax implementation in render/stages/core.py
+// (the array-module-generic oracle, capability ref jxl/src/render/stages/
+// {gaborish,epf/*}.rs) formulated as single-pass row loops: the numpy
+// version materializes dozens of whole-plane temporaries per EPF step
+// (one |I - shift(I)| plane per (neighbor, channel) plus shifted-view
+// sums), which is memory-bandwidth-bound; here each output row touches
+// only the padded input rows it needs and g++ vectorizes the fused
+// abs-diff accumulation.
+//
+// Whole-frame semantics (pos = (0,0)):
+//   sad_mul(y,x)  = border_sad_mul*sm on 8x8-block borders else sm
+//   SAD_n(y,x)    = sum_c cs[c] * sum_p |P_c(y+p) - P_c(y+n+p)|
+//   w_n           = max(SAD_n * inv_sigma_px*sad_mul + 1, 0)
+//   out_c         = (P_c + sum w_n P_c(+n)) / (1 + sum w_n)
+//   passthrough where inv_sigma_px < MIN_SIGMA.
+// Borders mirror at the visible frame edge with edge duplication
+// (numpy pad mode "symmetric", ref util/mirror.rs).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+#include <vector>
+
+namespace {
+
+constexpr float kMinSigma = -3.90524291751269967465540850526868f;
+
+struct Off { int dy, dx; };
+
+constexpr Off kPlus5[5] = {{0, 0}, {-1, 0}, {1, 0}, {0, -1}, {0, 1}};
+constexpr Off kEpf0Neigh[12] = {{-2, 0}, {-1, -1}, {-1, 0}, {-1, 1}, {0, -2},
+                                {0, -1}, {0, 1},  {0, 2},  {1, -1}, {1, 0},
+                                {1, 1},  {2, 0}};
+constexpr Off kEpf1Neigh[4] = {{-1, 0}, {0, -1}, {0, 1}, {1, 0}};
+
+inline int mirror_idx(int i, int n) {
+  // symmetric (edge-duplicating) mirror for |i| excursions < n
+  if (i < 0) return -i - 1;
+  if (i >= n) return 2 * n - 1 - i;
+  return i;
+}
+
+// Copy plane into a (h+2B)x(w+2B) padded buffer with mirrored borders.
+void pad_mirror(const float* src, float* dst, int h, int w, int B) {
+  const int W = w + 2 * B;
+  for (int y = -B; y < h + B; ++y) {
+    const float* srow = src + (size_t)mirror_idx(y, h) * w;
+    float* drow = dst + (size_t)(y + B) * W + B;
+    std::memcpy(drow, srow, sizeof(float) * w);
+    for (int x = 1; x <= B; ++x) {
+      drow[-x] = srow[mirror_idx(-x, w)];
+      drow[w - 1 + x] = srow[mirror_idx(w - 1 + x, w)];
+    }
+  }
+}
+
+void refresh_borders(float* buf, int h, int w, int B) {
+  const int W = w + 2 * B;
+  // rows first (copy from interior rows), then columns over full width
+  for (int x = 1; x <= B; ++x) {
+    for (int y = 0; y < h; ++y) {
+      float* row = buf + (size_t)(y + B) * W + B;
+      row[-x] = row[mirror_idx(-x, w)];
+      row[w - 1 + x] = row[mirror_idx(w - 1 + x, w)];
+    }
+  }
+  for (int y = 1; y <= B; ++y) {
+    std::memcpy(buf + (size_t)(B - y) * W,
+                buf + (size_t)(B + mirror_idx(-y, h)) * W, sizeof(float) * W);
+    std::memcpy(buf + (size_t)(B + h - 1 + y) * W,
+                buf + (size_t)(B + mirror_idx(h - 1 + y, h)) * W,
+                sizeof(float) * W);
+  }
+}
+
+// in/out are B-padded buffers; writes the h*w interior of out.
+void gaborish_plane(const float* in, float* out, int h, int w, int B,
+                    float w1, float w2) {
+  const int W = w + 2 * B;
+  const float total = 1.0f + w1 * 4.0f + w2 * 4.0f;
+  const float g0 = 1.0f / total, g1 = w1 / total, g2 = w2 / total;
+  for (int y = 0; y < h; ++y) {
+    const float* r0 = in + (size_t)(y + B) * W + B;
+    const float* rm = r0 - W;
+    const float* rp = r0 + W;
+    float* o = out + (size_t)(y + B) * W + B;
+    for (int x = 0; x < w; ++x) {
+      const float c = r0[x];
+      const float side = rm[x] + rp[x] + r0[x - 1] + r0[x + 1];
+      const float corner = rm[x - 1] + rm[x + 1] + rp[x - 1] + rp[x + 1];
+      o[x] = c * g0 + side * g1 + corner * g2;
+    }
+  }
+}
+
+template <int NN, int NP>
+void epf_step_t(const float* const in[3], float* const out[3], int h, int w,
+                int B, const float* inv_sigma, const Off (&neigh)[NN],
+                const Off (&pat)[NP], const float cs[3], float sm, float bsm) {
+  const int W = w + 2 * B;
+  std::vector<float> sadbuf((size_t)NN * w);
+  for (int y = 0; y < h; ++y) {
+    float* sad = sadbuf.data();
+    std::memset(sad, 0, sizeof(float) * (size_t)NN * w);
+    for (int n = 0; n < NN; ++n) {
+      float* srow = sad + (size_t)n * w;
+      for (int c = 0; c < 3; ++c) {
+        const float s = cs[c];
+        const float* base = in[c] + (size_t)(y + B) * W + B;
+        for (int p = 0; p < NP; ++p) {
+          const float* a = base + (std::ptrdiff_t)pat[p].dy * W + pat[p].dx;
+          const float* b = a + (std::ptrdiff_t)neigh[n].dy * W + neigh[n].dx;
+          for (int x = 0; x < w; ++x) srow[x] += s * std::fabs(a[x] - b[x]);
+        }
+      }
+    }
+    const float* isg = inv_sigma + (size_t)y * w;
+    const int ybord = ((y & 7) == 0 || (y & 7) == 7) ? 1 : 0;
+    for (int x = 0; x < w; ++x) {
+      const int xbord = ((x & 7) == 0 || (x & 7) == 7) ? 1 : 0;
+      const float mul = (ybord | xbord) ? bsm : sm;
+      const float is = isg[x] * mul;
+      float wsum = 1.0f;
+      float wn[NN];
+      for (int n = 0; n < NN; ++n) {
+        float v = sad[(size_t)n * w + x] * is + 1.0f;
+        wn[n] = v > 0.0f ? v : 0.0f;
+        wsum += wn[n];
+      }
+      const float inv = 1.0f / wsum;
+      const bool pass = isg[x] < kMinSigma;
+      for (int c = 0; c < 3; ++c) {
+        const float* base = in[c] + (size_t)(y + B) * W + B + x;
+        float acc = base[0];
+        for (int n = 0; n < NN; ++n)
+          acc += wn[n] * base[(std::ptrdiff_t)neigh[n].dy * W + neigh[n].dx];
+        out[c][(size_t)(y + B) * W + B + x] = pass ? base[0] : acc * inv;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// planes: 3 pointers to h*w f32, filtered in place.
+// inv_sigma_px: h*w stored 1/sigma (negative), or nullptr when epf_iters==0.
+// gab_weights: 6 floats (w1,w2 per channel), or nullptr to skip gaborish.
+// Applies: gaborish, then EPF steps in the reference order
+// (step0 iff iters>=3, step1 iff iters>=1, step2 iff iters>=2).
+void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
+                      int w, const float* inv_sigma_px,
+                      const float* gab_weights, int epf_iters,
+                      const float* channel_scale, float pass0_sigma_scale,
+                      float pass2_sigma_scale, float border_sad_mul) {
+  const int B = 3;  // max border of any step; shared padded layout
+  const int W = w + 2 * B;
+  const size_t psz = (size_t)(h + 2 * B) * W;
+  std::vector<float> bufa(3 * psz), bufb(3 * psz);
+  float* pa[3] = {bufa.data(), bufa.data() + psz, bufa.data() + 2 * psz};
+  float* pb[3] = {bufb.data(), bufb.data() + psz, bufb.data() + 2 * psz};
+  float* planes[3] = {plane0, plane1, plane2};
+  for (int c = 0; c < 3; ++c) pad_mirror(planes[c], pa[c], h, w, B);
+
+  if (gab_weights) {
+    for (int c = 0; c < 3; ++c) {
+      gaborish_plane(pa[c], pb[c], h, w, B, gab_weights[2 * c],
+                     gab_weights[2 * c + 1]);
+      std::swap(pa[c], pb[c]);
+      refresh_borders(pa[c], h, w, B);
+    }
+  }
+
+  float cs[3] = {1.0f, 1.0f, 1.0f};
+  if (channel_scale)
+    for (int c = 0; c < 3; ++c) cs[c] = channel_scale[c];
+  const float* cpa[3];
+  float* cpb[3];
+  auto run_step = [&](int step) {
+    for (int c = 0; c < 3; ++c) {
+      cpa[c] = pa[c];
+      cpb[c] = pb[c];
+    }
+    if (step == 0) {
+      epf_step_t<12, 5>(cpa, cpb, h, w, B, inv_sigma_px, kEpf0Neigh, kPlus5,
+                        cs, pass0_sigma_scale * 1.65f,
+                        pass0_sigma_scale * 1.65f * border_sad_mul);
+    } else if (step == 1) {
+      epf_step_t<4, 5>(cpa, cpb, h, w, B, inv_sigma_px, kEpf1Neigh, kPlus5, cs,
+                       1.65f, 1.65f * border_sad_mul);
+    } else {
+      constexpr Off kSelf[1] = {{0, 0}};
+      epf_step_t<4, 1>(cpa, cpb, h, w, B, inv_sigma_px, kEpf1Neigh, kSelf, cs,
+                       pass2_sigma_scale * 1.65f,
+                       pass2_sigma_scale * 1.65f * border_sad_mul);
+    }
+    for (int c = 0; c < 3; ++c) std::swap(pa[c], pb[c]);
+    for (int c = 0; c < 3; ++c) refresh_borders(pa[c], h, w, B);
+  };
+  if (inv_sigma_px && epf_iters >= 3) run_step(0);
+  if (inv_sigma_px && epf_iters >= 1) run_step(1);
+  if (inv_sigma_px && epf_iters >= 2) run_step(2);
+
+  for (int c = 0; c < 3; ++c) {
+    for (int y = 0; y < h; ++y)
+      std::memcpy(planes[c] + (size_t)y * w,
+                  pa[c] + (size_t)(y + B) * W + B, sizeof(float) * w);
+  }
+}
+
+}  // extern "C"

@@ -45,13 +45,87 @@ class Stage:
     channels: tuple = (0, 1, 2)
     device_ok: bool = True
     key: tuple = ()
+    # host fast-path tag: ("gab", weights6) or ("epf", step, rf, use_ctx,
+    # sig_const); contiguous tagged stages fuse into one native C++ call
+    native: tuple | None = None
 
 
 def run_stages(xp, stages, chans, ctx=None):
-    """Execute stages in order (whole-image; the oracle executor)."""
-    for s in stages:
-        chans = s.fn(xp, chans, ctx)
+    """Execute stages in order (whole-image; the oracle executor).
+
+    Host path: contiguous gaborish/EPF stages collapse into one call to
+    the native filter chain (native/filters.cc) — single-pass row loops
+    instead of numpy's whole-plane temporaries."""
+    i = 0
+    n = len(stages)
+    while i < n:
+        s = stages[i]
+        if xp is not np or s.native is None:
+            chans = s.fn(xp, chans, ctx)
+            i += 1
+            continue
+        j = i
+        gabw = None
+        rf = None
+        sig_info = None
+        steps = []
+        while j < n and stages[j].native is not None:
+            tag = stages[j].native
+            if tag[0] == "gab":
+                if gabw is not None or rf is not None:
+                    break
+                gabw = tag[1]
+            else:
+                steps.append(tag[1])
+                rf = tag[2]
+                sig_info = (tag[3], tag[4])
+            j += 1
+        # the chain entry expresses step sets via the iters convention
+        # (>=3 -> step0, >=1 -> step1, >=2 -> step2); other subsets fall back
+        iters = {(): 0, (1,): 1, (1, 2): 2, (0, 1, 2): 3}.get(tuple(steps))
+        fused = (
+            _run_filters_native(chans, ctx, gabw, rf, sig_info, iters)
+            if iters is not None
+            else None
+        )
+        if fused is None:
+            chans = s.fn(xp, chans, ctx)
+            i += 1
+        else:
+            chans = fused
+            i = j
     return chans
+
+
+def _run_filters_native(chans, ctx, gabw, rf, sig_info, epf_iters):
+    """One native call for a gaborish+EPF stage run; None to fall back."""
+    from ..native import filter_chain_native
+    from .stages import core as st
+
+    h, w = chans[0].shape
+    inv_sigma = None
+    if rf is not None:
+        use_ctx, sig_const = sig_info
+        if use_ctx:
+            inv_sigma = st._expand_sigma(
+                np, np.asarray(ctx["sigma_block"]), h, w, (0, 0)
+            )
+        else:
+            inv_sigma = np.full((h, w), np.float32(sig_const))
+    out = filter_chain_native(chans[:3], inv_sigma, gabw, epf_iters, rf or _GAB_RF)
+    if out is None:
+        return None
+    return out + list(chans[3:])
+
+
+class _GabOnlyRf:
+    epf_channel_scale = (40.0, 5.0, 3.5)
+    epf_pass0_sigma_scale = 0.9
+    epf_pass2_sigma_scale = 6.5
+    epf_border_sad_mul = 2.0 / 3.0
+
+
+_GAB_RF = _GabOnlyRf()
 
 
 def pipeline_key(stages) -> tuple:
@@ -141,7 +215,8 @@ def gaborish_stage(rf) -> Stage:
             out[c] = st.gaborish(xp, out[c], w[c][0], w[c][1])
         return out
 
-    return Stage("gaborish", fn, border=(1, 1), key=w)
+    gw = (w[0][0], w[0][1], w[1][0], w[1][1], w[2][0], w[2][1])
+    return Stage("gaborish", fn, border=(1, 1), key=w, native=("gab", gw))
 
 
 def epf_stage(rf, step: int, sigma_block, constant_sigma) -> Stage:
@@ -176,6 +251,7 @@ def epf_stage(rf, step: int, sigma_block, constant_sigma) -> Stage:
         fn,
         border=(border, border),
         key=(step, rf_key, sig_const),
+        native=("epf", step, rf, use_ctx_sigma, sig_const),
     )
 
 
