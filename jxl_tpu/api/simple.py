@@ -229,15 +229,22 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     None to fall back to the per-frame loop."""
     import os
 
-    # Off by default on this hardware: through the tunnel, the batched
-    # program's upload+readback exceeds the host numpy render for small
-    # animation frames (measured 848 vs 738 ms on animation_icos4d; see
-    # BASELINE.md transfer economics). On directly-attached TPUs the
-    # single-dispatch path is the right default.
-    if os.environ.get("JXL_TPU_BATCH_ANIM", "0") == "0":
+    # JXL_TPU_BATCH_ANIM: "0" (default) = cross-frame HOST render —
+    # transform buckets amortize across all frames, filters run through
+    # the native chain; "1" = the one-program DEVICE render (right on
+    # directly-attached TPUs; through the tunnel its upload+readback
+    # exceeds the host render for small animation frames, measured 848 vs
+    # 738 ms on animation_icos4d — BASELINE.md transfer economics);
+    # "off" = the plain per-frame loop.
+    mode = os.environ.get("JXL_TPU_BATCH_ANIM", "0")
+    if mode == "off":
         return None
     from ..io.headers.frame import FrameHeader, Toc
-    from ..render.batch_anim import batchable, render_frames_batched
+    from ..render.batch_anim import (
+        batchable,
+        render_frames_batched,
+        render_frames_batched_host,
+    )
 
     meta = fh.image_metadata
     # quick header-only scan
@@ -278,7 +285,10 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
             if not frame.hf_global or not frame.hf_global.hf_coefficients:
                 return None
             frames.append(frame)
-        rendered = render_frames_batched(frames, fmt)
+        if mode == "1":
+            rendered = render_frames_batched(frames, fmt)
+        else:
+            rendered = render_frames_batched_host(frames, fmt)
     except (NotSupported, NotImplementedError):
         return None
 

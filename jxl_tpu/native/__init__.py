@@ -61,6 +61,7 @@ def get_lib():
         lib.jxl_gradient_reconstruct.restype = None
         lib.jxl_apply_lehmer.restype = ctypes.c_int
         lib.jxl_filter_chain.restype = None
+        lib.jxl_dequant_cfl.restype = None
         _lib = lib
     return _lib
 
@@ -72,6 +73,16 @@ def available() -> bool:
 def _ptr(arr, typ):
     return arr.ctypes.data_as(ctypes.POINTER(typ))
 
+
+
+def _databuf(br):
+    """Zero-copy ctypes view of the reader's backing buffer (bytes pass
+    through; bytearray wraps via from_buffer — copying the whole stream
+    per native call made streaming decodes O(N * sections))."""
+    d = br.data
+    if isinstance(d, bytes):
+        return d
+    return (ctypes.c_char * len(d)).from_buffer(d)
 
 def pack_entropy(histograms):
     """Pack a Histograms bundle into flat arrays for the native decoder.
@@ -237,7 +248,7 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     singles = np.zeros(max_clusters, dtype=np.int32)
     huff_off = np.zeros(max_clusters, dtype=np.int32)
     huff_cap = 1 << 14
-    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    data = _databuf(br)
     while True:
         huff_bits = np.zeros(huff_cap, dtype=np.int32)
         huff_vals = np.zeros(huff_cap, dtype=np.int32)
@@ -340,7 +351,7 @@ def decode_tree_native(histograms, br, size_limit: int):
     from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError, OutOfBounds
 
     ent = pack_entropy(histograms)
-    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    data = _databuf(br)
     cap = 1 << 12
     while True:
         nodes = np.zeros((cap, 8), dtype=np.int32)
@@ -374,7 +385,7 @@ def read_permutations_native(histograms, br, sizes, skips, check_final: bool):
     from ..errors import InvalidBitstream, InvalidPermutation, NativeDecodeError, OutOfBounds
 
     ent = pack_entropy(histograms)
-    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    data = _databuf(br)
     sz = np.asarray(sizes, dtype=np.uint32)
     sk = np.asarray(skips, dtype=np.uint32)
     cap = max(int(sz.sum()), 1)
@@ -416,7 +427,7 @@ def read_unsigned_run(histograms, br, ctx: int, count: int,
 
     ent = pack_entropy(histograms)
     out = np.zeros(max(count, 1), dtype=np.uint32)
-    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    data = _databuf(br)
     bit_pos = ctypes.c_uint64(br.pos)
     ret = lib.jxl_read_unsigned_run(
         data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
@@ -472,11 +483,17 @@ def decode_modular_native(
         except AttributeError:
             pass
     wp = header.wp_header
-    wp_params = np.array(
-        [wp.p1c, wp.p2c, wp.p3ca, wp.p3cb, wp.p3cc, wp.p3cd, wp.p3ce,
-         wp.w0, wp.w1, wp.w2, wp.w3, 0],
-        dtype=np.int32,
-    )
+    wp_params = getattr(wp, "_native_params", None)
+    if wp_params is None:
+        wp_params = np.array(
+            [wp.p1c, wp.p2c, wp.p3ca, wp.p3cb, wp.p3cc, wp.p3cd, wp.p3ce,
+             wp.w0, wp.w1, wp.w2, wp.w3, 0],
+            dtype=np.int32,
+        )
+        try:
+            wp._native_params = wp_params
+        except AttributeError:
+            pass
 
     # scratch contiguous buffer holding all channels
     total = sum(b.data.shape[0] * b.data.shape[1] for b in buffers)
@@ -490,7 +507,7 @@ def decode_modular_native(
         chan_info[i] = (w, h, shift[0], shift[1], w, off)
         off += h * w
 
-    data = br.data if isinstance(br.data, bytes) else bytes(br.data)
+    data = _databuf(br)
     bit_pos = ctypes.c_uint64(br.pos)
     num_decoded = ctypes.c_int64(0)
     # the per-histograms / per-tree ctypes argument tuples are constant
@@ -625,3 +642,35 @@ def filter_chain_native(planes, inv_sigma_px, gab_weights, epf_iters, rf):
         ctypes.c_float(float(rf.epf_border_sad_mul)),
     )
     return ps
+
+
+def dequant_cfl_native(coeffs3, offs, nc, mats, scales, xcc, bcc, biases):
+    """Gather + bias-adjust + dequant + CfL in one native pass.
+
+    coeffs3: (3, total) int32 quantized coefficients; offs: (N,) start of
+    each block's coeffs; mats: (3, nc) f32; scales: (N, 3); xcc/bcc: (N,).
+    Returns (N, 3, nc) f32 dq, or None if the native lib is unavailable.
+    Semantics: the dequant block of vardct/group.py _render_group."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(offs)
+    c = coeffs3
+    if c.dtype != np.int32 or not c.flags.c_contiguous:
+        c = np.ascontiguousarray(c, dtype=np.int32)
+    offs64 = np.ascontiguousarray(offs, dtype=np.int64)
+    mats_f = mats if mats.dtype == np.float32 and mats.flags.c_contiguous else np.ascontiguousarray(mats, np.float32)
+    scl = np.ascontiguousarray(scales, dtype=np.float32)
+    xc = np.ascontiguousarray(xcc, dtype=np.float32)
+    bc = np.ascontiguousarray(bcc, dtype=np.float32)
+    bi = np.ascontiguousarray(biases, dtype=np.float32)
+    out = np.empty((n, 3, nc), dtype=np.float32)
+    lib.jxl_dequant_cfl(
+        _ptr(c[0], ctypes.c_int32), _ptr(c[1], ctypes.c_int32),
+        _ptr(c[2], ctypes.c_int32),
+        _ptr(offs64, ctypes.c_int64), ctypes.c_int64(n), ctypes.c_int(nc),
+        _ptr(mats_f, ctypes.c_float), _ptr(scl, ctypes.c_float),
+        _ptr(xc, ctypes.c_float), _ptr(bc, ctypes.c_float),
+        _ptr(bi, ctypes.c_float), _ptr(out, ctypes.c_float),
+    )
+    return out

@@ -213,3 +213,56 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Dequant + chroma-from-luma in one pass (the hot body of
+// vardct/group.py _render_group): reads quantized coefficients straight
+// from the per-channel concatenated buffers (no gathered int temporary),
+// applies the small-value bias adjustment
+//   |q| < 2 ? q * bias[c]  :  q - bias[3]/q
+// then per-block scale * dequant-matrix, then CfL (x += xcc*y,
+// b += bcc*y). out: (N, 3, nc) f32 in channel order (x, y, b) matching
+// the python caller's plane order.
+void jxl_dequant_cfl(const int32_t* c0, const int32_t* c1, const int32_t* c2,
+                     const int64_t* offs, int64_t n, int nc,
+                     const float* mats,    // (3, nc)
+                     const float* scales,  // (n, 3)
+                     const float* xcc, const float* bcc,
+                     const float* biases,  // 4
+                     float* out) {         // (n, 3, nc)
+  const float b0 = biases[0], b1 = biases[1], b2 = biases[2], b3 = biases[3];
+  const float* m0 = mats;
+  const float* m1 = mats + nc;
+  const float* m2 = mats + 2 * (size_t)nc;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t off = offs[i];
+    const float s0 = scales[i * 3 + 0];
+    const float s1 = scales[i * 3 + 1];
+    const float s2 = scales[i * 3 + 2];
+    const float xc = xcc[i], bc = bcc[i];
+    const int32_t* q0 = c0 + off;
+    const int32_t* q1 = c1 + off;
+    const int32_t* q2 = c2 + off;
+    float* o0 = out + (size_t)i * 3 * nc;
+    float* o1 = o0 + nc;
+    float* o2 = o1 + nc;
+    for (int k = 0; k < nc; ++k) {
+      const float qy = (float)q1[k];
+      const float ay =
+          (q1[k] < 2 && q1[k] > -2) ? qy * b1 : qy - b3 / qy;
+      const float y = ay * m1[k] * s1;
+      const float qx = (float)q0[k];
+      const float ax =
+          (q0[k] < 2 && q0[k] > -2) ? qx * b0 : qx - b3 / qx;
+      const float qb = (float)q2[k];
+      const float ab =
+          (q2[k] < 2 && q2[k] > -2) ? qb * b2 : qb - b3 / qb;
+      o1[k] = y;
+      o0[k] = ax * m0[k] * s0 + xc * y;
+      o2[k] = ab * m2[k] * s2 + bc * y;
+    }
+  }
+}
+
+}  // extern "C"

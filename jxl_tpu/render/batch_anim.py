@@ -361,3 +361,206 @@ def _build_program(f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format):
             return program(*args)
 
     return jax.jit(wrapped)
+
+
+def render_frames_batched_host(frames: list, out_format: str):
+    """Cross-frame bucketed HOST render: the numpy twin of the device
+    batched program above. The per-frame loop pays IDCT bucket glue
+    (dequant/CfL setup, small-batch transforms) once per frame; here each
+    transform type runs ONCE across every (frame, group) — one sgemm per
+    type — then filters run per frame through the native C++ chain and
+    the color/output conversion runs once over a frame-stacked plane.
+    Same eligibility (`batchable`) and caller contract as
+    render_frames_batched: returns (F, Hc?, Wc?, 3) in `out_format` with
+    each frame's content at (0, 0)."""
+    from ..render import simple as render_simple
+    from ..render.stages import core as st
+    from ..vardct.group import _BlockList
+    from ..vardct.transform_map import covered_blocks_x, covered_blocks_y
+    from ..vardct.transforms_batch import transform_to_pixels_batch
+
+    f0 = frames[0]
+    fh = f0.file_header
+    Wc, Hc = fh.xsize, fh.ysize
+    cbw, cbh = -(-Wc // 8), -(-Hc // 8)
+    Hp, Wp = cbh * 8, cbw * 8
+    F = len(frames)
+    biases = np.asarray(
+        fh.transform_data.opsin_inverse_matrix.quant_biases, dtype=np.float32
+    )
+
+    # ---- global (frame, group) block tables ------------------------------
+    by_tid: dict[int, list] = {}
+    coeff_parts = []
+    lf_all = np.zeros((3, F, cbh, cbw), np.float32)
+    stride = GROUP_PX * GROUP_PX
+    gid = 0
+    for fi, fr in enumerate(frames):
+        header = fr.header
+        bw, bh = header.size_blocks()
+        if bh > cbh or bw > cbw:
+            from ..errors import NotSupported
+
+            raise NotSupported("frame larger than canvas in batched path")
+        lf_all[:, fi, :bh, :bw] = np.stack(fr.lf_image)[:, :bh, :bw]
+        qp = fr.lf_global.quant_params
+        ccp = fr.lf_global.color_correlation_params
+        igs = np.float32(qp.inv_global_scale)
+        x_dm = np.float32((1.0 / 1.25) ** (header.x_qm_scale - 2.0))
+        b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
+        hf = fr.hf_meta
+        rq = np.asarray(hf["raw_quant"])
+        ytox, ytob = np.asarray(hf["ytox"]), np.asarray(hf["ytob"])
+        for g in sorted(fr.hf_global.hf_coefficients):
+            bl = _BlockList(fr, g)
+            (gx0, gy0) = bl.origin
+            coeff_parts.append(fr.hf_global.hf_coefficients[g])
+            gbx = bl.bxs + gx0
+            gby = bl.bys + gy0
+            rq_b = rq[gby, gbx].astype(np.float32)
+            sy = igs / np.maximum(rq_b, 1e-9)
+            scales = np.stack([sy * x_dm, sy, sy * b_dm], axis=1)
+            tx = gbx // 8
+            ty = gby // 8
+            x_cc = (
+                np.float32(ccp.base_correlation_x)
+                + ytox[ty, tx].astype(np.float32) / np.float32(ccp.color_factor)
+            )
+            b_cc = (
+                np.float32(ccp.base_correlation_b)
+                + ytob[ty, tx].astype(np.float32) / np.float32(ccp.color_factor)
+            )
+            for t in np.unique(bl.tids).tolist():
+                m = bl.tids == t
+                by_tid.setdefault(int(t), []).append(
+                    (
+                        gbx[m], gby[m],
+                        np.full(int(m.sum()), fi, np.int32),
+                        bl.offs[m] + np.int32(gid * stride),
+                        scales[m], x_cc[m], b_cc[m],
+                    )
+                )
+            gid += 1
+    coeffs = np.concatenate(coeff_parts, axis=1) if coeff_parts else None
+
+    planes = np.zeros((F, 3, Hp, Wp), np.float32)
+    pv = planes.reshape(F, 3, cbh, 8, cbw, 8)
+    for t, parts in by_tid.items():
+        gbx = np.concatenate([p[0] for p in parts]).astype(np.int32)
+        gby = np.concatenate([p[1] for p in parts]).astype(np.int32)
+        fidx = np.concatenate([p[2] for p in parts])
+        off = np.concatenate([p[3] for p in parts]).astype(np.int64)
+        scl = np.concatenate([p[4] for p in parts]).astype(np.float32)
+        xcc = np.concatenate([p[5] for p in parts]).astype(np.float32)
+        bcc = np.concatenate([p[6] for p in parts]).astype(np.float32)
+        cx = covered_blocks_x(t)
+        cy = covered_blocks_y(t)
+        nc = cx * cy * BLOCK_SIZE
+        mats = f0.hf_global.dequant_matrices.matrix3(t, nc)
+        from ..native import dequant_cfl_native
+
+        dq = dequant_cfl_native(coeffs, off, nc, mats, scl, xcc, bcc, biases)
+        if dq is None:
+            idx = off[:, None] + np.arange(nc)[None, :]
+            qb = np.stack([coeffs[c][idx] for c in range(3)], axis=1)
+            q = qb.astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                adj = np.where(qb == 0, 0.0, q - biases[3] / q)
+            adj = np.where(np.abs(qb) < 2, q * biases[None, :3, None], adj).astype(
+                np.float32
+            )
+            dq = adj * mats[None] * scl[:, :, None]
+            dq[:, 0] += xcc[:, None] * dq[:, 1]
+            dq[:, 2] += bcc[:, None] * dq[:, 1]
+        for c in (1, 0, 2):
+            if cx == 1 and cy == 1:
+                tiles = lf_all[c, fidx, gby, gbx][:, None, None]
+            else:
+                tiles = np.stack(
+                    [
+                        lf_all[c, f, y : y + cy, x : x + cx]
+                        for f, x, y in zip(
+                            fidx.tolist(), gbx.tolist(), gby.tolist()
+                        )
+                    ]
+                )
+            pix = transform_to_pixels_batch(np, t, tiles, dq[:, c])
+            ph, pw = pix.shape[1], pix.shape[2]
+            if ph == 8 and pw == 8:
+                pv[fidx, c, gby, :, gbx, :] = pix
+            else:
+                pl = planes[:, c]
+                for i, (f, x, y) in enumerate(
+                    zip(fidx.tolist(), gbx.tolist(), gby.tolist())
+                ):
+                    pl[f, y * 8 : y * 8 + ph, x * 8 : x * 8 + pw] = pix[i]
+
+    # ---- per-frame filters (native chain), then one stacked color pass ---
+    rf = f0.header.restoration_filter
+    gab = None
+    if rf.gab:
+        gab = (
+            float(rf.gab_x_weight1), float(rf.gab_x_weight2),
+            float(rf.gab_y_weight1), float(rf.gab_y_weight2),
+            float(rf.gab_b_weight1), float(rf.gab_b_weight2),
+        )
+    sizes = set()
+    filtered = []
+    for fi, fr in enumerate(frames):
+        w, h = fr.header.size_upsampled()
+        w, h = min(w, Wp), min(h, Hp)
+        sizes.add((h, w))
+        chans = [np.ascontiguousarray(planes[fi, c, :h, :w]) for c in range(3)]
+        if rf.epf_iters > 0 or gab is not None:
+            inv_sigma = None
+            if rf.epf_iters > 0:
+                sb = st.compute_sigma_image(fr)
+                inv_sigma = st._expand_sigma(np, sb, h, w, (0, 0))
+            from ..native import filter_chain_native
+
+            out = filter_chain_native(chans, inv_sigma, gab, rf.epf_iters, rf)
+            if out is None:
+                if gab is not None:
+                    chans = [
+                        st.gaborish(np, p, gab[2 * c], gab[2 * c + 1])
+                        for c, p in enumerate(chans)
+                    ]
+                if rf.epf_iters >= 3:
+                    chans = st.epf_step_px(np, chans, inv_sigma, rf, 0)
+                if rf.epf_iters >= 1:
+                    chans = st.epf_step_px(np, chans, inv_sigma, rf, 1)
+                if rf.epf_iters >= 2:
+                    chans = st.epf_step_px(np, chans, inv_sigma, rf, 2)
+            else:
+                chans = out
+        filtered.append(chans)
+
+    if len(sizes) == 1:
+        (h, w) = next(iter(sizes))
+        stacked = [
+            np.concatenate([f[c] for f in filtered], axis=0) for c in range(3)
+        ]
+        stacked = render_simple.color_transform(f0, stacked, xp=np)
+        if out_format != "f32":
+            stacked = [
+                st.convert_output(np, p, out_format, channel=i)
+                for i, p in enumerate(stacked)
+            ]
+        out = np.stack(stacked, axis=-1).reshape(F, h, w, 3)
+        return out
+    # mixed frame sizes: per-frame color, placed at (0,0) of a canvas-
+    # sized output so the caller's crop indexing works uniformly
+    dtype = {"u8": np.uint8, "u16": np.uint16, "f16": np.float16}.get(
+        out_format, np.float32
+    )
+    out = np.zeros((F, Hp, Wp, 3), dtype)
+    for fi, chans in enumerate(filtered):
+        chans = render_simple.color_transform(f0, list(chans), xp=np)
+        if out_format != "f32":
+            chans = [
+                st.convert_output(np, p, out_format, channel=i)
+                for i, p in enumerate(chans)
+            ]
+        h, w = chans[0].shape
+        out[fi, :h, :w] = np.stack(chans, axis=-1)
+    return out

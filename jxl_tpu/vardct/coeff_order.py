@@ -140,16 +140,28 @@ def decode_coeff_orders(used_orders: int, br: BitReader) -> "CoeffOrders":
             num_blocks = covered_blocks_x(t) * covered_blocks_y(t)
             size = num_blocks * BLOCK_SIZE
             for c in range(3):
-                code = lehmers[li].tolist()
+                code = lehmers[li]
                 li += 1
                 idx = 3 * ord_idx + c
-                if code:
+                if len(code):
                     base = natural_order_array(t)
-                    order = list(range(size))
-                    order[num_blocks:] = decode_lehmer_code(
-                        code, order[num_blocks:]
-                    )
-                    coded_perms[idx] = base[np.asarray(order, dtype=np.int32)]
+                    # stay in numpy end-to-end: apply_lehmer gives the
+                    # rank-index array over the tail directly
+                    tail = native.apply_lehmer(code, size - num_blocks)
+                    if tail is None:
+                        order = list(range(size))
+                        order[num_blocks:] = decode_lehmer_code(
+                            code.tolist(), order[num_blocks:]
+                        )
+                        order = np.asarray(order, dtype=np.int32)
+                    else:
+                        order = np.concatenate(
+                            [
+                                np.arange(num_blocks, dtype=np.int32),
+                                tail + np.int32(num_blocks),
+                            ]
+                        )
+                    coded_perms[idx] = base[order]
         return CoeffOrders(coded_perms)
 
     reader = SymbolReader(histograms, br)

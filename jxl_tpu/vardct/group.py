@@ -441,18 +441,24 @@ def _render_group(frame, group, bl, coeffs):
         rq = rqmap[gby, gbx].astype(np.float32)
         scaled_y = np.float32(inv_global_scale) / rq  # (N,)
 
-        # gather quantized coefficients: (N, 3, num_coeffs)
-        idx = offs[:, None] + np.arange(num_coeffs)[None, :]
-        qb = np.stack([coeffs[c][idx] for c in range(3)], axis=1)
-        q = qb.astype(np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            adj = np.where(qb == 0, 0.0, q - quant_biases[3] / q)
-        adj = np.where(np.abs(qb) < 2, q * quant_biases[None, :3, None], adj).astype(np.float32)
         mats = dqm.matrix3(tid, num_coeffs)  # (3, nc), memoized
         scales = np.stack([scaled_y * x_dm, scaled_y, scaled_y * b_dm], axis=1)  # (N,3)
-        dq = adj * mats[None] * scales[:, :, None]
-        dq[:, 0] += x_cc[:, None] * dq[:, 1]
-        dq[:, 2] += b_cc[:, None] * dq[:, 1]
+        from .. import native
+
+        dq = native.dequant_cfl_native(
+            coeffs, offs, num_coeffs, mats, scales, x_cc, b_cc, quant_biases
+        )
+        if dq is None:
+            # gather quantized coefficients: (N, 3, num_coeffs)
+            idx = offs[:, None] + np.arange(num_coeffs)[None, :]
+            qb = np.stack([coeffs[c][idx] for c in range(3)], axis=1)
+            q = qb.astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                adj = np.where(qb == 0, 0.0, q - quant_biases[3] / q)
+            adj = np.where(np.abs(qb) < 2, q * quant_biases[None, :3, None], adj).astype(np.float32)
+            dq = adj * mats[None] * scales[:, :, None]
+            dq[:, 0] += x_cc[:, None] * dq[:, 1]
+            dq[:, 2] += b_cc[:, None] * dq[:, 1]
 
         for c in (1, 0, 2):
             if is444:

@@ -128,17 +128,20 @@ def test_batched_animation_matches_per_frame():
     try:
         os.environ["JXL_TPU_BATCH_ANIM"] = "1"
         before = len(ba._CACHE)
-        out = decode_image(data, pixel_format="f32")
-        assert len(ba._CACHE) > before, "batched path did not engage"
+        out_dev = decode_image(data, pixel_format="f32")
+        assert len(ba._CACHE) > before, "device batched path did not engage"
         os.environ["JXL_TPU_BATCH_ANIM"] = "0"
+        out_host = decode_image(data, pixel_format="f32")
+        os.environ["JXL_TPU_BATCH_ANIM"] = "off"
         ref = decode_image(data, pixel_format="f32")
     finally:
         if old is None:
             os.environ.pop("JXL_TPU_BATCH_ANIM", None)
         else:
             os.environ["JXL_TPU_BATCH_ANIM"] = old
-    assert len(out.frames) == len(ref.frames)
-    assert out.durations == ref.durations
-    for a, b in zip(out.frames, ref.frames):
-        assert a.shape == b.shape
-        np.testing.assert_allclose(a, b, atol=1e-4)
+    for out in (out_dev, out_host):
+        assert len(out.frames) == len(ref.frames)
+        assert out.durations == ref.durations
+        for a, b in zip(out.frames, ref.frames):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-4)
