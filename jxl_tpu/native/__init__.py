@@ -23,22 +23,41 @@ _disabled = os.environ.get("JXL_TPU_NO_NATIVE", "") == "1"
 
 
 _SRC_FILTERS = _DIR / "filters.cc"
+_SRC_COLORS = _DIR / "colors.cc"
 
 
 def _build() -> pathlib.Path | None:
-    src = _SRC.read_bytes() + _SRC_FILTERS.read_bytes()
+    src = _SRC.read_bytes() + _SRC_FILTERS.read_bytes() + _SRC_COLORS.read_bytes()
     tag = hashlib.sha256(src).hexdigest()[:16]
     out = _DIR / f"_modular_decode_{tag}.so"
     if out.exists():
         return out
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), str(_SRC_FILTERS), "-o", str(out),
-    ]
+    base = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC"]
+    objs = []
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        for s, extra in (
+            (_SRC, []),
+            (_SRC_FILTERS, []),
+            # colors.cc alone gets fast-math: it needs vectorized powf
+            # (libmvec); the exact-semantics decode/filter kernels do not
+            # tolerate reassociation
+            (_SRC_COLORS, ["-ffast-math", "-fopenmp-simd"]),
+        ):
+            o = _DIR / f"_{s.stem}_{tag}.o"
+            subprocess.run(
+                base + extra + ["-c", str(s), "-o", str(o)],
+                check=True, capture_output=True, timeout=120,
+            )
+            objs.append(o)
+        subprocess.run(
+            ["g++", "-shared", *map(str, objs), "-o", str(out)],
+            check=True, capture_output=True, timeout=120,
+        )
     except Exception:
         return None
+    finally:
+        for o in objs:
+            o.unlink(missing_ok=True)
     return out
 
 
@@ -62,6 +81,7 @@ def get_lib():
         lib.jxl_apply_lehmer.restype = ctypes.c_int
         lib.jxl_filter_chain.restype = None
         lib.jxl_dequant_cfl.restype = None
+        lib.jxl_xyb_srgb_u8.restype = None
         _lib = lib
     return _lib
 
@@ -672,5 +692,32 @@ def dequant_cfl_native(coeffs3, offs, nc, mats, scales, xcc, bcc, biases):
         _ptr(mats_f, ctypes.c_float), _ptr(scl, ctypes.c_float),
         _ptr(xc, ctypes.c_float), _ptr(bc, ctypes.c_float),
         _ptr(bi, ctypes.c_float), _ptr(out, ctypes.c_float),
+    )
+    return out
+
+
+def xyb_srgb_u8_native(planes, mat, biases, intensity_target, dither):
+    """Fused XYB -> linear -> sRGB -> dithered u8 interleave (one pass).
+
+    planes: 3 (h, w) f32 XYB; mat: 9 floats (possibly primaries-adapted
+    inverse opsin); returns (h, w, 3) u8 or None when unavailable.
+    Semantics: xyb_to_linear + linear_to_srgb + f32_to_u8 at pos (0,0)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = planes[0].shape
+    ps = [np.ascontiguousarray(p, dtype=np.float32) for p in planes[:3]]
+    m = np.ascontiguousarray(mat, dtype=np.float32).reshape(9)
+    b = np.ascontiguousarray(biases, dtype=np.float32).reshape(3)
+    d = np.ascontiguousarray(dither, dtype=np.float32).reshape(1024)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    lib.jxl_xyb_srgb_u8(
+        _ptr(ps[0], ctypes.c_float), _ptr(ps[1], ctypes.c_float),
+        _ptr(ps[2], ctypes.c_float),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        _ptr(m, ctypes.c_float), _ptr(b, ctypes.c_float),
+        ctypes.c_float(255.0 / float(intensity_target)),
+        _ptr(d, ctypes.c_float),
+        _ptr(out, ctypes.c_uint8),
     )
     return out

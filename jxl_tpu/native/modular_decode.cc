@@ -747,7 +747,10 @@ int jxl_decode_modular(
                  !single_leaf;
   if (wp_only)
     for (int i = 0; i < num_nodes; i++)
-      if (tree[i].property < 0 && tree[i].predictor != 6) { wp_only = false; break; }
+      // leaves may use WEIGHTED or ZERO (effort-3 encoders mix a ZERO
+      // leaf into otherwise WP-only trees); WP state updates either way
+      if (tree[i].property < 0 && tree[i].predictor != 6 &&
+          tree[i].predictor != 0) { wp_only = false; break; }
   if (wp_only) {
     WPState wp;
     for (int ci = 0; ci < num_channels; ci++) {
@@ -782,8 +785,9 @@ int jxl_decode_modular(
             node = wp_prop > node->splitval ? &tree[node->lchild]
                                             : &tree[node->rchild];
           int32_t decd = dec.ReadSigned(br, node->ctx);
+          const int64_t base_pred = node->predictor == 6 ? wp_pred : 0;
           int32_t val =
-              (int32_t)(wp_pred + node->offset + (int64_t)node->multiplier * decd);
+              (int32_t)(base_pred + node->offset + (int64_t)node->multiplier * decd);
           wp.UpdateErrors(val, x, y);
           row[x] = val;
         }

@@ -182,6 +182,18 @@ def render_frame_channels_ex(
 
     if small_frame or not fuse:
         planes = run_stages(np, stages, planes, ctx)
+        if (
+            fmt == "u8"
+            and not color_done
+            and header.frame_type != FrameType.REFERENCE_ONLY
+            and not (header.can_be_referenced and header.save_before_ct)
+            and header.lf_level == 0
+        ):
+            fused = color_convert_u8_native(frame, planes)
+            if fused is not None:
+                planes = [fused[..., 0], fused[..., 1], fused[..., 2]]
+                color_done = True
+                converted = True
     elif can_fuse_color and filters_only_rest:
         # the common VarDCT path: chroma/crop on host (free slices), then
         # filters + color transform (+ output conversion) as the bucketed
@@ -235,6 +247,32 @@ def render_frame_channels_ex(
             else np.ascontiguousarray(p, dtype=np.float32)
         )
     return out, color_done, converted
+
+
+def color_convert_u8_native(frame, planes):
+    """Fused native XYB -> sRGB -> dithered u8 (native/colors.cc, one
+    pass, interleaved output) for eligible frames; None to fall back.
+    Eligible: XYB-encoded, output TF sRGB per OutputColorInfo (covers
+    plain sRGB, grayscale projection, and ICC-described XYB — the matrix
+    carries the adaptation)."""
+    meta = frame.file_header.image_metadata
+    if not meta.xyb_encoded or frame.header.do_ycbcr:
+        return None
+    from ..color.output import output_color_info
+
+    info = output_color_info(frame.file_header)
+    if info.tf != ("enum", TransferFunction.SRGB):
+        return None
+    from .. import native
+    from .stages import core as st
+
+    return native.xyb_srgb_u8_native(
+        planes[:3],
+        info.matrix,
+        frame.file_header.transform_data.opsin_inverse_matrix.opsin_biases,
+        info.intensity_target,
+        st.dither_table(),
+    )
 
 
 def color_transform(frame, planes, xp=np):

@@ -275,7 +275,7 @@ def _decode_pass_native(frame, bl, pstate, br, ctx_off, shift, coeffs, bctx, nat
     lib = native.get_lib()
     bit_pos = ctypes.c_uint64(br.pos)
     ret = lib.jxl_decode_vardct_ac(
-        br.data if isinstance(br.data, bytes) else bytes(br.data),
+        native._databuf(br),
         ctypes.c_uint64(len(br.data)), ctypes.byref(bit_pos),
         ctypes.c_int(ent["use_prefix"]),
         native._ptr(ent["ans_tables"], ctypes.c_int32),
