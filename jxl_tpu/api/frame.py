@@ -435,10 +435,10 @@ class Frame:
             return
         if getattr(self, "_defer_render", False):
             return  # batched-animation path renders all frames in one program
-        from ..utils.devhealth import device_ok
+        from ..utils.devhealth import device_fast
 
-        if not device_ok():
-            return  # wedged/degraded tunnel: keep the host numeric path
+        if not device_fast():
+            return  # tunnel-class/wedged device: the native host path wins
         h = self.header
         rf = h.restoration_filter
         has_filters = rf.gab or rf.epf_iters > 0

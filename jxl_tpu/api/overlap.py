@@ -75,9 +75,12 @@ def enabled() -> bool:
         return False
     if mode == "1":
         return True
-    from ..utils.devhealth import device_ok
+    from ..utils.devhealth import device_fast
 
-    return device_ok()
+    # tunnel-class latency loses to the native host pipeline even with
+    # full entropy/compute/readback overlap (~190 ms/MP host vs ~270 ms
+    # blocking readback alone); engage only on direct-attach-class chips
+    return device_fast()
 
 
 def try_decode(frame, br, pixel_format: str):

@@ -282,6 +282,6 @@ def enabled() -> bool:
         return False
     if mode == "1":
         return True
-    from ..utils.devhealth import device_ok
+    from ..utils.devhealth import device_fast
 
-    return device_ok()
+    return device_fast()

@@ -165,10 +165,12 @@ def render_frame_channels_ex(
     host_cutoff = 160_000 if header.encoding == Encoding.VARDCT else 1 << 20
     small_frame = planes[0].size < host_cutoff and not dev_planes
     if not dev_planes and fuse:
-        from ..utils.devhealth import device_ok
+        from ..utils.devhealth import device_fast
 
-        if not device_ok():
-            small_frame = True  # degraded tunnel: host numpy stages
+        if not device_fast():
+            # tunnel-class (or wedged) device: the native host pipeline
+            # wins at these sizes (see devhealth.device_fast)
+            small_frame = True
 
     _FILTER_NAMES = {"gaborish", "epf0", "epf1", "epf2"}
     i_filt = next(

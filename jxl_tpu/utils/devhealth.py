@@ -19,6 +19,7 @@ import threading
 import time
 
 _status: bool | None = None
+_latency: float | None = None
 _lock = threading.Lock()
 
 
@@ -46,7 +47,7 @@ def _probe(result: list) -> None:
 
 def device_ok(max_latency: float = 2.0, timeout: float = 45.0) -> bool:
     """True when device render dispatch is worth it right now."""
-    global _status
+    global _status, _latency
     mode = os.environ.get("JXL_TPU_DEVICE", "auto")
     if mode in ("off", "host"):
         return False
@@ -63,4 +64,22 @@ def device_ok(max_latency: float = 2.0, timeout: float = 45.0) -> bool:
             _status = False
         else:
             _status = True
+            _latency = result[0]
         return _status
+
+
+def device_fast(max_latency: float = 0.03) -> bool:
+    """True when the device is DIRECT-ATTACH-class (round trip under
+    `max_latency`), i.e. per-frame dispatch+readback genuinely beats the
+    native host pipeline. A healthy-but-tunneled chip (60-115 ms per
+    computed readback, BASELINE.md) passes device_ok() yet loses to the
+    ~190 ms/MP host photo path — whole-image device render and the
+    overlapped banded path only pay off below tunnel-class latency.
+    JXL_TPU_DEVICE=on forces True; virtual CPU meshes probe at ~0 and
+    stay on the device path (tests exercise the device programs)."""
+    mode = os.environ.get("JXL_TPU_DEVICE", "auto")
+    if mode in ("on", "device"):
+        return True
+    if not device_ok():
+        return False
+    return _latency is not None and _latency <= max_latency
