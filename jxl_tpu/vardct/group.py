@@ -460,6 +460,36 @@ def _render_group(frame, group, bl, coeffs):
             dq[:, 0] += x_cc[:, None] * dq[:, 1]
             dq[:, 2] += b_cc[:, None] * dq[:, 1]
 
+        oby0 = getattr(frame, "_band_block_y0", 0)
+        if is444 and cx == 1 and cy == 1:
+            # 444 single-block types: one (3N, nc) transform for all
+            # channels (one sgemm on the dense path) + per-channel scatter
+            tiles3 = np.stack(
+                [frame.lf_image[c][gby, gbx] for c in range(3)], axis=1
+            ).reshape(3 * n, 1, 1)
+            pix3 = transform_to_pixels_batch(
+                np, tid, tiles3, np.ascontiguousarray(dq).reshape(3 * n, num_coeffs)
+            )
+            ph, pw = pix3.shape[1], pix3.shape[2]
+            pix3 = pix3.reshape(n, 3, ph, pw)
+            for c in range(3):
+                outp = frame.vardct_pixels[c]
+                if ph == BLOCK_DIM and pw == BLOCK_DIM:
+                    oh, ow = outp.shape
+                    v = outp.reshape(
+                        oh // BLOCK_DIM, BLOCK_DIM, ow // BLOCK_DIM, BLOCK_DIM
+                    )
+                    v[gby - oby0, :, gbx, :] = pix3[:, c]
+                else:
+                    for i, (x, y) in enumerate(
+                        zip(gbx.tolist(), (gby - oby0).tolist())
+                    ):
+                        outp[
+                            y * BLOCK_DIM : y * BLOCK_DIM + ph,
+                            x * BLOCK_DIM : x * BLOCK_DIM + pw,
+                        ] = pix3[i, c]
+            continue
+
         for c in (1, 0, 2):
             if is444:
                 sel = np.arange(n)
