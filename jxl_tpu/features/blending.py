@@ -35,7 +35,10 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
     numpy host oracle / jnp in the device patches stage.
     """
     num_ec = len(extra_channel_info)
-    out = [xp.array(p, dtype=xp.float32) for p in bg]
+    # asarray, not copy: no code path mutates these in place (out entries
+    # are only ever REPLACED), and whole-canvas copies dominated large-
+    # image patch blending
+    out = [xp.asarray(p, dtype=xp.float32) for p in bg]
 
     if color_blending.mode == BlendMode.NONE and all(
         b.mode == BlendMode.NONE for b in ec_blending
@@ -46,14 +49,14 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
         b.mode in (BlendMode.REPLACE, BlendMode.NONE) for b in ec_blending
     ):
         for c in range(3):
-            out[c] = fg[c].astype(xp.float32)
+            out[c] = xp.asarray(fg[c], dtype=xp.float32)
         for i, b in enumerate(ec_blending):
             if b.mode == BlendMode.REPLACE:
-                out[3 + i] = fg[3 + i].astype(xp.float32)
+                out[3 + i] = xp.asarray(fg[3 + i], dtype=xp.float32)
         return out
 
     has_alpha = any(info.ec_type == ExtraChannel.ALPHA for info in extra_channel_info)
-    old_ec = [xp.array(bg[3 + i], dtype=xp.float32) for i in range(num_ec)]
+    old_ec = [xp.asarray(bg[3 + i], dtype=xp.float32) for i in range(num_ec)]
 
     # extra channels first (ref order)
     for i, b in enumerate(ec_blending):
@@ -61,7 +64,7 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
         clamp = b.clamp
         assoc = extra_channel_info[alpha].alpha_associated if num_ec else False
         eo = out[3 + i]
-        fgi = fg[3 + i].astype(xp.float32)
+        fgi = xp.asarray(fg[3 + i], dtype=xp.float32)
         if b.mode == BlendMode.ADD:
             out[3 + i] = eo + fgi
         elif b.mode == BlendMode.BLEND_ABOVE:
@@ -69,10 +72,10 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
                 ta = _clamp01(fgi, clamp, xp)
                 out[3 + i] = 1.0 - (1.0 - ta) * (1.0 - eo)
             elif assoc:
-                fa = _clamp01(fg[3 + alpha].astype(xp.float32), clamp, xp)
+                fa = _clamp01(xp.asarray(fg[3 + alpha], dtype=xp.float32), clamp, xp)
                 out[3 + i] = fgi + eo * (1.0 - fa)
             else:
-                fa = _clamp01(fg[3 + alpha].astype(xp.float32), clamp, xp)
+                fa = _clamp01(xp.asarray(fg[3 + alpha], dtype=xp.float32), clamp, xp)
                 oa = old_ec[alpha]
                 new_a = 1.0 - (1.0 - fa) * (1.0 - oa)
                 r = xp.where(new_a > 0.0, 1.0 / xp.where(new_a == 0, 1, new_a), 0.0)
@@ -86,13 +89,13 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
                 out[3 + i] = eo + fgi * (1.0 - ba)
             else:
                 ba = _clamp01(old_ec[alpha], clamp, xp)
-                fa = fg[3 + alpha].astype(xp.float32)
+                fa = xp.asarray(fg[3 + alpha], dtype=xp.float32)
                 new_a = 1.0 - (1.0 - ba) * (1.0 - fa)
                 r = xp.where(new_a > 0.0, 1.0 / xp.where(new_a == 0, 1, new_a), 0.0)
                 out[3 + i] = (eo * ba + fgi * fa * (1.0 - ba)) * r
         elif b.mode == BlendMode.ALPHA_WEIGHTED_ADD_ABOVE:
             if i != alpha:
-                w = _muladd_weight(fg[3 + alpha].astype(xp.float32), xp)
+                w = _muladd_weight(xp.asarray(fg[3 + alpha], dtype=xp.float32), xp)
                 out[3 + i] = eo + fgi * w
         elif b.mode == BlendMode.ALPHA_WEIGHTED_ADD_BELOW:
             if i == alpha:
@@ -116,7 +119,7 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
             if not has_alpha:
                 out[c] = out[c] + fg[c]
             else:
-                w = _muladd_weight(fg[3 + alpha].astype(xp.float32), xp)
+                w = _muladd_weight(xp.asarray(fg[3 + alpha], dtype=xp.float32), xp)
                 out[c] = out[c] + fg[c] * w
     elif mode == BlendMode.ALPHA_WEIGHTED_ADD_BELOW:
         for c in range(3):
@@ -128,7 +131,7 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
     elif mode == BlendMode.BLEND_ABOVE:
         if not has_alpha:
             for c in range(3):
-                out[c] = fg[c].astype(xp.float32)
+                out[c] = xp.asarray(fg[c], dtype=xp.float32)
         else:
             _blend_color(out, fg, old_ec[alpha], clamp,
                          extra_channel_info[alpha].alpha_associated, True, alpha, xp)
@@ -138,17 +141,17 @@ def perform_blending(bg, fg, color_blending: PatchBlending, ec_blending, extra_c
                          extra_channel_info[alpha].alpha_associated, False, alpha, xp)
     elif mode == BlendMode.MUL:
         for c in range(3):
-            out[c] = out[c] * _clamp01(fg[c].astype(xp.float32), clamp, xp)
+            out[c] = out[c] * _clamp01(xp.asarray(fg[c], dtype=xp.float32), clamp, xp)
     elif mode == BlendMode.REPLACE:
         for c in range(3):
-            out[c] = fg[c].astype(xp.float32)
+            out[c] = xp.asarray(fg[c], dtype=xp.float32)
     return out
 
 
 def _blend_color(out, fg, bg_alpha_old, clamp, assoc, fg_on_top, alpha, xp=np):
     """ref blending.rs blend_impl: the top layer's alpha drives the blend;
     also updates the alpha channel itself (out[3+alpha])."""
-    fga = fg[3 + alpha].astype(xp.float32)
+    fga = xp.asarray(fg[3 + alpha], dtype=xp.float32)
     if fg_on_top:
         top_a = _clamp01(fga, clamp, xp)
         bottom_a = bg_alpha_old
@@ -160,7 +163,7 @@ def _blend_color(out, fg, bg_alpha_old, clamp, assoc, fg_on_top, alpha, xp=np):
     r = xp.where(new_a > 0.0, 1.0 / xp.where(new_a == 0, 1, new_a), 0.0)
     for c in range(3):
         bgv = out[c]
-        fgv = fg[c].astype(xp.float32)
+        fgv = xp.asarray(fg[c], dtype=xp.float32)
         top_c, bottom_c = (fgv, bgv) if fg_on_top else (bgv, fgv)
         if assoc:
             out[c] = top_c + bottom_c * one_minus

@@ -82,6 +82,7 @@ def get_lib():
         lib.jxl_filter_chain.restype = None
         lib.jxl_dequant_cfl.restype = None
         lib.jxl_xyb_srgb_u8.restype = None
+        lib.jxl_xyb_tf_f32.restype = None
         _lib = lib
     return _lib
 
@@ -624,13 +625,16 @@ def apply_lehmer(code, n: int):
     return out
 
 
-def filter_chain_native(planes, inv_sigma_px, gab_weights, epf_iters, rf):
+def filter_chain_native(
+    planes, inv_sigma_px, gab_weights, epf_iters, rf, sigma_is_block=False
+):
     """Native gaborish + EPF chain over 3 whole-frame planes (in place).
 
     planes: list of 3 contiguous (h, w) f32 arrays; inv_sigma_px: (h, w)
-    stored 1/sigma (or None when epf_iters == 0); gab_weights: flat
-    [w1_c0, w2_c0, ...] or None. Returns the filtered planes, or None if
-    the native lib is unavailable (caller falls back to numpy).
+    stored 1/sigma — or, with sigma_is_block, the (ceil(h/8), ceil(w/8))
+    per-block array expanded in-kernel — (None when epf_iters == 0);
+    gab_weights: flat [w1_c0, w2_c0, ...] or None. Returns the filtered
+    planes, or None if the native lib is unavailable (caller falls back).
     Semantics: render/stages/core.py gaborish + epf_step_px at pos (0,0).
     """
     lib = get_lib()
@@ -641,7 +645,13 @@ def filter_chain_native(planes, inv_sigma_px, gab_weights, epf_iters, rf):
         return None  # mirror excursions need n >= border; numpy handles tiny frames
     ps = [np.ascontiguousarray(p, dtype=np.float32) for p in planes]
     if inv_sigma_px is not None:
-        sig = np.ascontiguousarray(inv_sigma_px, dtype=np.float32)
+        if sigma_is_block:
+            sbh, sbw = -(-h // 8), -(-w // 8)
+            sig = np.ascontiguousarray(
+                inv_sigma_px[:sbh, :sbw], dtype=np.float32
+            )
+        else:
+            sig = np.ascontiguousarray(inv_sigma_px, dtype=np.float32)
         sigp = _ptr(sig, ctypes.c_float)
     else:
         sigp = None
@@ -655,7 +665,8 @@ def filter_chain_native(planes, inv_sigma_px, gab_weights, epf_iters, rf):
         _ptr(ps[0], ctypes.c_float), _ptr(ps[1], ctypes.c_float),
         _ptr(ps[2], ctypes.c_float),
         ctypes.c_int(h), ctypes.c_int(w),
-        sigp, gwp, ctypes.c_int(int(epf_iters)),
+        sigp, ctypes.c_int(1 if sigma_is_block else 0),
+        gwp, ctypes.c_int(int(epf_iters)),
         _ptr(cs, ctypes.c_float),
         ctypes.c_float(float(rf.epf_pass0_sigma_scale)),
         ctypes.c_float(float(rf.epf_pass2_sigma_scale)),
@@ -675,9 +686,18 @@ def dequant_cfl_native(coeffs3, offs, nc, mats, scales, xcc, bcc, biases):
     if lib is None:
         return None
     n = len(offs)
-    c = coeffs3
-    if c.dtype != np.int32 or not c.flags.c_contiguous:
-        c = np.ascontiguousarray(c, dtype=np.int32)
+    if isinstance(coeffs3, (list, tuple)):
+        # three 1-D channel views (e.g. a frame pool shifted by c*stride)
+        c = [
+            x if x.dtype == np.int32 and x.flags.c_contiguous
+            else np.ascontiguousarray(x, dtype=np.int32)
+            for x in coeffs3
+        ]
+    else:
+        a = coeffs3
+        if a.dtype != np.int32 or not a.flags.c_contiguous:
+            a = np.ascontiguousarray(a, dtype=np.int32)
+        c = a
     offs64 = np.ascontiguousarray(offs, dtype=np.int64)
     mats_f = mats if mats.dtype == np.float32 and mats.flags.c_contiguous else np.ascontiguousarray(mats, np.float32)
     scl = np.ascontiguousarray(scales, dtype=np.float32)
@@ -696,12 +716,16 @@ def dequant_cfl_native(coeffs3, offs, nc, mats, scales, xcc, bcc, biases):
     return out
 
 
-def xyb_srgb_u8_native(planes, mat, biases, intensity_target, dither):
-    """Fused XYB -> linear -> sRGB -> dithered u8 interleave (one pass).
+def xyb_srgb_u8_native(
+    planes, mat, biases, intensity_target, dither, tf_kind=0, tf_p0=0.0
+):
+    """Fused XYB -> linear -> display TF -> dithered u8 interleave.
 
     planes: 3 (h, w) f32 XYB; mat: 9 floats (possibly primaries-adapted
-    inverse opsin); returns (h, w, 3) u8 or None when unavailable.
-    Semantics: xyb_to_linear + linear_to_srgb + f32_to_u8 at pos (0,0)."""
+    inverse opsin); tf_kind: 0 sRGB, 1 PQ (tf_p0 = intensity/10000),
+    2 BT.709, 3 gamma (tf_p0 = g), 4 linear. Returns (h, w, 3) u8 or None
+    when unavailable. Semantics: xyb_to_linear + linear_to_* + f32_to_u8
+    at pos (0,0)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -718,6 +742,29 @@ def xyb_srgb_u8_native(planes, mat, biases, intensity_target, dither):
         _ptr(m, ctypes.c_float), _ptr(b, ctypes.c_float),
         ctypes.c_float(255.0 / float(intensity_target)),
         _ptr(d, ctypes.c_float),
+        ctypes.c_int(int(tf_kind)), ctypes.c_float(float(tf_p0)),
         _ptr(out, ctypes.c_uint8),
     )
     return out
+
+
+def xyb_tf_f32_native(planes, mat, biases, intensity_target, tf_kind, tf_p0):
+    """Fused XYB -> linear -> display TF, f32 planes modified IN PLACE.
+
+    planes: 3 contiguous (h, w) f32 arrays (caller owns/copies them).
+    Returns True on success, False when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    h, w = planes[0].shape
+    m = np.ascontiguousarray(mat, dtype=np.float32).reshape(9)
+    b = np.ascontiguousarray(biases, dtype=np.float32).reshape(3)
+    lib.jxl_xyb_tf_f32(
+        _ptr(planes[0], ctypes.c_float), _ptr(planes[1], ctypes.c_float),
+        _ptr(planes[2], ctypes.c_float),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        _ptr(m, ctypes.c_float), _ptr(b, ctypes.c_float),
+        ctypes.c_float(255.0 / float(intensity_target)),
+        ctypes.c_int(int(tf_kind)), ctypes.c_float(float(tf_p0)),
+    )
+    return True

@@ -17,6 +17,75 @@
 #include <cstdint>
 #include <vector>
 
+namespace {
+
+// PQ (SMPTE ST 2084) constants, ref color/tf.py
+constexpr float kPqM1 = 2610.0f / 16384;
+constexpr float kPqM2 = (2523.0f / 4096) * 128;
+constexpr float kPqC1 = 3424.0f / 4096;
+constexpr float kPqC2 = (2413.0f / 4096) * 32;
+constexpr float kPqC3 = (2392.0f / 4096) * 32;
+
+// Apply the display transfer function to one row of linear values,
+// scaled by 255 for the u8 stage. Each kind is its own branch-free simd
+// loop (the conditional computes both sides and selects so gcc
+// if-converts; powf vectorizes via libmvec under -ffast-math).
+void tf_row(float* rc, int64_t w, int tf_kind, float tf_p0, float scale) {
+  switch (tf_kind) {
+    case 0: {  // sRGB
+      const float p = 1.0f / 2.4f;
+#pragma omp simd
+      for (int64_t i = 0; i < w; ++i) {
+        float v = rc[i];
+        float a = fabsf(v);
+        float pw = 1.055f * powf(a, p) - 0.055f;
+        float lin = a * 12.92f;
+        float t = a <= 0.0031308f ? lin : pw;
+        rc[i] = copysignf(t, v) * scale;
+      }
+      break;
+    }
+    case 1: {  // PQ; tf_p0 = intensity_target / 10000
+#pragma omp simd
+      for (int64_t i = 0; i < w; ++i) {
+        float v = rc[i];
+        float a = fabsf(v) * tf_p0;
+        float ym = powf(a, kPqM1);
+        float t = powf((kPqC1 + kPqC2 * ym) / (1.0f + kPqC3 * ym), kPqM2);
+        rc[i] = copysignf(t, v) * scale;
+      }
+      break;
+    }
+    case 2: {  // BT.709
+#pragma omp simd
+      for (int64_t i = 0; i < w; ++i) {
+        float v = rc[i];
+        float a = fabsf(v);
+        float pw = 1.09929682680944f * powf(a, 0.45f) - 0.09929682680944f;
+        float lin = a * 4.5f;
+        float t = a < 0.018053968510807f ? lin : pw;
+        rc[i] = copysignf(t, v) * scale;
+      }
+      break;
+    }
+    case 3: {  // pure gamma; tf_p0 = g
+#pragma omp simd
+      for (int64_t i = 0; i < w; ++i) {
+        float v = rc[i];
+        rc[i] = copysignf(powf(fabsf(v), tf_p0), v) * scale;
+      }
+      break;
+    }
+    default: {  // linear
+#pragma omp simd
+      for (int64_t i = 0; i < w; ++i) rc[i] *= scale;
+      break;
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
 
 void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
@@ -25,6 +94,7 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
                      const float* biases,   // 3: opsin biases (raw)
                      float intensity_scale, // 255 / intensity_target
                      const float* dither,   // 32*32 blue-noise table
+                     int tf_kind, float tf_p0,
                      uint8_t* out) {        // (h, w, 3) interleaved
   const float cb0 = cbrtf(biases[0]);
   const float cb1 = cbrtf(biases[1]);
@@ -32,7 +102,6 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
   const float sb0 = biases[0] * intensity_scale;
   const float sb1 = biases[1] * intensity_scale;
   const float sb2 = biases[2] * intensity_scale;
-  const float p = 1.0f / 2.4f;
   const float m00 = mat[0], m01 = mat[1], m02 = mat[2];
   const float m10 = mat[3], m11 = mat[4], m12 = mat[5];
   const float m20 = mat[6], m21 = mat[7], m22 = mat[8];
@@ -56,19 +125,9 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
       r1[i] = m10 * l + m11 * m + m12 * s;
       r2[i] = m20 * l + m21 * m + m22 * s;
     }
-    float* rows[3] = {r0, r1, r2};
-    for (int c = 0; c < 3; ++c) {
-      float* rc = rows[c];
-#pragma omp simd
-      for (int64_t i = 0; i < w; ++i) {
-        float v = rc[i];
-        float a = fabsf(v);
-        float pw = 1.055f * powf(a, p) - 0.055f;
-        float lin = a * 12.92f;
-        float t = a <= 0.0031308f ? lin : pw;
-        rc[i] = copysignf(t, v) * 255.0f;
-      }
-    }
+    tf_row(r0, w, tf_kind, tf_p0, 255.0f);
+    tf_row(r1, w, tf_kind, tf_p0, 255.0f);
+    tf_row(r2, w, tf_kind, tf_p0, 255.0f);
     // dither + clamp + round + interleave (3 bytes/px; scalar is fine)
     const float* d0 = dither + (yy % 32) * 32;
     const float* d1 = dither + ((yy + 13) % 32) * 32;
@@ -85,6 +144,106 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
       o[i * 3 + 0] = (uint8_t)nearbyintf(u0);
       o[i * 3 + 1] = (uint8_t)nearbyintf(u1);
       o[i * 3 + 2] = (uint8_t)nearbyintf(u2);
+    }
+  }
+}
+
+// Same fused XYB -> linear -> display TF, but writing f32 planes back in
+// place (no scaling/dither) — serves the paths that need float output
+// (blending, referenced frames, extra channels).
+void jxl_xyb_tf_f32(float* xp, float* yp, float* bp, int64_t h, int64_t w,
+                    const float* mat, const float* biases,
+                    float intensity_scale, int tf_kind, float tf_p0) {
+  const float cb0 = cbrtf(biases[0]);
+  const float cb1 = cbrtf(biases[1]);
+  const float cb2 = cbrtf(biases[2]);
+  const float sb0 = biases[0] * intensity_scale;
+  const float sb1 = biases[1] * intensity_scale;
+  const float sb2 = biases[2] * intensity_scale;
+  const float m00 = mat[0], m01 = mat[1], m02 = mat[2];
+  const float m10 = mat[3], m11 = mat[4], m12 = mat[5];
+  const float m20 = mat[6], m21 = mat[7], m22 = mat[8];
+  std::vector<float> buf(3 * (size_t)w);
+  float* r0 = buf.data();
+  float* r1 = r0 + w;
+  float* r2 = r1 + w;
+  for (int64_t yy = 0; yy < h; ++yy) {
+    float* xr = xp + yy * w;
+    float* yr = yp + yy * w;
+    float* br = bp + yy * w;
+#pragma omp simd
+    for (int64_t i = 0; i < w; ++i) {
+      float l = yr[i] + xr[i] - cb0;
+      float m = yr[i] - xr[i] - cb1;
+      float s = br[i] - cb2;
+      l = l * l * (l * intensity_scale) + sb0;
+      m = m * m * (m * intensity_scale) + sb1;
+      s = s * s * (s * intensity_scale) + sb2;
+      r0[i] = m00 * l + m01 * m + m02 * s;
+      r1[i] = m10 * l + m11 * m + m12 * s;
+      r2[i] = m20 * l + m21 * m + m22 * s;
+    }
+    tf_row(r0, w, tf_kind, tf_p0, 1.0f);
+    tf_row(r1, w, tf_kind, tf_p0, 1.0f);
+    tf_row(r2, w, tf_kind, tf_p0, 1.0f);
+#pragma omp simd
+    for (int64_t i = 0; i < w; ++i) {
+      xr[i] = r0[i];
+      yr[i] = r1[i];
+      br[i] = r2[i];
+    }
+  }
+}
+
+
+// Dequant + chroma-from-luma in one pass (the hot body of
+// vardct/group.py _render_group): reads quantized coefficients straight
+// from the per-channel concatenated buffers (no gathered int temporary),
+// applies the small-value bias adjustment
+//   |q| < 2 ? q * bias[c]  :  q - bias[3]/q
+// then per-block scale * dequant-matrix, then CfL (x += xcc*y,
+// b += bcc*y). out: (N, 3, nc) f32 in channel order (x, y, b) matching
+// the python caller's plane order. Lives in this fast-math TU so the
+// guarded division if-converts and vectorizes (the guard keeps the
+// untaken lane finite, which fast-math requires).
+void jxl_dequant_cfl(const int32_t* c0, const int32_t* c1, const int32_t* c2,
+                     const int64_t* offs, int64_t n, int nc,
+                     const float* mats,    // (3, nc)
+                     const float* scales,  // (n, 3)
+                     const float* xcc, const float* bcc,
+                     const float* biases,  // 4
+                     float* out) {         // (n, 3, nc)
+  const float b0 = biases[0], b1 = biases[1], b2 = biases[2], b3 = biases[3];
+  const float* m0 = mats;
+  const float* m1 = mats + nc;
+  const float* m2 = mats + 2 * (size_t)nc;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t off = offs[i];
+    const float s0 = scales[i * 3 + 0];
+    const float s1 = scales[i * 3 + 1];
+    const float s2 = scales[i * 3 + 2];
+    const float xc = xcc[i], bc = bcc[i];
+    const int32_t* q0 = c0 + off;
+    const int32_t* q1 = c1 + off;
+    const int32_t* q2 = c2 + off;
+    float* o0 = out + (size_t)i * 3 * nc;
+    float* o1 = o0 + nc;
+    float* o2 = o1 + nc;
+#pragma omp simd
+    for (int k = 0; k < nc; ++k) {
+      const float qy = (float)q1[k];
+      const float dy = qy != 0.0f ? qy : 1.0f;
+      const float ay = (q1[k] < 2 && q1[k] > -2) ? qy * b1 : qy - b3 / dy;
+      const float y = ay * m1[k] * s1;
+      const float qx = (float)q0[k];
+      const float dx = qx != 0.0f ? qx : 1.0f;
+      const float ax = (q0[k] < 2 && q0[k] > -2) ? qx * b0 : qx - b3 / dx;
+      const float qb = (float)q2[k];
+      const float db = qb != 0.0f ? qb : 1.0f;
+      const float ab = (q2[k] < 2 && q2[k] > -2) ? qb * b2 : qb - b3 / db;
+      o1[k] = y;
+      o0[k] = ax * m0[k] * s0 + xc * y;
+      o2[k] = ab * m2[k] * s2 + bc * y;
     }
   }
 }

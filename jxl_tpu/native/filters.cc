@@ -98,9 +98,12 @@ void gaborish_plane(const float* in, float* out, int h, int w, int B,
 
 template <int NN, int NP>
 void epf_step_t(const float* const in[3], float* const out[3], int h, int w,
-                int B, const float* inv_sigma, const Off (&neigh)[NN],
-                const Off (&pat)[NP], const float cs[3], float sm, float bsm) {
+                int B, const float* inv_sigma, int sigma_is_block,
+                const Off (&neigh)[NN], const Off (&pat)[NP], const float cs[3],
+                float sm, float bsm) {
   const int W = w + 2 * B;
+  const int sbw = sigma_is_block ? (w + 7) / 8 : w;
+  std::vector<float> sigrow(sigma_is_block ? w : 0);
   std::vector<float> sadbuf((size_t)NN * w);
   for (int y = 0; y < h; ++y) {
     float* sad = sadbuf.data();
@@ -117,7 +120,14 @@ void epf_step_t(const float* const in[3], float* const out[3], int h, int w,
         }
       }
     }
-    const float* isg = inv_sigma + (size_t)y * w;
+    const float* isg;
+    if (sigma_is_block) {
+      const float* sb = inv_sigma + (size_t)(y >> 3) * sbw;
+      for (int x = 0; x < w; ++x) sigrow[x] = sb[x >> 3];
+      isg = sigrow.data();
+    } else {
+      isg = inv_sigma + (size_t)y * w;
+    }
     const int ybord = ((y & 7) == 0 || (y & 7) == 7) ? 1 : 0;
     for (int x = 0; x < w; ++x) {
       const int xbord = ((x & 7) == 0 || (x & 7) == 7) ? 1 : 0;
@@ -152,8 +162,11 @@ extern "C" {
 // gab_weights: 6 floats (w1,w2 per channel), or nullptr to skip gaborish.
 // Applies: gaborish, then EPF steps in the reference order
 // (step0 iff iters>=3, step1 iff iters>=1, step2 iff iters>=2).
+// sigma_is_block: inv_sigma_px is (ceil(h/8), ceil(w/8)) per-BLOCK values
+// (stages/core.py _expand_sigma semantics at pos (0,0)) expanded on the
+// fly — saves the caller two whole-image np.repeat passes.
 void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
-                      int w, const float* inv_sigma_px,
+                      int w, const float* inv_sigma_px, int sigma_is_block,
                       const float* gab_weights, int epf_iters,
                       const float* channel_scale, float pass0_sigma_scale,
                       float pass2_sigma_scale, float border_sad_mul) {
@@ -186,16 +199,16 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
       cpb[c] = pb[c];
     }
     if (step == 0) {
-      epf_step_t<12, 5>(cpa, cpb, h, w, B, inv_sigma_px, kEpf0Neigh, kPlus5,
-                        cs, pass0_sigma_scale * 1.65f,
+      epf_step_t<12, 5>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
+                        kEpf0Neigh, kPlus5, cs, pass0_sigma_scale * 1.65f,
                         pass0_sigma_scale * 1.65f * border_sad_mul);
     } else if (step == 1) {
-      epf_step_t<4, 5>(cpa, cpb, h, w, B, inv_sigma_px, kEpf1Neigh, kPlus5, cs,
-                       1.65f, 1.65f * border_sad_mul);
+      epf_step_t<4, 5>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
+                       kEpf1Neigh, kPlus5, cs, 1.65f, 1.65f * border_sad_mul);
     } else {
       constexpr Off kSelf[1] = {{0, 0}};
-      epf_step_t<4, 1>(cpa, cpb, h, w, B, inv_sigma_px, kEpf1Neigh, kSelf, cs,
-                       pass2_sigma_scale * 1.65f,
+      epf_step_t<4, 1>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
+                       kEpf1Neigh, kSelf, cs, pass2_sigma_scale * 1.65f,
                        pass2_sigma_scale * 1.65f * border_sad_mul);
     }
     for (int c = 0; c < 3; ++c) std::swap(pa[c], pb[c]);
@@ -209,59 +222,6 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
     for (int y = 0; y < h; ++y)
       std::memcpy(planes[c] + (size_t)y * w,
                   pa[c] + (size_t)(y + B) * W + B, sizeof(float) * w);
-  }
-}
-
-}  // extern "C"
-
-extern "C" {
-
-// Dequant + chroma-from-luma in one pass (the hot body of
-// vardct/group.py _render_group): reads quantized coefficients straight
-// from the per-channel concatenated buffers (no gathered int temporary),
-// applies the small-value bias adjustment
-//   |q| < 2 ? q * bias[c]  :  q - bias[3]/q
-// then per-block scale * dequant-matrix, then CfL (x += xcc*y,
-// b += bcc*y). out: (N, 3, nc) f32 in channel order (x, y, b) matching
-// the python caller's plane order.
-void jxl_dequant_cfl(const int32_t* c0, const int32_t* c1, const int32_t* c2,
-                     const int64_t* offs, int64_t n, int nc,
-                     const float* mats,    // (3, nc)
-                     const float* scales,  // (n, 3)
-                     const float* xcc, const float* bcc,
-                     const float* biases,  // 4
-                     float* out) {         // (n, 3, nc)
-  const float b0 = biases[0], b1 = biases[1], b2 = biases[2], b3 = biases[3];
-  const float* m0 = mats;
-  const float* m1 = mats + nc;
-  const float* m2 = mats + 2 * (size_t)nc;
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t off = offs[i];
-    const float s0 = scales[i * 3 + 0];
-    const float s1 = scales[i * 3 + 1];
-    const float s2 = scales[i * 3 + 2];
-    const float xc = xcc[i], bc = bcc[i];
-    const int32_t* q0 = c0 + off;
-    const int32_t* q1 = c1 + off;
-    const int32_t* q2 = c2 + off;
-    float* o0 = out + (size_t)i * 3 * nc;
-    float* o1 = o0 + nc;
-    float* o2 = o1 + nc;
-    for (int k = 0; k < nc; ++k) {
-      const float qy = (float)q1[k];
-      const float ay =
-          (q1[k] < 2 && q1[k] > -2) ? qy * b1 : qy - b3 / qy;
-      const float y = ay * m1[k] * s1;
-      const float qx = (float)q0[k];
-      const float ax =
-          (q0[k] < 2 && q0[k] > -2) ? qx * b0 : qx - b3 / qx;
-      const float qb = (float)q2[k];
-      const float ab =
-          (q2[k] < 2 && q2[k] > -2) ? qb * b2 : qb - b3 / qb;
-      o1[k] = y;
-      o0[k] = ax * m0[k] * s0 + xc * y;
-      o2[k] = ab * m2[k] * s2 + bc * y;
-    }
   }
 }
 

@@ -513,12 +513,16 @@ def render_frames_batched_host(frames: list, out_format: str):
         chans = [np.ascontiguousarray(planes[fi, c, :h, :w]) for c in range(3)]
         if rf.epf_iters > 0 or gab is not None:
             inv_sigma = None
+            sb = None
             if rf.epf_iters > 0:
                 sb = st.compute_sigma_image(fr)
-                inv_sigma = st._expand_sigma(np, sb, h, w, (0, 0))
             from ..native import filter_chain_native
 
-            out = filter_chain_native(chans, inv_sigma, gab, rf.epf_iters, rf)
+            out = filter_chain_native(
+                chans, sb, gab, rf.epf_iters, rf, sigma_is_block=True
+            )
+            if out is None and rf.epf_iters > 0:
+                inv_sigma = st._expand_sigma(np, sb, h, w, (0, 0))
             if out is None:
                 if gab is not None:
                     chans = [

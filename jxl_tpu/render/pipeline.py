@@ -104,15 +104,18 @@ def _run_filters_native(chans, ctx, gabw, rf, sig_info, epf_iters):
 
     h, w = chans[0].shape
     inv_sigma = None
+    sigma_is_block = False
     if rf is not None:
         use_ctx, sig_const = sig_info
         if use_ctx:
-            inv_sigma = st._expand_sigma(
-                np, np.asarray(ctx["sigma_block"]), h, w, (0, 0)
-            )
+            inv_sigma = np.asarray(ctx["sigma_block"])
+            sigma_is_block = True  # expanded in-kernel (saves two repeats)
         else:
-            inv_sigma = np.full((h, w), np.float32(sig_const))
-    out = filter_chain_native(chans[:3], inv_sigma, gabw, epf_iters, rf or _GAB_RF)
+            inv_sigma = np.full((-(-h // 8), -(-w // 8)), np.float32(sig_const))
+            sigma_is_block = True
+    out = filter_chain_native(
+        chans[:3], inv_sigma, gabw, epf_iters, rf or _GAB_RF, sigma_is_block
+    )
     if out is None:
         return None
     return out + list(chans[3:])
@@ -410,6 +413,60 @@ def convert_output_stage(fmt: str, channels) -> Stage:
 # -- patches (device scatter for eligible dictionaries) ----------------------
 
 
+def _patch_plan(frame, num_ec: int, h: int, w: int, max_layers: int = 4):
+    """Cheap (rect-only) eligibility + layer count for the dense device
+    patches formulation: uniform blending descriptor, reference frames
+    present, first-fit layer assignment within max_layers. Returns the
+    layer count or None — without materializing any dense plane."""
+    pd = frame.lf_global.patches
+    refs = (
+        frame.decoder_state.reference_frames if frame.decoder_state else [None] * 4
+    )
+    stride = pd.blendings_stride
+    n = len(pd.positions)
+    if n == 0:
+        return None
+    desc0 = tuple((b.mode, b.alpha_channel, b.clamp) for b in pd.blendings[:stride])
+    for pi in range(1, n):
+        if (
+            tuple(
+                (b.mode, b.alpha_channel, b.clamp)
+                for b in pd.blendings[pi * stride : (pi + 1) * stride]
+            )
+            != desc0
+        ):
+            return None
+    C = 3 + num_ec
+    layer_rects: list = []
+    for pos in pd.positions:
+        rp = pd.ref_positions[pos.ref_pos_idx]
+        ref = refs[rp.reference]
+        if ref is None or ref.get("frame") is None:
+            return None
+        rfp = ref["frame"]
+        if len(rfp) < C:
+            return None
+        ph = min(rp.ysize, h - pos.y, rfp[0].shape[0] - rp.y0)
+        pw = min(rp.xsize, w - pos.x, rfp[0].shape[1] - rp.x0)
+        if ph <= 0 or pw <= 0:
+            continue
+        rect = (pos.y, pos.y + ph, pos.x, pos.x + pw)
+        li = 0
+        while li < len(layer_rects) and any(
+            r[0] < rect[1] and rect[0] < r[1] and r[2] < rect[3] and rect[2] < r[3]
+            for r in layer_rects[li]
+        ):
+            li += 1
+        if li >= max_layers:
+            return None
+        if li == len(layer_rects):
+            layer_rects.append([])
+        layer_rects[li].append(rect)
+    if not layer_rects:
+        return None
+    return len(layer_rects)
+
+
 def _dense_patch_layers(frame, num_ec: int, h: int, w: int, max_layers: int = 4):
     """Precompute dense per-layer fg planes + coverage masks for the
     device patches stage (ref stages/patches.rs re-expressed as masked
@@ -484,15 +541,41 @@ def patches_stage(frame, num_ec: int, ctx: dict | None = None) -> Stage:
     Host fallback applies the full sequential dictionary."""
     pd = frame.lf_global.patches
     wc, hc = frame.header.size()
-    dense = (
-        _dense_patch_layers(frame, num_ec, hc, wc) if ctx is not None else None
-    )
+    num_layers = _patch_plan(frame, num_ec, hc, wc) if ctx is not None else None
 
-    if dense is not None:
-        fg_layers, mask_layers = dense
-        ctx["patch_fg"] = fg_layers
-        ctx["patch_mask"] = mask_layers
-        num_layers = fg_layers.shape[0]
+    def host_apply(chans):
+        out = [np.ascontiguousarray(p) for p in chans]
+        refs = (
+            frame.decoder_state.reference_frames
+            if frame.decoder_state
+            else [None] * 4
+        )
+        pd.apply(out, frame.file_header.image_metadata.extra_channel_info, refs)
+        return out
+
+    if num_layers is not None:
+        # dense layers materialize LAZILY (thunks in ctx, resolved by
+        # run_span_device at dispatch): host execution applies patches
+        # straight to their rects instead — whole-canvas fg planes and
+        # masked blends only pay off as fused device passes
+        def _materialize():
+            dense = _dense_patch_layers(frame, num_ec, hc, wc)
+            return dense if dense is not None else (None, None)
+
+        _cache: list = []
+
+        def fg_thunk():
+            if not _cache:
+                _cache.append(_materialize())
+            return _cache[0][0]
+
+        def mask_thunk():
+            if not _cache:
+                _cache.append(_materialize())
+            return _cache[0][1]
+
+        ctx["patch_fg"] = fg_thunk
+        ctx["patch_mask"] = mask_thunk
         stride = pd.blendings_stride
         color_blending = pd.blendings[0]
         ec_blending = list(pd.blendings[1:stride])
@@ -500,6 +583,8 @@ def patches_stage(frame, num_ec: int, ctx: dict | None = None) -> Stage:
         C = 3 + num_ec
 
         def fn(xp, chans, ctx_):
+            if xp is np:
+                return host_apply(chans)
             from ..features.blending import perform_blending
 
             fg_l = ctx_["patch_fg"]
@@ -526,14 +611,7 @@ def patches_stage(frame, num_ec: int, ctx: dict | None = None) -> Stage:
         )
 
     def fn(xp, chans, ctx_):
-        out = [np.ascontiguousarray(p) for p in chans]
-        refs = (
-            frame.decoder_state.reference_frames
-            if frame.decoder_state
-            else [None] * 4
-        )
-        pd.apply(out, frame.file_header.image_metadata.extra_channel_info, refs)
-        return out
+        return host_apply(chans)
 
     return Stage(
         "patches",

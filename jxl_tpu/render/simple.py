@@ -263,7 +263,8 @@ def color_convert_u8_native(frame, planes):
     from ..color.output import output_color_info
 
     info = output_color_info(frame.file_header)
-    if info.tf != ("enum", TransferFunction.SRGB):
+    nk = _native_tf_kind(info)
+    if nk is None:
         return None
     from .. import native
     from .stages import core as st
@@ -274,7 +275,28 @@ def color_convert_u8_native(frame, planes):
         frame.file_header.transform_data.opsin_inverse_matrix.opsin_biases,
         info.intensity_target,
         st.dither_table(),
+        nk[0],
+        nk[1],
     )
+
+
+def _native_tf_kind(info):
+    """(tf_kind, tf_p0) for the native color kernels (colors.cc), or None
+    when the TF needs the numpy path (HLG cross-channel OOTF)."""
+    kind, val = info.tf
+    if kind == "gamma":
+        return 3, float(val)
+    if val == TransferFunction.SRGB:
+        return 0, 0.0
+    if val == TransferFunction.PQ:
+        return 1, float(info.intensity_target) / 10000.0
+    if val == TransferFunction.BT709:
+        return 2, 0.0
+    if val == TransferFunction.DCI:
+        return 3, 1.0 / 2.6
+    if val == TransferFunction.LINEAR:
+        return 4, 0.0
+    return None
 
 
 def color_transform(frame, planes, xp=np):
@@ -290,6 +312,25 @@ def color_transform(frame, planes, xp=np):
         from ..color.output import output_color_info
 
         info = output_color_info(frame.file_header)
+        if xp is np:
+            nk = _native_tf_kind(info)
+            if nk is not None:
+                from .. import native
+
+                ps = [
+                    np.ascontiguousarray(p, dtype=np.float32)
+                    for p in planes[:3]
+                ]
+                if native.xyb_tf_f32_native(
+                    ps,
+                    info.matrix,
+                    frame.file_header.transform_data.opsin_inverse_matrix.opsin_biases,
+                    info.intensity_target,
+                    nk[0],
+                    nk[1],
+                ):
+                    planes[:3] = ps
+                    return planes
         r, g, b = xyb_to_linear(
             planes[0], planes[1], planes[2],
             frame.file_header.transform_data.opsin_inverse_matrix,

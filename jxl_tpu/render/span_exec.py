@@ -42,6 +42,10 @@ def run_span_device(span, planes, ctx, num_color=None):
         _CACHE[key] = fn
 
     chans_in = tuple(jnp.asarray(p) for p in planes)
-    ctx_vals = tuple(ctx[k] for k in ctx_keys)
+    # thunk entries (lazily-materialized per-frame data, e.g. dense patch
+    # layers) resolve only when a device program actually dispatches
+    ctx_vals = tuple(
+        ctx[k]() if callable(ctx[k]) else ctx[k] for k in ctx_keys
+    )
     out = fn(chans_in, ctx_vals)
     return [np.array(jax.device_get(o)) for o in out]

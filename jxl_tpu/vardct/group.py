@@ -129,10 +129,22 @@ def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = Tr
     keep = header.passes.num_passes > 1 or not frame.render_after_decode
     if keep and group in hf_global.hf_coefficients:
         coeffs = hf_global.hf_coefficients[group]
+    elif keep:
+        # kept coefficients live in one frame-wide pool (slot-addressed
+        # (G, 3, stride) views) so whole-frame render reads them in place
+        # instead of concatenating hundreds of per-group arrays
+        pool = getattr(hf_global, "coeff_pool", None)
+        if pool is None:
+            gxc, gyc = frame.header.size_groups()
+            pool = np.zeros((gxc * gyc, 3, GROUP_DIM * GROUP_DIM), dtype=np.int32)
+            hf_global.coeff_pool = pool
+            hf_global.coeff_pool_slots = {}
+        slots = hf_global.coeff_pool_slots
+        slot = slots.setdefault(group, len(slots))
+        coeffs = pool[slot]
+        hf_global.hf_coefficients[group] = coeffs
     else:
         coeffs = np.zeros((3, GROUP_DIM * GROUP_DIM), dtype=np.int32)
-        if keep:
-            hf_global.hf_coefficients[group] = coeffs
 
     from .. import native
 
@@ -160,6 +172,15 @@ def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = Tr
 
     if render and frame.render_after_decode:
         _render_group(frame, group, bl, coeffs)
+
+
+def _scatter_blocks(outp, pix, bx, by):
+    """Place (N, ph, pw) pixel blocks at (by*8, bx*8): one fancy-index
+    scatter (blocks never overlap, so assignment order is irrelevant)."""
+    n, ph, pw = pix.shape
+    rows = by[:, None, None] * BLOCK_DIM + np.arange(ph)[None, :, None]
+    cols = bx[:, None, None] * BLOCK_DIM + np.arange(pw)[None, None, :]
+    outp[rows, cols] = pix
 
 
 def _block_contexts(frame, bl, bctx, bx, by, tid, shape_id):
@@ -363,6 +384,9 @@ def render_vardct_frame_host(frame) -> None:
     ensure_pixel_buffers(frame)
     groups = sorted(hfc)
     stride = GROUP_DIM * GROUP_DIM
+    pool = getattr(frame.hf_global, "coeff_pool", None)
+    slots = getattr(frame.hf_global, "coeff_pool_slots", None)
+    pooled = pool is not None and slots is not None and all(g in slots for g in groups)
     bxs, bys, tids, offs = [], [], [], []
     for slot, g in enumerate(groups):
         bl = _BlockList(frame, g)
@@ -370,7 +394,13 @@ def render_vardct_frame_host(frame) -> None:
         bxs.append(bl.bxs + np.int32(gx0))
         bys.append(bl.bys + np.int32(gy0))
         tids.append(bl.tids)
-        offs.append(bl.offs + np.int32(slot * stride))
+        if pooled:
+            # address straight into the frame pool: (slot, c, off) lives at
+            # slot*3*stride + c*stride + off; channel views below are the
+            # flat pool shifted by c*stride, so no concatenation happens
+            offs.append(bl.offs.astype(np.int64) + np.int64(slots[g] * 3 * stride))
+        else:
+            offs.append(bl.offs + np.int32(slot * stride))
     if not bxs:
         return
     union = types.SimpleNamespace(
@@ -382,10 +412,16 @@ def render_vardct_frame_host(frame) -> None:
         tids=np.concatenate(tids),
         offs=np.concatenate(offs),
     )
-    coeffs = np.concatenate([hfc[g] for g in groups], axis=1)
+    if pooled:
+        flat = pool.reshape(-1)
+        coeffs = [flat, flat[stride:], flat[2 * stride:]]
+    else:
+        coeffs = np.concatenate([hfc[g] for g in groups], axis=1)
     _render_group(frame, None, union, coeffs)
     if header.passes.num_passes == 1:
         hfc.clear()
+        frame.hf_global.coeff_pool = None
+        frame.hf_global.coeff_pool_slots = None
 
 
 def _render_group(frame, group, bl, coeffs):
@@ -481,13 +517,7 @@ def _render_group(frame, group, bl, coeffs):
                     )
                     v[gby - oby0, :, gbx, :] = pix3[:, c]
                 else:
-                    for i, (x, y) in enumerate(
-                        zip(gbx.tolist(), (gby - oby0).tolist())
-                    ):
-                        outp[
-                            y * BLOCK_DIM : y * BLOCK_DIM + ph,
-                            x * BLOCK_DIM : x * BLOCK_DIM + pw,
-                        ] = pix3[i, c]
+                    _scatter_blocks(outp, pix3[:, c], gbx, gby - oby0)
             continue
 
         for c in (1, 0, 2):
@@ -526,16 +556,15 @@ def _render_group(frame, group, bl, coeffs):
                     v = outp.reshape(oh // BLOCK_DIM, BLOCK_DIM, ow // BLOCK_DIM, BLOCK_DIM)
                     v[lfy - oby, :, lfx, :] = pix
                     continue
-                for i, (x, y) in enumerate(zip(lfx.tolist(), (lfy - oby).tolist())):
-                    outp[y * BLOCK_DIM : y * BLOCK_DIM + ph, x * BLOCK_DIM : x * BLOCK_DIM + pw] = pix[i]
+                _scatter_blocks(outp, pix, lfx, lfy - oby)
                 continue
-            tiles = np.stack(
-                [
-                    lf_plane[y : y + cy, x : x + cx]
-                    for x, y in zip(lfx.tolist(), lfy.tolist())
-                ]
-            )
+            # vectorized (N, cy, cx) LF-tile gather (one fancy index, no
+            # per-block np.stack) — large transforms dominate HDR photos
+            iy = np.arange(cy)
+            ix = np.arange(cx)
+            tiles = lf_plane[
+                lfy[:, None, None] + iy[None, :, None],
+                lfx[:, None, None] + ix[None, None, :],
+            ]
             pix = transform_to_pixels_batch(np, tid, tiles, dq[sel, c])
-            ph, pw = pix.shape[1], pix.shape[2]
-            for i, (x, y) in enumerate(zip(lfx.tolist(), (lfy - oby).tolist())):
-                outp[y * BLOCK_DIM : y * BLOCK_DIM + ph, x * BLOCK_DIM : x * BLOCK_DIM + pw] = pix[i]
+            _scatter_blocks(outp, pix, lfx, lfy - oby)

@@ -81,3 +81,23 @@ def test_filter_chain_tiny_falls_back():
     rf = _Rf()
     planes, inv_sigma = _mk(4, 4)
     assert filter_chain_native(planes, inv_sigma, GAB, 2, rf) is None
+
+
+@pytest.mark.skipif(not available(), reason="native lib unavailable")
+def test_filter_chain_block_sigma():
+    """In-kernel block->pixel sigma expansion == _expand_sigma + px mode."""
+    rf = _Rf()
+    h, w = 41, 57
+    r = np.random.default_rng(7)
+    planes = [r.normal(size=(h, w)).astype(np.float32) * 0.3 for _ in range(3)]
+    sb = (-1.0 / (0.1 + r.random((-(-h // 8), -(-w // 8)), dtype=np.float32))).astype(
+        np.float32
+    )
+    sb[0, 1] = np.float32(st.MIN_SIGMA) * 1.5  # passthrough block
+    inv_px = st._expand_sigma(np, sb, h, w, (0, 0))
+    ref = filter_chain_native([p.copy() for p in planes], inv_px, GAB, 2, rf)
+    got = filter_chain_native(
+        [p.copy() for p in planes], sb, GAB, 2, rf, sigma_is_block=True
+    )
+    for c in range(3):
+        np.testing.assert_array_equal(got[c], ref[c])
