@@ -108,6 +108,11 @@ def generate_noise_field(frame) -> list[np.ndarray]:
     vfi = frame.decoder_state.visible_frame_index if frame.decoder_state else 1
     nfi = frame.decoder_state.nonvisible_frame_index if frame.decoder_state else 0
     bufs = [np.zeros((hu, wu), dtype=np.float32) for _ in range(3)]
+
+    from .. import native
+
+    if native.noise_field_native(bufs, up, group_dim, gx_count, gy_count, vfi, nfi):
+        return bufs
     FLOATS_PER_BATCH = 16
 
     for gy in range(gy_count):

@@ -83,6 +83,7 @@ def get_lib():
         lib.jxl_dequant_cfl.restype = None
         lib.jxl_xyb_srgb_u8.restype = None
         lib.jxl_xyb_tf_f32.restype = None
+        lib.jxl_noise_field.restype = None
         _lib = lib
     return _lib
 
@@ -766,5 +767,24 @@ def xyb_tf_f32_native(planes, mat, biases, intensity_target, tf_kind, tf_p0):
         _ptr(m, ctypes.c_float), _ptr(b, ctypes.c_float),
         ctypes.c_float(255.0 / float(intensity_target)),
         ctypes.c_int(int(tf_kind)), ctypes.c_float(float(tf_p0)),
+    )
+    return True
+
+
+def noise_field_native(bufs, up, group_dim, gx_count, gy_count, vfi, nfi):
+    """Fill 3 (hu, wu) f32 planes with the per-group xorshift128+ noise
+    field IN PLACE (native twin of features/noise.py generate_noise_field).
+    Returns True, or False when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    hu, wu = bufs[0].shape
+    lib.jxl_noise_field(
+        _ptr(bufs[0], ctypes.c_float), _ptr(bufs[1], ctypes.c_float),
+        _ptr(bufs[2], ctypes.c_float),
+        ctypes.c_int64(hu), ctypes.c_int64(wu),
+        ctypes.c_int(int(up)), ctypes.c_int(int(group_dim)),
+        ctypes.c_int(int(gx_count)), ctypes.c_int(int(gy_count)),
+        ctypes.c_uint32(int(vfi)), ctypes.c_uint32(int(nfi)),
     )
     return True

@@ -226,3 +226,101 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
 }
 
 }  // extern "C"
+
+namespace {
+
+// xorshift128+ with 8 interleaved lanes (ref util/xorshift128plus.rs;
+// python twin features/noise.py Xorshift128Plus — golden-tested there).
+struct Xor128 {
+  uint64_t s0[8], s1[8];
+  static uint64_t split_mix(uint64_t z) {
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  }
+  Xor128(uint64_t seed1, uint64_t seed2, uint64_t seed3, uint64_t seed4) {
+    s0[0] = split_mix(((seed1 << 32) + seed2) + 0x9E3779B97F4A7C15ULL);
+    s1[0] = split_mix(((seed3 << 32) + seed4) + 0x9E3779B97F4A7C15ULL);
+    for (int i = 1; i < 8; ++i) {
+      s0[i] = split_mix(s0[i - 1]);
+      s1[i] = split_mix(s1[i - 1]);
+    }
+  }
+  // 8 u64 of bits, advancing the state
+  void fill(uint64_t out[8]) {
+    for (int i = 0; i < 8; ++i) {
+      uint64_t ns1 = s0[i];
+      uint64_t ns0 = s1[i];
+      out[i] = ns1 + ns0;
+      ns1 ^= ns1 << 23;
+      ns1 = ns1 ^ ns0 ^ (ns1 >> 18) ^ (ns0 >> 5);
+      s0[i] = ns0;
+      s1[i] = ns1;
+    }
+  }
+};
+
+inline float bits_to_float(uint32_t b) {
+  uint32_t u = (b >> 9) | 0x3F800000u;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Whole-image 3-channel noise field: the native twin of
+// features/noise.py generate_noise_field (ref frame/decode.rs:585-695
+// with libjxl's ceil((sub_xsize+2)/16) row stride — see the python
+// docstring for why). bufs: 3 pointers to (hu, wu) f32.
+void jxl_noise_field(float* buf0, float* buf1, float* buf2, int64_t hu,
+                     int64_t wu, int up, int group_dim, int gx_count,
+                     int gy_count, uint32_t vfi, uint32_t nfi) {
+  float* bufs[3] = {buf0, buf1, buf2};
+  for (int gy = 0; gy < gy_count; ++gy) {
+    for (int gx = 0; gx < gx_count; ++gx) {
+      const int64_t bx0 = (int64_t)gx * up * group_dim;
+      const int64_t by0 = (int64_t)gy * up * group_dim;
+      const int64_t buf_xs =
+          std::min<int64_t>((int64_t)(gx + 1) * up * group_dim, wu) - bx0;
+      const int64_t buf_ys =
+          std::min<int64_t>((int64_t)(gy + 1) * up * group_dim, hu) - by0;
+      for (int iy = 0; iy < up; ++iy) {
+        for (int ix = 0; ix < up; ++ix) {
+          const int64_t x0 = ((int64_t)gx * up + ix) * group_dim;
+          const int64_t y0 = ((int64_t)gy * up + iy) * group_dim;
+          Xor128 rng(vfi, nfi, (uint64_t)x0, (uint64_t)y0);
+          const int64_t sx0 = (int64_t)ix * group_dim;
+          const int64_t sy0 = (int64_t)iy * group_dim;
+          const int64_t sub_xs =
+              std::min<int64_t>((int64_t)(ix + 1) * group_dim, buf_xs) - sx0;
+          const int64_t sub_ys =
+              std::min<int64_t>((int64_t)(iy + 1) * group_dim, buf_ys) - sy0;
+          if (sub_xs <= 0 || sub_ys <= 0) continue;
+          const int64_t nbatch = (sub_xs + 2 + 15) / 16;
+          uint64_t bits[8];
+          for (int c = 0; c < 3; ++c) {
+            for (int64_t y = 0; y < sub_ys; ++y) {
+              float* row = bufs[c] + (by0 + sy0 + y) * wu + bx0 + sx0;
+              for (int64_t b = 0; b < nbatch; ++b) {
+                rng.fill(bits);
+                const int64_t xoff = b * 16;
+                const int64_t take = std::min<int64_t>(16, sub_xs - xoff);
+                for (int64_t k = 0; k < take; ++k) {
+                  const uint32_t u32 =
+                      (k & 1) ? (uint32_t)(bits[k >> 1] >> 32)
+                              : (uint32_t)(bits[k >> 1] & 0xFFFFFFFFULL);
+                  row[xoff + k] = bits_to_float(u32);
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+}  // extern "C"
