@@ -62,6 +62,13 @@ def read_icc(br: BitReader) -> bytes:
     if length > (1 << 24):
         raise IccTooLarge("ICC too large")
     histograms = Histograms.decode(ICC_CONTEXTS, br, allow_lz77=True)
+
+    from .. import native
+
+    blob = native.decode_icc_native(histograms, br, length)
+    if blob is not None:
+        return _reconstruct_profile(blob)
+
     reader = SymbolReader(histograms, br)
     buf = bytearray()
     b1 = b2 = 0

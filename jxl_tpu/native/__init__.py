@@ -84,6 +84,7 @@ def get_lib():
         lib.jxl_xyb_srgb_u8.restype = None
         lib.jxl_xyb_tf_f32.restype = None
         lib.jxl_noise_field.restype = None
+        lib.jxl_decode_icc.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -788,3 +789,40 @@ def noise_field_native(bufs, up, group_dim, gx_count, gy_count, vfi, nfi):
         ctypes.c_uint32(int(vfi)), ctypes.c_uint32(int(nfi)),
     )
     return True
+
+
+def decode_icc_native(histograms, br, length: int):
+    """Decode `length` ICC bytes (per-byte two-previous-byte context model,
+    icc/decode.py read_icc semantics) natively. Returns bytes, or None
+    when the native library is unavailable; raises typed errors on
+    bitstream problems."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import InvalidBitstream, InvalidIccStream
+
+    ent = pack_entropy(histograms)
+    out = np.zeros(max(length, 1), dtype=np.uint8)
+    data = _databuf(br)
+    bit_pos = ctypes.c_uint64(br.pos)
+    ret = lib.jxl_decode_icc(
+        data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+        ctypes.c_int(ent["use_prefix"]),
+        _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
+        ctypes.c_int(ent["log_bucket"]),
+        _ptr(ent["huff_offsets"], ctypes.c_int32),
+        _ptr(ent["huff_bits"], ctypes.c_int32),
+        _ptr(ent["huff_values"], ctypes.c_int32),
+        _ptr(ent["context_map"], ctypes.c_uint8), ctypes.c_int(len(ent["context_map"])),
+        _ptr(ent["uint_configs"], ctypes.c_int32),
+        ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
+        ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
+        ctypes.c_int(ent["lz_dist_cluster"]), ctypes.c_uint32(0),
+        ctypes.c_int64(length), _ptr(out, ctypes.c_uint8),
+    )
+    if ret == 3:
+        raise InvalidIccStream("invalid ICC stream symbol")
+    if ret != 0:
+        raise InvalidBitstream("ICC entropy stream decode failed")
+    br.pos = bit_pos.value
+    return out.tobytes()[:length]

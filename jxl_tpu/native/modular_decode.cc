@@ -449,6 +449,79 @@ int jxl_read_unsigned_run(
   return 0;
 }
 
+// Entropy-coded ICC byte stream (ref icc/stream.rs; python twin
+// icc/decode.py read_icc): per-byte context from the previous two bytes,
+// serial by construction — the python reader spent ~2.5 s on half-MB
+// profiles. Returns 0 ok, 1 decode error, 2 overrun, 3 invalid symbol.
+static inline int icc_byte_ctx(int64_t size, uint32_t b1, uint32_t b2) {
+  if (size <= 128) return 0;
+  int p1;
+  if ((b1 >= 0x41 && b1 <= 0x5A) || (b1 >= 0x61 && b1 <= 0x7A)) p1 = 0;
+  else if ((b1 >= 0x30 && b1 <= 0x39) || b1 == 0x2E || b1 == 0x2C) p1 = 1;
+  else if (b1 <= 1) p1 = 2 + (int)b1;
+  else if (b1 <= 15) p1 = 4;
+  else if (b1 >= 241 && b1 <= 254) p1 = 5;
+  else if (b1 == 255) p1 = 6;
+  else p1 = 7;
+  int p2;
+  if ((b2 >= 0x41 && b2 <= 0x5A) || (b2 >= 0x61 && b2 <= 0x7A)) p2 = 0;
+  else if ((b2 >= 0x30 && b2 <= 0x39) || b2 == 0x2E || b2 == 0x2C) p2 = 1;
+  else if (b2 <= 15) p2 = 2;
+  else if (b2 >= 241) p2 = 3;
+  else p2 = 4;
+  return 1 + p1 + 8 * p2;
+}
+
+int jxl_decode_icc(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos,
+    int use_prefix, const int32_t* ans_tables, int ans_table_size,
+    int ans_log_bucket, const int32_t* huff_offsets, const int32_t* huff_bits,
+    const int32_t* huff_values, const uint8_t* context_map, int num_contexts,
+    const int32_t* uint_configs, int lz77_enabled, uint32_t min_symbol,
+    uint32_t min_length, const int32_t* lz_config, int lz_dist_cluster,
+    uint32_t dist_multiplier, int64_t length, uint8_t* out) {
+  BitReader br{data, size, *bit_pos};
+  EntropyDecoder dec;
+  dec.use_prefix = use_prefix != 0;
+  dec.ans = AnsTables{ans_tables, ans_table_size, ans_log_bucket,
+                      (1 << ans_log_bucket) - 1};
+  dec.huff = HuffTables{huff_offsets, huff_bits, huff_values};
+  dec.context_map = context_map;
+  dec.num_contexts = num_contexts;
+  std::vector<UintConfig> cfgs;
+  {
+    int n_clusters = 0;
+    for (int i = 0; i < num_contexts; i++)
+      if (context_map[i] + 1 > n_clusters) n_clusters = context_map[i] + 1;
+    cfgs.resize(n_clusters);
+    for (int i = 0; i < n_clusters; i++)
+      cfgs[i] = UintConfig{uint_configs[3 * i], uint_configs[3 * i + 1],
+                           uint_configs[3 * i + 2]};
+  }
+  dec.uint_configs = cfgs.data();
+  dec.lz77 = lz77_enabled != 0;
+  dec.min_symbol = min_symbol;
+  dec.min_length = min_length;
+  dec.dist_multiplier = dist_multiplier;
+  dec.lz_dist_cluster = lz_dist_cluster;
+  if (lz77_enabled)
+    dec.lz_len_config = UintConfig{lz_config[0], lz_config[1], lz_config[2]};
+  dec.Init(br);
+  uint32_t b1 = 0, b2 = 0;
+  for (int64_t i = 0; i < length; i++) {
+    const int ctx = icc_byte_ctx(i, b1, b2);
+    const uint32_t sym = dec.ReadUnsigned(br, ctx);
+    if (sym >= 256) return 3;
+    out[i] = (uint8_t)sym;
+    b2 = b1;
+    b1 = sym;
+  }
+  *bit_pos = br.pos;
+  if (dec.error || br.Overrun()) return br.Overrun() ? 2 : 1;
+  if (!dec.CheckFinal(br)) return 1;
+  return 0;
+}
+
 // Apply a Lehmer code: out_idx[i] = index of the (code[i]+1)-th smallest
 // still-unused element (order-statistics Fenwick tree, ref
 // headers/permutation.rs). Returns 0, or 1 on an invalid code value.
