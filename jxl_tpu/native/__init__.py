@@ -822,6 +822,11 @@ def decode_icc_native(histograms, br, length: int):
     )
     if ret == 3:
         raise InvalidIccStream("invalid ICC stream symbol")
+    if ret == 2:
+        # truncated input: the streaming machine rewinds and asks for more
+        from ..errors import OutOfBounds
+
+        raise OutOfBounds(1)
     if ret != 0:
         raise InvalidBitstream("ICC entropy stream decode failed")
     br.pos = bit_pos.value
