@@ -239,6 +239,14 @@ struct EntropyDecoder {
 constexpr int kPredExtraBits = 3;
 constexpr int64_t kPredictionRound = ((1 << kPredExtraBits) >> 1) - 1;
 
+// (1<<24)/(i+1) — global, so the per-pixel hot loops skip the local-
+// static init guard a function-local table would re-check every call
+struct DivLut {
+  uint32_t v[64];
+  DivLut() { for (int i = 0; i < 64; i++) v[i] = (1u << 24) / (i + 1); }
+};
+static const DivLut kDivLut;
+
 struct WPState {
   int xsize;
   std::vector<uint32_t> pred_errors[4];
@@ -248,15 +256,7 @@ struct WPState {
   int64_t prediction[4];
   int64_t pred = 0;
 
-  static const uint32_t* DivLookup() {
-    static uint32_t lut[64];
-    static bool init = false;
-    if (!init) {
-      for (int i = 0; i < 64; i++) lut[i] = (1u << 24) / (i + 1);
-      init = true;
-    }
-    return lut;
-  }
+  static const uint32_t* DivLookup() { return kDivLut.v; }
 
   void Init(const int32_t* params, int xs) {
     xsize = xs;
