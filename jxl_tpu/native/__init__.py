@@ -645,7 +645,12 @@ def filter_chain_native(
     h, w = planes[0].shape
     if h < 8 or w < 8:
         return None  # mirror excursions need n >= border; numpy handles tiny frames
-    ps = [np.ascontiguousarray(p, dtype=np.float32) for p in planes]
+    # the kernel filters in place: never alias the caller's arrays
+    # (ascontiguousarray is a no-op on contiguous f32 input)
+    ps = []
+    for p in planes:
+        q = np.ascontiguousarray(p, dtype=np.float32)
+        ps.append(p.copy() if q is p else q)
     if inv_sigma_px is not None:
         if sigma_is_block:
             sbh, sbw = -(-h // 8), -(-w // 8)

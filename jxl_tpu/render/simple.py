@@ -317,10 +317,13 @@ def color_transform(frame, planes, xp=np):
             if nk is not None:
                 from .. import native
 
-                ps = [
-                    np.ascontiguousarray(p, dtype=np.float32)
-                    for p in planes[:3]
-                ]
+                # the native kernel writes in place: always hand it
+                # copies (ascontiguousarray is a no-op on contiguous f32
+                # input, which would mutate the caller's planes)
+                ps = []
+                for p in planes[:3]:
+                    q = np.ascontiguousarray(p, dtype=np.float32)
+                    ps.append(p.copy() if q is p else q)
                 if native.xyb_tf_f32_native(
                     ps,
                     info.matrix,
