@@ -79,7 +79,14 @@ def _run_child(kind: str, fname: str) -> None:
         mp, best = bench_one(CORPUS / fname)
         print(json.dumps({"mp": mp, "best": best}))
     else:
-        print(json.dumps({"mps": bench_device_render()}))
+        # probe first (hard 45 s budget): a wedged tunnel would hang the
+        # render dispatch for the full child timeout otherwise
+        from jxl_tpu.utils.devhealth import device_ok
+
+        if not device_ok():
+            print(json.dumps({"mps": 0.0, "skipped": "device wedged/off"}))
+        else:
+            print(json.dumps({"mps": bench_device_render()}))
 
 
 def main():
@@ -121,7 +128,10 @@ def main():
             timeout=int(os.environ.get("JXL_BENCH_TIMEOUT", "900")),
         )
         out = json.loads(r.stdout.strip().splitlines()[-1])
-        detail["device_render_mps"] = round(out["mps"], 1)
+        if out.get("skipped"):
+            detail["device_render"] = out["skipped"]
+        else:
+            detail["device_render_mps"] = round(out["mps"], 1)
     except subprocess.TimeoutExpired:
         detail["render_error"] = "timeout (tunnel stall?)"
     except Exception as e:  # pragma: no cover
