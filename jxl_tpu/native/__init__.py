@@ -94,7 +94,13 @@ def available() -> bool:
 
 
 def _ptr(arr, typ):
-    return arr.ctypes.data_as(ctypes.POINTER(typ))
+    # c_void_p(addr) is ~2x cheaper than data_as(POINTER(typ)) and ctypes
+    # passes either identically to untyped (no-argtypes) foreign calls.
+    # Pin the array on the pointer object (like data_as does) so inline
+    # temporaries stay alive for the duration of the foreign call.
+    p = ctypes.c_void_p(arr.ctypes.data)
+    p._arr = arr
+    return p
 
 
 
@@ -265,16 +271,17 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     max_clusters = min(num_contexts + 1, 256)
     meta = np.zeros(16, dtype=np.int32)
     lz_cfg = np.zeros(3, dtype=np.int32)
-    cmap = np.zeros(num_contexts + 1, dtype=np.uint8)
-    cfgs = np.zeros((max_clusters, 3), dtype=np.int32)
-    tables = np.zeros((max_clusters, 5, 256), dtype=np.int32)
-    singles = np.zeros(max_clusters, dtype=np.int32)
-    huff_off = np.zeros(max_clusters, dtype=np.int32)
+    # scratch the native decoder fully writes for the region we slice
+    cmap = np.empty(num_contexts + 1, dtype=np.uint8)
+    cfgs = np.empty((max_clusters, 3), dtype=np.int32)
+    tables = np.empty((max_clusters, 5, 256), dtype=np.int32)
+    singles = np.empty(max_clusters, dtype=np.int32)
+    huff_off = np.empty(max_clusters, dtype=np.int32)
     huff_cap = 1 << 14
     data = _databuf(br)
     while True:
-        huff_bits = np.zeros(huff_cap, dtype=np.int32)
-        huff_vals = np.zeros(huff_cap, dtype=np.int32)
+        huff_bits = np.empty(huff_cap, dtype=np.int32)
+        huff_vals = np.empty(huff_cap, dtype=np.int32)
         bit_pos = ctypes.c_uint64(br.pos)
         ret = lib.jxl_decode_histograms(
             data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
@@ -316,6 +323,9 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
         HybridUint(int(cfgs[c, 0]), int(cfgs[c, 1]), int(cfgs[c, 2]))
         for c in range(num_clusters)
     ]
+    cfgs_arr = np.ascontiguousarray(cfgs[:num_clusters])
+    lz_cfg_arr = lz_cfg.copy() if h.lz77_enabled else np.zeros(3, dtype=np.int32)
+    ctx_arr = cmap[:n_ctx].copy()
     if h.use_prefix_code:
         from ..entropy.huffman import NativeHuffmanCodes
 
@@ -324,6 +334,22 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
             huff_off[:num_clusters].copy(), huff_bits[:n].copy(),
             huff_vals[:n].copy(), singles[:num_clusters].copy(),
         )
+        h._native_packed = {
+            "use_prefix": 1,
+            "ans_tables": np.zeros(1, dtype=np.int32),
+            "table_size": 0,
+            "log_bucket": 0,
+            "huff_offsets": h.codes.offsets,
+            "huff_bits": h.codes.bits,
+            "huff_values": h.codes.values,
+            "context_map": ctx_arr,
+            "uint_configs": cfgs_arr,
+            "lz77": int(h.lz77_enabled),
+            "min_symbol": h.lz77_min_symbol,
+            "min_length": h.lz77_min_length,
+            "lz_cfg": lz_cfg_arr,
+            "lz_dist_cluster": h.lz_dist_cluster,
+        }
     else:
         # the native decoder packs clusters contiguously at stride table_size
         packed = (
@@ -334,6 +360,22 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
         h.codes = NativeAnsCodes(
             packed, singles[:num_clusters].copy(), int(meta[9])
         )
+        h._native_packed = {
+            "use_prefix": 0,
+            "ans_tables": packed,
+            "table_size": table_size,
+            "log_bucket": int(meta[9]),
+            "huff_offsets": np.zeros(1, dtype=np.int32),
+            "huff_bits": np.zeros(1, dtype=np.int32),
+            "huff_values": np.zeros(1, dtype=np.int32),
+            "context_map": ctx_arr,
+            "uint_configs": cfgs_arr,
+            "lz77": int(h.lz77_enabled),
+            "min_symbol": h.lz77_min_symbol,
+            "min_length": h.lz77_min_length,
+            "lz_cfg": lz_cfg_arr,
+            "lz_dist_cluster": h.lz_dist_cluster,
+        }
     return h
 
 
@@ -376,8 +418,9 @@ def decode_tree_native(histograms, br, size_limit: int):
     ent = pack_entropy(histograms)
     data = _databuf(br)
     cap = 1 << 12
+    # (tree nodes scratch below is sliced to the decoded count)
     while True:
-        nodes = np.zeros((cap, 8), dtype=np.int32)
+        nodes = np.empty((cap, 8), dtype=np.int32)
         count = ctypes.c_int64(0)
         max_prop = ctypes.c_int32(0)
         bit_pos = ctypes.c_uint64(br.pos)
@@ -518,17 +561,30 @@ def decode_modular_native(
         except AttributeError:
             pass
 
-    # scratch contiguous buffer holding all channels
-    total = sum(b.data.shape[0] * b.data.shape[1] for b in buffers)
-    # every live channel element is written by the decode loops
-    out = np.empty(max(total, 1), dtype=np.int32)
-    chan_info = np.zeros((len(buffers), 6), dtype=np.int64)
-    off = 0
-    for i, b in enumerate(buffers):
-        h, w = b.data.shape
-        shift = b.shift if b.shift is not None else (-1, -1)
-        chan_info[i] = (w, h, shift[0], shift[1], w, off)
-        off += h * w
+    # Channels decode straight into the caller's planes (flag bit 2:
+    # ChannelDesc.offset carries the absolute base address) when every
+    # buffer is a C-contiguous int32 plane; otherwise fall back to the
+    # packed scratch + copy-out layout.
+    direct = all(
+        b.data.dtype == np.int32 and b.data.flags.c_contiguous for b in buffers
+    )
+    chan_info = np.empty((max(len(buffers), 1), 6), dtype=np.int64)
+    if direct:
+        out = np.empty(1, dtype=np.int32)
+        for i, b in enumerate(buffers):
+            h, w = b.data.shape
+            shift = b.shift if b.shift is not None else (-1, -1)
+            chan_info[i] = (w, h, shift[0], shift[1], w, b.data.ctypes.data)
+    else:
+        total = sum(b.data.shape[0] * b.data.shape[1] for b in buffers)
+        # every live channel element is written by the decode loops
+        out = np.empty(max(total, 1), dtype=np.int32)
+        off = 0
+        for i, b in enumerate(buffers):
+            h, w = b.data.shape
+            shift = b.shift if b.shift is not None else (-1, -1)
+            chan_info[i] = (w, h, shift[0], shift[1], w, off)
+            off += h * w
 
     data = _databuf(br)
     bit_pos = ctypes.c_uint64(br.pos)
@@ -565,24 +621,27 @@ def decode_modular_native(
         ctypes.c_int(
             (1 if residuals else 0)
             | (2 if os.environ.get("JXL_TPU_NO_GRAD_SPEC") else 0)
+            | (4 if direct else 0)
         ),
     )
     if ret != 0:
         if partial_out is not None:
             partial_out[0] = int(num_decoded.value)
-            off = 0
-            for i, b in enumerate(buffers):
-                h, w = b.data.shape
-                if i < num_decoded.value:
-                    b.data[...] = out[off : off + h * w].reshape(h, w)
-                off += h * w
+            if not direct:
+                off = 0
+                for i, b in enumerate(buffers):
+                    h, w = b.data.shape
+                    if i < num_decoded.value:
+                        b.data[...] = out[off : off + h * w].reshape(h, w)
+                    off += h * w
         raise NativeDecodeError(f"native modular decode failed (code {ret})")
     br.pos = bit_pos.value
-    off = 0
-    for b in buffers:
-        h, w = b.data.shape
-        b.data[...] = out[off : off + h * w].reshape(h, w)
-        off += h * w
+    if not direct:
+        off = 0
+        for b in buffers:
+            h, w = b.data.shape
+            b.data[...] = out[off : off + h * w].reshape(h, w)
+            off += h * w
     return True
 
 

@@ -85,7 +85,11 @@ struct EntropyDecoder {
   uint32_t min_symbol, min_length, dist_multiplier;
   UintConfig lz_len_config;
   int lz_dist_cluster;
-  std::vector<uint32_t> window;
+  // 4 MiB LZ77 ring; thread-local and reused across calls (a fresh
+  // zero-filled vector per decode call dominated small-stream decode
+  // cost). Stale contents are never read: distances clamp to
+  // num_decoded, so only entries written by THIS stream are reachable.
+  uint32_t* window = nullptr;
   uint32_t num_to_copy = 0, copy_pos = 0, num_decoded = 0;
   bool error = false;
 
@@ -93,7 +97,11 @@ struct EntropyDecoder {
 
   void Init(BitReader& br) {
     ans_state = use_prefix ? 0x130000u : (uint32_t)br.Read(32);
-    if (lz77) window.resize(1u << 20);
+    if (lz77) {
+      static thread_local std::vector<uint32_t> tl_window;
+      if (tl_window.size() < (1u << 20)) tl_window.resize(1u << 20);
+      window = tl_window.data();
+    }
   }
 
   uint32_t ReadToken(BitReader& br, int cluster) {
@@ -606,7 +614,14 @@ int jxl_decode_modular(
     // bit 0: emit raw signed residuals instead of reconstructed values
     // (honored only for gradient-only trees; the caller checks the tree
     // shape first — the device wavefront reconstruction consumes these)
+    // bit 2: each ChannelDesc.offset is the channel's absolute base
+    // address in bytes (caller-owned plane written in place, no scratch)
     int flags) {
+  auto chan_base = [out, flags](const ChannelDesc& cd) -> int32_t* {
+    return (flags & 4) != 0
+               ? reinterpret_cast<int32_t*>(static_cast<intptr_t>(cd.offset))
+               : out + cd.offset;
+  };
   BitReader br{data, size, *bit_pos};
   EntropyDecoder dec;
   dec.use_prefix = use_prefix != 0;
@@ -687,7 +702,7 @@ int jxl_decode_modular(
       int w = (int)cd.w, h = (int)cd.h;
       if (w == 0 || h == 0) continue;
       mark_safe(ci);
-      int32_t* base_ptr = out + cd.offset;
+      int32_t* base_ptr = chan_base(cd);
       int64_t stride = cd.row_stride;
       // walk tree on property 0 = channel index
       const TreeNode* node = &tree[0];
@@ -765,7 +780,7 @@ int jxl_decode_modular(
       int w = (int)cd.w, h = (int)cd.h;
       if (w == 0 || h == 0) continue;
       mark_safe(ci);
-      int32_t* base_ptr = out + cd.offset;
+      int32_t* base_ptr = chan_base(cd);
       int64_t stride = cd.row_stride;
       // walk tree on property 0 = channel index, once per channel
       const TreeNode* node = &tree[0];
@@ -831,7 +846,7 @@ int jxl_decode_modular(
       int w = (int)cd.w, h = (int)cd.h;
       if (w == 0 || h == 0) continue;
       mark_safe(ci);
-      int32_t* base_ptr = out + cd.offset;
+      int32_t* base_ptr = chan_base(cd);
       int64_t stride = cd.row_stride;
       wp.Init(wp_params, w);
       for (int y = 0; y < h; y++) {
@@ -884,7 +899,7 @@ int jxl_decode_modular(
     int w = (int)cd.w, h = (int)cd.h;
     if (w == 0 || h == 0) continue;
     mark_safe(ci);
-    int32_t* base = out + cd.offset;
+    int32_t* base = chan_base(cd);
     int64_t stride = cd.row_stride;
     props[0] = ci;
     if (use_wp) wp.Init(wp_params, w);
@@ -905,7 +920,7 @@ int jxl_decode_modular(
           if (rd.w != cd.w || rd.h != cd.h || rd.shift0 != cd.shift0 ||
               rd.shift1 != cd.shift1)
             continue;
-          const int32_t* rrow = out + rd.offset + (int64_t)y * rd.row_stride;
+          const int32_t* rrow = chan_base(rd) + (int64_t)y * rd.row_stride;
           const int32_t* rprev = y > 0 ? rrow - rd.row_stride : nullptr;
           for (int x = 0; x < w; x++) {
             int32_t* r = refs.data() + (size_t)x * num_ref_props + offset;

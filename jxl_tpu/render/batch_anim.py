@@ -390,8 +390,12 @@ def render_frames_batched_host(frames: list, out_format: str):
     )
 
     # ---- global (frame, group) block tables ------------------------------
-    by_tid: dict[int, list] = {}
+    # Accumulate raw per-group block arrays in the frame loop, then
+    # partition by transform type ONCE over the global concatenation (the
+    # per-frame per-type masking dominated this function's own time).
     coeff_parts = []
+    acc: list[list] = [[] for _ in range(7)]  # gbx, gby, fi, off, scl, xcc, bcc
+    tid_parts = []
     lf_all = np.zeros((3, F, cbh, cbw), np.float32)
     stride = GROUP_PX * GROUP_PX
     gid = 0
@@ -430,29 +434,40 @@ def render_frames_batched_host(frames: list, out_format: str):
                 np.float32(ccp.base_correlation_b)
                 + ytob[ty, tx].astype(np.float32) / np.float32(ccp.color_factor)
             )
-            for t in np.unique(bl.tids).tolist():
-                m = bl.tids == t
-                by_tid.setdefault(int(t), []).append(
-                    (
-                        gbx[m], gby[m],
-                        np.full(int(m.sum()), fi, np.int32),
-                        bl.offs[m] + np.int32(gid * stride),
-                        scales[m], x_cc[m], b_cc[m],
-                    )
-                )
+            tid_parts.append(bl.tids)
+            for a, v in zip(
+                acc,
+                (
+                    gbx, gby,
+                    np.full(len(gbx), fi, np.int32),
+                    bl.offs.astype(np.int64) + gid * stride,
+                    scales, x_cc, b_cc,
+                ),
+            ):
+                a.append(v)
             gid += 1
     coeffs = np.concatenate(coeff_parts, axis=1) if coeff_parts else None
 
+    all_tids = np.concatenate(tid_parts) if tid_parts else np.zeros(0, np.int32)
+    g_gbx = np.concatenate(acc[0]).astype(np.int32) if tid_parts else None
+    g_gby = np.concatenate(acc[1]).astype(np.int32) if tid_parts else None
+    g_fidx = np.concatenate(acc[2]) if tid_parts else None
+    g_off = np.concatenate(acc[3]).astype(np.int64) if tid_parts else None
+    g_scl = np.concatenate(acc[4]).astype(np.float32) if tid_parts else None
+    g_xcc = np.concatenate(acc[5]).astype(np.float32) if tid_parts else None
+    g_bcc = np.concatenate(acc[6]).astype(np.float32) if tid_parts else None
+
     planes = np.zeros((F, 3, Hp, Wp), np.float32)
     pv = planes.reshape(F, 3, cbh, 8, cbw, 8)
-    for t, parts in by_tid.items():
-        gbx = np.concatenate([p[0] for p in parts]).astype(np.int32)
-        gby = np.concatenate([p[1] for p in parts]).astype(np.int32)
-        fidx = np.concatenate([p[2] for p in parts])
-        off = np.concatenate([p[3] for p in parts]).astype(np.int64)
-        scl = np.concatenate([p[4] for p in parts]).astype(np.float32)
-        xcc = np.concatenate([p[5] for p in parts]).astype(np.float32)
-        bcc = np.concatenate([p[6] for p in parts]).astype(np.float32)
+    for t in np.unique(all_tids).tolist():
+        m = all_tids == t
+        gbx = g_gbx[m]
+        gby = g_gby[m]
+        fidx = g_fidx[m]
+        off = g_off[m]
+        scl = g_scl[m]
+        xcc = g_xcc[m]
+        bcc = g_bcc[m]
         cx = covered_blocks_x(t)
         cy = covered_blocks_y(t)
         nc = cx * cy * BLOCK_SIZE
@@ -552,19 +567,31 @@ def render_frames_batched_host(frames: list, out_format: str):
             ]
         out = np.stack(stacked, axis=-1).reshape(F, h, w, 3)
         return out
-    # mixed frame sizes: per-frame color, placed at (0,0) of a canvas-
-    # sized output so the caller's crop indexing works uniformly
+    # mixed frame sizes: ONE stacked color + convert pass over a padded
+    # column of frames (48 per-frame native color calls cost more than the
+    # dead pixels). Each frame sits at a 32-row-aligned offset so the
+    # blue-noise dither phase matches the per-frame path exactly; color is
+    # pointwise, so stacking is bit-exact. Output is canvas-sized with
+    # content at (0,0) so the caller's crop indexing works uniformly.
+    Hs = -(-Hp // 32) * 32
+    stacked = np.zeros((3, F * Hs, Wp), np.float32)
+    for fi, chans in enumerate(filtered):
+        h, w = chans[0].shape
+        for c in range(3):
+            stacked[c, fi * Hs : fi * Hs + h, :w] = chans[c]
+    schans = render_simple.color_transform(f0, [stacked[c] for c in range(3)], xp=np)
+    if out_format != "f32":
+        schans = [
+            st.convert_output(np, p, out_format, channel=i)
+            for i, p in enumerate(schans)
+        ]
     dtype = {"u8": np.uint8, "u16": np.uint16, "f16": np.float16}.get(
         out_format, np.float32
     )
     out = np.zeros((F, Hp, Wp, 3), dtype)
     for fi, chans in enumerate(filtered):
-        chans = render_simple.color_transform(f0, list(chans), xp=np)
-        if out_format != "f32":
-            chans = [
-                st.convert_output(np, p, out_format, channel=i)
-                for i, p in enumerate(chans)
-            ]
         h, w = chans[0].shape
-        out[fi, :h, :w] = np.stack(chans, axis=-1)
+        out[fi, :h, :w] = np.stack(
+            [schans[c][fi * Hs : fi * Hs + h, :w] for c in range(3)], axis=-1
+        )
     return out
