@@ -84,6 +84,7 @@ def get_lib():
         lib.jxl_xyb_srgb_u8.restype = None
         lib.jxl_xyb_tf_f32.restype = None
         lib.jxl_noise_field.restype = None
+        lib.jxl_dct8_fused.restype = ctypes.c_int
         lib.jxl_decode_icc.restype = ctypes.c_int
         _lib = lib
     return _lib
@@ -642,6 +643,41 @@ def decode_modular_native(
             h, w = b.data.shape
             b.data[...] = out[off : off + h * w].reshape(h, w)
             off += h * w
+    return True
+
+
+def dct8_fused_native(
+    coeffs3, offs, scales, xcc, bcc, mats, biases, lf3, idct8,
+    out_planes, gbx, gby, fidx=None, frame_stride=0,
+):
+    """Fused dequant+CfL+IDCT8+scatter for 444 single-block DCT8 buckets.
+
+    coeffs3: three int32 channel arrays (views sharing offs indexing);
+    out_planes: three C-contiguous f32 planes (same width); with fidx,
+    each plane pointer advances fidx[i]*frame_stride floats per block
+    (batched animation layout). Returns False when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    n = len(offs)
+    if n == 0:
+        return True
+    ow = out_planes[0].shape[-1]
+    lib.jxl_dct8_fused(
+        _ptr(coeffs3[0], ctypes.c_int32), _ptr(coeffs3[1], ctypes.c_int32),
+        _ptr(coeffs3[2], ctypes.c_int32),
+        _ptr(offs, ctypes.c_int64), ctypes.c_int64(n),
+        _ptr(scales, ctypes.c_float), _ptr(xcc, ctypes.c_float),
+        _ptr(bcc, ctypes.c_float), _ptr(mats, ctypes.c_float),
+        _ptr(biases, ctypes.c_float), _ptr(lf3, ctypes.c_float),
+        _ptr(idct8, ctypes.c_float),
+        _ptr(out_planes[0], ctypes.c_float), _ptr(out_planes[1], ctypes.c_float),
+        _ptr(out_planes[2], ctypes.c_float),
+        ctypes.c_int64(frame_stride),
+        _ptr(fidx, ctypes.c_int32) if fidx is not None else None,
+        _ptr(gbx, ctypes.c_int32), _ptr(gby, ctypes.c_int32),
+        ctypes.c_int64(ow),
+    )
     return True
 
 

@@ -96,28 +96,66 @@ void gaborish_plane(const float* in, float* out, int h, int w, int B,
   }
 }
 
-template <int NN, int NP>
+// Shared-difference-plane EPF step: every neighbor SAD is a sum of NP
+// shifted rows of D_v(b) = sum_c cs[c]*|I_c(b) - I_c(b+v)| where v runs
+// over the NB unique +/- neighbor-pair vectors (|I(a+p)-I(a-v+p)| =
+// D_v(a-v+p)), so the abs-diff work drops from NN*3*NP plane passes to
+// NB fused passes plus NN*NP row adds — the same restructuring libjxl's
+// SIMD EPF uses.
+template <int NB, int NN, int NP>
 void epf_step_t(const float* const in[3], float* const out[3], int h, int w,
                 int B, const float* inv_sigma, int sigma_is_block,
-                const Off (&neigh)[NN], const Off (&pat)[NP], const float cs[3],
+                const Off (&base_v)[NB], const Off (&neigh)[NN],
+                const int (&nmap)[NN], const int (&nsign)[NN],
+                const Off (&pat)[NP], const float cs[3],
                 float sm, float bsm) {
   const int W = w + 2 * B;
+  const int H = h + 2 * B;
+  const size_t psz = (size_t)H * W;
   const int sbw = sigma_is_block ? (w + 7) / 8 : w;
   std::vector<float> sigrow(sigma_is_block ? w : 0);
   std::vector<float> sadbuf((size_t)NN * w);
+  static thread_local std::vector<float> dbuf;
+  if (dbuf.size() < (size_t)NB * psz) dbuf.resize((size_t)NB * psz);
+  // D planes over the padded grid (rows/cols where b and b+v both exist)
+  for (int v = 0; v < NB; ++v) {
+    const int vy = base_v[v].dy, vx = base_v[v].dx;
+    float* D = dbuf.data() + (size_t)v * psz;
+    const int ylim = H - vy;   // vy, vx >= 0 by construction
+    const int xlim = W - vx;
+    for (int y = 0; y < ylim; ++y) {
+      float* drow = D + (size_t)y * W;
+      const float* a0 = in[0] + (size_t)y * W;
+      const float* b0 = a0 + (std::ptrdiff_t)vy * W + vx;
+      const float* a1 = in[1] + (size_t)y * W;
+      const float* b1 = a1 + (std::ptrdiff_t)vy * W + vx;
+      const float* a2 = in[2] + (size_t)y * W;
+      const float* b2 = a2 + (std::ptrdiff_t)vy * W + vx;
+      const float s0 = cs[0], s1 = cs[1], s2 = cs[2];
+      for (int x = 0; x < xlim; ++x)
+        drow[x] = s0 * std::fabs(a0[x] - b0[x]) +
+                  s1 * std::fabs(a1[x] - b1[x]) +
+                  s2 * std::fabs(a2[x] - b2[x]);
+    }
+  }
   for (int y = 0; y < h; ++y) {
     float* sad = sadbuf.data();
-    std::memset(sad, 0, sizeof(float) * (size_t)NN * w);
     for (int n = 0; n < NN; ++n) {
       float* srow = sad + (size_t)n * w;
-      for (int c = 0; c < 3; ++c) {
-        const float s = cs[c];
-        const float* base = in[c] + (size_t)(y + B) * W + B;
-        for (int p = 0; p < NP; ++p) {
-          const float* a = base + (std::ptrdiff_t)pat[p].dy * W + pat[p].dx;
-          const float* b = a + (std::ptrdiff_t)neigh[n].dy * W + neigh[n].dx;
-          for (int x = 0; x < w; ++x) srow[x] += s * std::fabs(a[x] - b[x]);
-        }
+      const int v = nmap[n];
+      const float* D = dbuf.data() + (size_t)v * psz;
+      // b = a + p (positive sign) or a - v + p (negative sign)
+      const int oy = (nsign[n] > 0 ? 0 : -base_v[v].dy);
+      const int ox = (nsign[n] > 0 ? 0 : -base_v[v].dx);
+      {
+        const float* r = D + (size_t)(y + B + oy + pat[0].dy) * W + B + ox +
+                         pat[0].dx;
+        for (int x = 0; x < w; ++x) srow[x] = r[x];
+      }
+      for (int p = 1; p < NP; ++p) {
+        const float* r = D + (size_t)(y + B + oy + pat[p].dy) * W + B + ox +
+                         pat[p].dx;
+        for (int x = 0; x < w; ++x) srow[x] += r[x];
       }
     }
     const float* isg;
@@ -173,7 +211,14 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
   const int B = 3;  // max border of any step; shared padded layout
   const int W = w + 2 * B;
   const size_t psz = (size_t)(h + 2 * B) * W;
-  std::vector<float> bufa(3 * psz), bufb(3 * psz);
+  // reused across calls, never zero-filled: every region read is written
+  // first (pad_mirror fills bufa fully; steps write interiors and then
+  // refresh_borders rebuilds the borders)
+  static thread_local std::vector<float> bufa_tl, bufb_tl;
+  if (bufa_tl.size() < 3 * psz) bufa_tl.resize(3 * psz);
+  if (bufb_tl.size() < 3 * psz) bufb_tl.resize(3 * psz);
+  std::vector<float>& bufa = bufa_tl;
+  std::vector<float>& bufb = bufb_tl;
   float* pa[3] = {bufa.data(), bufa.data() + psz, bufa.data() + 2 * psz};
   float* pb[3] = {bufb.data(), bufb.data() + psz, bufb.data() + 2 * psz};
   float* planes[3] = {plane0, plane1, plane2};
@@ -198,18 +243,30 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
       cpa[c] = pa[c];
       cpb[c] = pb[c];
     }
+    // unique +/- pair base vectors and the neighbor->base maps
+    static constexpr Off kEpf0Base[6] = {{2, 0}, {1, 1}, {1, 0},
+                                         {1, -1}, {0, 2}, {0, 1}};
+    static constexpr int kEpf0Map[12] = {0, 1, 2, 3, 4, 5, 5, 4, 3, 2, 1, 0};
+    static constexpr int kEpf0Sign[12] = {-1, -1, -1, -1, -1, -1,
+                                          1, 1, 1, 1, 1, 1};
+    static constexpr Off kEpf1Base[2] = {{1, 0}, {0, 1}};
+    static constexpr int kEpf1Map[4] = {0, 1, 1, 0};
+    static constexpr int kEpf1Sign[4] = {-1, -1, 1, 1};
     if (step == 0) {
-      epf_step_t<12, 5>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
-                        kEpf0Neigh, kPlus5, cs, pass0_sigma_scale * 1.65f,
-                        pass0_sigma_scale * 1.65f * border_sad_mul);
+      epf_step_t<6, 12, 5>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
+                           kEpf0Base, kEpf0Neigh, kEpf0Map, kEpf0Sign, kPlus5,
+                           cs, pass0_sigma_scale * 1.65f,
+                           pass0_sigma_scale * 1.65f * border_sad_mul);
     } else if (step == 1) {
-      epf_step_t<4, 5>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
-                       kEpf1Neigh, kPlus5, cs, 1.65f, 1.65f * border_sad_mul);
+      epf_step_t<2, 4, 5>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
+                          kEpf1Base, kEpf1Neigh, kEpf1Map, kEpf1Sign, kPlus5,
+                          cs, 1.65f, 1.65f * border_sad_mul);
     } else {
       constexpr Off kSelf[1] = {{0, 0}};
-      epf_step_t<4, 1>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
-                       kEpf1Neigh, kSelf, cs, pass2_sigma_scale * 1.65f,
-                       pass2_sigma_scale * 1.65f * border_sad_mul);
+      epf_step_t<2, 4, 1>(cpa, cpb, h, w, B, inv_sigma_px, sigma_is_block,
+                          kEpf1Base, kEpf1Neigh, kEpf1Map, kEpf1Sign, kSelf,
+                          cs, pass2_sigma_scale * 1.65f,
+                          pass2_sigma_scale * 1.65f * border_sad_mul);
     }
     for (int c = 0; c < 3; ++c) std::swap(pa[c], pb[c]);
     for (int c = 0; c < 3; ++c) refresh_borders(pa[c], h, w, B);

@@ -2257,3 +2257,91 @@ extern "C" int jxl_palette_apply(const int32_t* idx, int w, int h,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fused dequant + CfL + separable 8x8 IDCT + plane scatter for the
+// dominant 444 single-block DCT type (ref frame/group.rs:138-210
+// dequant_block + jxl_transforms idct2d 8x8). One pass per block with all
+// intermediates in registers/L1 replaces the host pipeline's
+// (N,3,64) gather/dequant temporaries, the dense (N,64)@(64,64) sgemm,
+// and the fancy-index scatter. Exact-semantics TU (no fast-math): the
+// dequant adjustment matches the numpy formulation, the IDCT uses the
+// same 1-D basis matrix (passed in) as transforms_batch.idct2d_batch.
+//
+// q0/q1/q2: per-channel coefficient bases (offs indexes all three);
+// scales: (n,3) x/y/b multipliers; mats: (3,64) dequant matrices;
+// lf: (3,n) DC replacements; idct8: the (8,8) 1-D synthesis matrix;
+// out0/1/2 (+ fidx*frame_stride): f32 planes of width ow.
+int jxl_dct8_fused(
+    const int32_t* q0, const int32_t* q1, const int32_t* q2,
+    const int64_t* offs, int64_t n,
+    const float* scales, const float* xcc, const float* bcc,
+    const float* mats, const float* biases, const float* lf,
+    const float* idct8,
+    float* out0, float* out1, float* out2, int64_t frame_stride,
+    const int32_t* fidx,
+    const int32_t* gbx, const int32_t* gby, int64_t ow) {
+  float* outs[3] = {out0, out1, out2};
+  const int32_t* qs[3] = {q0, q1, q2};
+  const float b3 = biases[3];
+  float dq[3][64];
+  float tmp[64], px[64];
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t off = offs[i];
+    const float smul[3] = {scales[3 * i], scales[3 * i + 1], scales[3 * i + 2]};
+    // Y first (CfL source), then X/B with the correlation added
+    for (int ci = 0; ci < 3; ++ci) {
+      static const int order[3] = {1, 0, 2};
+      const int c = order[ci];
+      const int32_t* q = qs[c] + off;
+      const float bias = biases[c];
+      const float s = smul[c];
+      const float* m = mats + c * 64;
+      float* d = dq[c];
+      for (int k = 0; k < 64; ++k) {
+        const int32_t qi = q[k];
+        const float qf = (float)qi;
+        const float adj = (qi > -2 && qi < 2) ? qf * bias : qf - b3 / qf;
+        d[k] = adj * m[k] * s;
+      }
+      if (c == 0) {
+        const float cc = xcc[i];
+        for (int k = 0; k < 64; ++k) d[k] += cc * dq[1][k];
+      } else if (c == 2) {
+        const float cc = bcc[i];
+        for (int k = 0; k < 64; ++k) d[k] += cc * dq[1][k];
+      }
+    }
+    const int64_t bx = gbx[i], by = gby[i];
+    const int64_t foff = fidx ? (int64_t)fidx[i] * frame_stride : 0;
+    for (int c = 0; c < 3; ++c) {
+      float* d = dq[c];
+      d[0] = lf[c * n + i];
+      // tmp = A @ S  (S row-major in d)
+      for (int y = 0; y < 8; ++y) {
+        const float* a = idct8 + y * 8;
+        for (int x = 0; x < 8; ++x) {
+          float acc = 0.0f;
+          for (int u = 0; u < 8; ++u) acc += a[u] * d[u * 8 + x];
+          tmp[y * 8 + x] = acc;
+        }
+      }
+      // out = A @ tmp^T
+      for (int y = 0; y < 8; ++y) {
+        const float* a = idct8 + y * 8;
+        for (int x = 0; x < 8; ++x) {
+          float acc = 0.0f;
+          for (int u = 0; u < 8; ++u) acc += a[u] * tmp[x * 8 + u];
+          px[y * 8 + x] = acc;
+        }
+      }
+      float* dst = outs[c] + foff + (by * 8) * ow + bx * 8;
+      for (int y = 0; y < 8; ++y)
+        std::memcpy(dst + y * ow, px + y * 8, 8 * sizeof(float));
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

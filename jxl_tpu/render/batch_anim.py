@@ -472,8 +472,32 @@ def render_frames_batched_host(frames: list, out_format: str):
         cy = covered_blocks_y(t)
         nc = cx * cy * BLOCK_SIZE
         mats = f0.hf_global.dequant_matrices.matrix3(t, nc)
+        from .. import native
         from ..native import dequant_cfl_native
 
+        if t == 0 and native.available() and coeffs.flags.c_contiguous:
+            # fused native dequant+CfL+IDCT8+scatter straight into the
+            # per-frame planes (fidx advances the plane pointers)
+            from ..vardct.transforms import idct_matrix
+
+            lf3 = np.ascontiguousarray(lf_all[:, fidx, gby, gbx])
+            native.dct8_fused_native(
+                [coeffs[0], coeffs[1], coeffs[2]],
+                off,
+                np.ascontiguousarray(scl),
+                np.ascontiguousarray(xcc),
+                np.ascontiguousarray(bcc),
+                np.ascontiguousarray(mats, dtype=np.float32),
+                biases,
+                lf3,
+                np.ascontiguousarray(idct_matrix(8), dtype=np.float32),
+                [planes[0, 0], planes[0, 1], planes[0, 2]],
+                np.ascontiguousarray(gbx, dtype=np.int32),
+                np.ascontiguousarray(gby, dtype=np.int32),
+                fidx=np.ascontiguousarray(fidx, dtype=np.int32),
+                frame_stride=3 * Hp * Wp,
+            )
+            continue
         dq = dequant_cfl_native(coeffs, off, nc, mats, scl, xcc, bcc, biases)
         if dq is None:
             idx = off[:, None] + np.arange(nc)[None, :]

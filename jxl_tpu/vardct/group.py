@@ -481,6 +481,43 @@ def _render_group(frame, group, bl, coeffs):
         scales = np.stack([scaled_y * x_dm, scaled_y, scaled_y * b_dm], axis=1)  # (N,3)
         from .. import native
 
+        oby0 = getattr(frame, "_band_block_y0", 0)
+        if (
+            is444
+            and cx == 1
+            and cy == 1
+            and tid == 0  # plain DCT8
+            and native.available()
+            and all(
+                p.flags.c_contiguous and p.dtype == np.float32
+                for p in frame.vardct_pixels[:3]
+            )
+            and all(c.flags.c_contiguous for c in coeffs[:3])
+        ):
+            # fused native kernel: dequant+CfL+IDCT8+scatter in one pass —
+            # no (N,3,64) temporaries, no sgemm, no fancy-index scatter
+            from .transforms import idct_matrix
+
+            lf3 = np.ascontiguousarray(
+                np.stack([frame.lf_image[c][gby, gbx] for c in range(3)]),
+                dtype=np.float32,
+            )
+            native.dct8_fused_native(
+                coeffs[:3],
+                np.ascontiguousarray(offs, dtype=np.int64),
+                np.ascontiguousarray(scales, dtype=np.float32),
+                np.ascontiguousarray(x_cc, dtype=np.float32),
+                np.ascontiguousarray(b_cc, dtype=np.float32),
+                np.ascontiguousarray(mats, dtype=np.float32),
+                quant_biases,
+                lf3,
+                np.ascontiguousarray(idct_matrix(8), dtype=np.float32),
+                [frame.vardct_pixels[c] for c in range(3)],
+                np.ascontiguousarray(gbx, dtype=np.int32),
+                np.ascontiguousarray(gby - oby0, dtype=np.int32),
+            )
+            continue
+
         dq = native.dequant_cfl_native(
             coeffs, offs, num_coeffs, mats, scales, x_cc, b_cc, quant_biases
         )
@@ -496,7 +533,6 @@ def _render_group(frame, group, bl, coeffs):
             dq[:, 0] += x_cc[:, None] * dq[:, 1]
             dq[:, 2] += b_cc[:, None] * dq[:, 1]
 
-        oby0 = getattr(frame, "_band_block_y0", 0)
         if is444 and cx == 1 and cy == 1:
             # 444 single-block types: one (3N, nc) transform for all
             # channels (one sgemm on the dense path) + per-channel scatter

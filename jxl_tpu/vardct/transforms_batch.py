@@ -84,7 +84,10 @@ def _idct2_top_block_batch(xp, s, block):
 
 
 _LINMAT_CACHE: dict = {}
-_LINMAT_MAX_PIXELS = 1024  # dense path for transforms up to 32x32
+# Dense single-sgemm path only for small blocks: at >=256 pixels the
+# separable two-sgemm formulation in _transform_to_pixels_impl wins
+# (32x32: 3.7x measured — dense is O(px^2) per block, separable O(px^1.5))
+_LINMAT_MAX_PIXELS = 255
 
 
 def transform_to_pixels_batch(xp, t: int, lf, coeffs):
