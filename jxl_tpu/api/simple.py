@@ -247,7 +247,9 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     )
 
     meta = fh.image_metadata
-    # quick header-only scan
+    # header-only scan; headers/TOCs recorded so the decode loop below
+    # does not re-parse them (each tiny animation frame pays real time in
+    # the declarative bundle reader otherwise)
     br = BitReader(codestream)
     br.pos = start_bits
     recs = []
@@ -257,8 +259,8 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
             header = FrameHeader.read(br, fh)
             toc = Toc.read(br, header.num_toc_entries)
             br.jump_to_byte_boundary()
+            recs.append((header, toc, br.pos))
             br.skip_bits(toc.total_size * 8)
-            recs.append((header,))
             if header.is_last:
                 break
     except JxlError:
@@ -272,12 +274,16 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     fmt = pixel_format if pixel_format in ("u8", "u16", "f16", "f32") else "f32"
     state = DecoderState(fh)
     br = BitReader(codestream)
-    br.pos = start_bits
     frames = []
     try:
-        for _ in recs:
-            br.jump_to_byte_boundary()
-            frame = parse_frame(br, fh, state)
+        for header, toc, sections_start in recs:
+            br.pos = sections_start
+            if header.is_visible:
+                state.visible_frame_index += 1
+                state.nonvisible_frame_index = 0
+            else:
+                state.nonvisible_frame_index += 1
+            frame = Frame(header, toc, fh, state)
             frame.icc_profile = icc_profile
             frame.render_after_decode = False
             frame._defer_render = True

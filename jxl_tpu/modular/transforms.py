@@ -331,22 +331,23 @@ def _native_squeeze(storage, step: SqueezeStep, horizontal: bool) -> bool:
     out = storage[step.buf_out].data
     if not out.flags["C_CONTIGUOUS"]:
         return False
-    i32p = ctypes.POINTER(ctypes.c_int32)
+    _ptr = native._ptr
+    i32 = ctypes.c_int32
     if horizontal:
         h, wo = out.shape
         lib.jxl_hsqueeze(
-            avg.ctypes.data_as(i32p), ctypes.c_int64(avg.shape[1] if avg.size else 0),
-            res.ctypes.data_as(i32p), ctypes.c_int64(res.shape[1] if res.size else 0),
-            out.ctypes.data_as(i32p), ctypes.c_int64(wo),
+            _ptr(avg, i32), ctypes.c_int64(avg.shape[1] if avg.size else 0),
+            _ptr(res, i32), ctypes.c_int64(res.shape[1] if res.size else 0),
+            _ptr(out, i32), ctypes.c_int64(wo),
             ctypes.c_int(h), ctypes.c_int(avg.shape[1]), ctypes.c_int(res.shape[1]),
             ctypes.c_int(wo),
         )
     else:
         ho, w = out.shape
         lib.jxl_vsqueeze(
-            avg.ctypes.data_as(i32p), ctypes.c_int64(avg.shape[1] if avg.size else 0),
-            res.ctypes.data_as(i32p), ctypes.c_int64(res.shape[1] if res.size else 0),
-            out.ctypes.data_as(i32p), ctypes.c_int64(w),
+            _ptr(avg, i32), ctypes.c_int64(avg.shape[1] if avg.size else 0),
+            _ptr(res, i32), ctypes.c_int64(res.shape[1] if res.size else 0),
+            _ptr(out, i32), ctypes.c_int64(w),
             ctypes.c_int(w), ctypes.c_int(avg.shape[0]), ctypes.c_int(res.shape[0]),
             ctypes.c_int(ho),
         )

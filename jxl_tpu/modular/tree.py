@@ -51,7 +51,33 @@ class TreeNode:
 
 
 class Tree:
-    __slots__ = ("nodes", "histograms", "num_properties", "_native_packed")
+    __slots__ = ("_nodes", "histograms", "num_properties", "_native_packed", "_arr")
+
+    @property
+    def nodes(self) -> list:
+        """TreeNode objects, built lazily from the packed array (the
+        native decode paths consume the array directly; only the python
+        oracle and analysis helpers need objects)."""
+        if self._nodes is None:
+            nodes = []
+            for row in self._arr.tolist():
+                node = TreeNode()
+                if row[0] >= 0:
+                    node.property = row[0]
+                    node.splitval = row[1]
+                    node.left = row[2]
+                    node.right = row[3]
+                else:
+                    node.predictor = Predictor(row[4])
+                    node.offset = row[5]
+                    node.multiplier = row[6]
+                    node.context = row[7]
+                nodes.append(node)
+            self._nodes = nodes
+        return self._nodes
+
+    def __len__(self) -> int:
+        return len(self._arr) if self._arr is not None else len(self._nodes)
 
     @staticmethod
     def read(br: BitReader, size_limit: int) -> "Tree":
@@ -63,26 +89,16 @@ class Tree:
             res = native.decode_tree_native(tree_histograms, br, size_limit)
             if res is not None:
                 arr, max_property = res
-                nodes = []
-                for row in arr.tolist():
-                    node = TreeNode()
-                    if row[0] >= 0:
-                        node.property = row[0]
-                        node.splitval = row[1]
-                        node.left = row[2]
-                        node.right = row[3]
-                    else:
-                        node.predictor = Predictor(row[4])
-                        node.offset = row[5]
-                        node.multiplier = row[6]
-                        node.context = row[7]
-                    nodes.append(node)
+                import numpy as np
+
                 t = Tree.__new__(Tree)
-                t.nodes = nodes
+                t._arr = np.ascontiguousarray(arr)
+                t._nodes = None
+                t._native_packed = t._arr
                 t.num_properties = max_property + 1
-                t._validate()
+                t._validate_arr(arr)
                 t.histograms = Histograms.decode(
-                    (len(nodes) + 1) // 2, br, allow_lz77=True
+                    (len(arr) + 1) // 2, br, allow_lz77=True
                 )
                 return t
 
@@ -127,7 +143,8 @@ class Tree:
         reader.check_final_state(tree_histograms, br)
 
         t = Tree.__new__(Tree)
-        t.nodes = nodes
+        t._nodes = nodes
+        t._arr = None
         t.num_properties = max_property + 1
         t._validate()
         t.histograms = Histograms.decode((len(nodes) + 1) // 2, br, allow_lz77=True)
@@ -167,6 +184,39 @@ class Tree:
         finally:
             sys.setrecursionlimit(old_limit)
 
+    def _validate_arr(self, a, height_limit: int = 2048):
+        """Array-backed twin of _validate (no TreeNode construction)."""
+        rows = a.tolist()
+        if not rows:
+            return
+        INT_MIN, INT_MAX = -(1 << 31), (1 << 31) - 1
+        ranges = {}
+
+        def visit(idx: int, depth: int):
+            if depth > height_limit:
+                raise TreeTooTall("MA tree too tall")
+            row = rows[idx]
+            if row[0] < 0:
+                return
+            p, sv = row[0], row[1]
+            lo, hi = ranges.get(p, (INT_MIN, INT_MAX))
+            if lo > sv or hi <= sv:
+                raise TreeSplitOnEmptyRange("MA tree split on empty range")
+            ranges[p] = (sv + 1, hi)
+            visit(row[2], depth + 1)
+            ranges[p] = (lo, sv)
+            visit(row[3], depth + 1)
+            ranges[p] = (lo, hi)
+
+        import sys
+
+        old_limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old_limit, height_limit * 3 + 100))
+        try:
+            visit(0, 0)
+        finally:
+            sys.setrecursionlimit(old_limit)
+
     def walk(self, props) -> TreeNode:
         nodes = self.nodes
         node = nodes[0]
@@ -178,6 +228,10 @@ class Tree:
 
     @property
     def uses_weighted(self) -> bool:
+        if self._arr is not None:
+            a = self._arr
+            leaf = a[:, 0] < 0
+            return bool((a[leaf, 4] == 6).any() or (a[~leaf, 0] == 15).any())
         return any(
             (n.is_leaf and n.predictor == Predictor.WEIGHTED) or n.property == 15
             for n in self.nodes
@@ -190,6 +244,15 @@ class Tree:
     @property
     def is_gradient_only(self) -> bool:
         """Channel-split + gradient leaves only — the fast-lossless shape."""
+        if self._arr is not None:
+            a = self._arr
+            leaf = a[:, 0] < 0
+            return bool(
+                (a[~leaf, 0] == 0).all()
+                and (
+                    (a[leaf, 4] == 5) & (a[leaf, 5] == 0) & (a[leaf, 6] == 1)
+                ).all()
+            )
         return all(
             (not n.is_leaf and n.property == 0)
             or (

@@ -21,6 +21,10 @@ _SRC = _DIR / "modular_decode.cc"
 _lib = None
 _disabled = os.environ.get("JXL_TPU_NO_NATIVE", "") == "1"
 
+import threading as _threading
+
+_hist_scratch = _threading.local()
+
 
 _SRC_FILTERS = _DIR / "filters.cc"
 _SRC_COLORS = _DIR / "colors.cc"
@@ -272,12 +276,21 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     max_clusters = min(num_contexts + 1, 256)
     meta = np.zeros(16, dtype=np.int32)
     lz_cfg = np.zeros(3, dtype=np.int32)
-    # scratch the native decoder fully writes for the region we slice
-    cmap = np.empty(num_contexts + 1, dtype=np.uint8)
-    cfgs = np.empty((max_clusters, 3), dtype=np.int32)
-    tables = np.empty((max_clusters, 5, 256), dtype=np.int32)
-    singles = np.empty(max_clusters, dtype=np.int32)
-    huff_off = np.empty(max_clusters, dtype=np.int32)
+    # scratch the native decoder fully writes for the region we slice;
+    # reused per thread (results are .copy()'d out below)
+    scr = _hist_scratch.__dict__
+    if scr.get("cap", -1) < num_contexts:
+        scr["cap"] = max(num_contexts, 4096)
+        scr["cmap"] = np.empty(scr["cap"] + 1, dtype=np.uint8)
+        scr["cfgs"] = np.empty((256, 3), dtype=np.int32)
+        scr["tables"] = np.empty((256, 5, 256), dtype=np.int32)
+        scr["singles"] = np.empty(256, dtype=np.int32)
+        scr["huff_off"] = np.empty(256, dtype=np.int32)
+    cmap = scr["cmap"]
+    cfgs = scr["cfgs"]
+    tables = scr["tables"]
+    singles = scr["singles"]
+    huff_off = scr["huff_off"]
     huff_cap = 1 << 14
     data = _databuf(br)
     while True:
@@ -324,7 +337,8 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
         HybridUint(int(cfgs[c, 0]), int(cfgs[c, 1]), int(cfgs[c, 2]))
         for c in range(num_clusters)
     ]
-    cfgs_arr = np.ascontiguousarray(cfgs[:num_clusters])
+    # copies, not views: cmap/cfgs are shared per-thread scratch
+    cfgs_arr = cfgs[:num_clusters].copy()
     lz_cfg_arr = lz_cfg.copy() if h.lz77_enabled else np.zeros(3, dtype=np.int32)
     ctx_arr = cmap[:n_ctx].copy()
     if h.use_prefix_code:
@@ -391,7 +405,18 @@ def pack_tree(tree) -> np.ndarray:
 
 
 def _entropy_args(ent, dist_multiplier: int = 0):
-    """The shared ctypes argument tail for packed entropy tables."""
+    """The shared ctypes argument tail for packed entropy tables
+    (memoized on the packed dict for the common dist_multiplier=0)."""
+    if dist_multiplier == 0:
+        cached = ent.get("_eargs0")
+        if cached is None:
+            cached = _entropy_args_build(ent, 0)
+            ent["_eargs0"] = cached
+        return cached
+    return _entropy_args_build(ent, dist_multiplier)
+
+
+def _entropy_args_build(ent, dist_multiplier: int):
     return (
         ctypes.c_int(ent["use_prefix"]),
         _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),

@@ -405,6 +405,44 @@ struct ChannelDesc {
   int64_t w, h, shift0, shift1, row_stride, offset;  // offset into out buffer
 };
 
+// Copy `tree` with splits on per-channel-constant properties (0 = channel
+// index, 1 = stream id) statically resolved (ref
+// decode/specialized_trees.rs filter_for_channel): the per-pixel walk
+// then skips those levels, and channels whose subtree drops WP or pixel
+// properties skip computing them entirely. Iterative (adversarial trees
+// can be deep chains). Child indices in the source strictly increase, so
+// resolution terminates.
+void PruneTreeForChannel(const TreeNode* tree, int32_t ch, int32_t sid,
+                         std::vector<TreeNode>& out, std::vector<int>& stack) {
+  auto resolve = [&](int idx) {
+    for (;;) {
+      const TreeNode& n = tree[idx];
+      if (n.property == 0)
+        idx = ch > n.splitval ? n.lchild : n.rchild;
+      else if (n.property == 1)
+        idx = sid > n.splitval ? n.lchild : n.rchild;
+      else
+        return idx;
+    }
+  };
+  out.clear();
+  stack.clear();
+  out.push_back(tree[resolve(0)]);
+  if (out[0].property >= 0) stack.push_back(0);
+  while (!stack.empty()) {
+    int my = stack.back();
+    stack.pop_back();
+    int l = resolve(out[my].lchild);
+    int r = resolve(out[my].rchild);
+    out[my].lchild = (int)out.size();
+    out.push_back(tree[l]);
+    if (tree[l].property >= 0) stack.push_back((int)out.size() - 1);
+    out[my].rchild = (int)out.size();
+    out.push_back(tree[r]);
+    if (tree[r].property >= 0) stack.push_back((int)out.size() - 1);
+  }
+}
+
 constexpr int kNumNonrefProps = 16;
 
 }  // namespace
@@ -667,7 +705,9 @@ int jxl_decode_modular(
   }
 
   const bool need_pos_props = (used_props & (1u << 3)) != 0;
-  const bool need_px_props = (used_props & 0x7ff0u) != 0;  // props 4..14
+  const bool need_px_props = (used_props & 0x7ff0u) != 0;   // props 4..14
+  const bool need_hi_props = (used_props & 0x7f00u) != 0;   // props 8..14
+  // prop 9 carries cross-pixel state (old9); only needed for props 8/9
 
   // Fast-lossless path (ref decode/bitstream.rs:22-137): channel-split
   // gradient-only tree + RLE prefix codes.
@@ -892,6 +932,8 @@ int jxl_decode_modular(
   props[1] = stream_id;
 
   std::vector<int32_t> refs;  // per-row: w * num_ref_props
+  std::vector<TreeNode> pruned;
+  std::vector<int> prune_stack;
 
   WPState wp;
   for (int ci = 0; ci < num_channels; ci++) {
@@ -902,7 +944,24 @@ int jxl_decode_modular(
     int32_t* base = chan_base(cd);
     int64_t stride = cd.row_stride;
     props[0] = ci;
-    if (use_wp) wp.Init(wp_params, w);
+    // per-channel specialization over the statically pruned subtree
+    PruneTreeForChannel(tree, ci, stream_id, pruned, prune_stack);
+    const TreeNode* ctree = pruned.data();
+    const bool c_single = pruned[0].property < 0;
+    uint32_t c_used = 0;
+    bool c_wp = false;
+    for (const TreeNode& n : pruned) {
+      if (n.property < 0) {
+        if (n.predictor == 6) c_wp = true;
+      } else {
+        if (n.property < 31) c_used |= 1u << n.property;
+        if (n.property == 15) c_wp = true;
+      }
+    }
+    const bool c_pos = (c_used & (1u << 3)) != 0;
+    const bool c_px = (c_used & 0x7ff0u) != 0;
+    const bool c_hi = (c_used & 0x7f00u) != 0;
+    if (c_wp) wp.Init(wp_params, w);
     if (num_ref_props) refs.assign((size_t)w * num_ref_props, 0);
 
     for (int y = 0; y < h; y++) {
@@ -960,40 +1019,41 @@ int jxl_decode_modular(
 
         int64_t wp_pred = 0;
         int32_t wp_prop = 0;
-        if (use_wp) wp.PredictAndProperty(x, y, pd, &wp_pred, &wp_prop);
+        if (c_wp) wp.PredictAndProperty(x, y, pd, &wp_pred, &wp_prop);
 
         const TreeNode* leaf;
-        if (single_leaf) {
-          leaf = &tree[0];
+        if (c_single) {
+          leaf = &ctree[0];
         } else {
-          // compute only the properties the tree actually tests (the
-          // prop-15-only WP tree from effort-3 encodes skips all of these)
-          if (need_pos_props) {
+          // compute only the properties the pruned subtree actually tests
+          if (c_pos) {
             props[3] = x;
           }
-          if (need_px_props) {
+          if (c_px) {
             props[4] = top < 0 ? -top : top;
             props[5] = left < 0 ? -left : left;
             props[6] = top;
             props[7] = left;
-            int32_t old9 = props[9];
-            props[8] = (int32_t)((uint32_t)left - (uint32_t)old9);
-            props[9] = (int32_t)((uint32_t)left + (uint32_t)top - (uint32_t)topleft);
-            props[10] = (int32_t)((uint32_t)left - (uint32_t)topleft);
-            props[11] = (int32_t)((uint32_t)topleft - (uint32_t)top);
-            props[12] = (int32_t)((uint32_t)top - (uint32_t)topright);
-            props[13] = (int32_t)((uint32_t)top - (uint32_t)toptop);
-            props[14] = (int32_t)((uint32_t)left - (uint32_t)leftleft);
+            if (c_hi) {
+              int32_t old9 = props[9];
+              props[8] = (int32_t)((uint32_t)left - (uint32_t)old9);
+              props[9] = (int32_t)((uint32_t)left + (uint32_t)top - (uint32_t)topleft);
+              props[10] = (int32_t)((uint32_t)left - (uint32_t)topleft);
+              props[11] = (int32_t)((uint32_t)topleft - (uint32_t)top);
+              props[12] = (int32_t)((uint32_t)top - (uint32_t)topright);
+              props[13] = (int32_t)((uint32_t)top - (uint32_t)toptop);
+              props[14] = (int32_t)((uint32_t)left - (uint32_t)leftleft);
+            }
           }
           props[15] = wp_prop;
           if (num_ref_props)
             std::memcpy(props.data() + kNumNonrefProps,
                         refs.data() + (size_t)x * num_ref_props,
                         num_ref_props * sizeof(int32_t));
-          const TreeNode* node = &tree[0];
+          const TreeNode* node = &ctree[0];
           while (node->property >= 0) {
-            node = props[node->property] > node->splitval ? &tree[node->lchild]
-                                                          : &tree[node->rchild];
+            node = props[node->property] > node->splitval ? &ctree[node->lchild]
+                                                          : &ctree[node->rchild];
           }
           leaf = node;
         }
@@ -1001,7 +1061,7 @@ int jxl_decode_modular(
         int64_t guess = PredictOne(leaf->predictor, pd, wp_pred) + leaf->offset;
         int32_t decd = dec.ReadSigned(br, leaf->ctx);
         int32_t val = (int32_t)(guess + (int64_t)leaf->multiplier * decd);
-        if (use_wp) wp.UpdateErrors(val, x, y);
+        if (c_wp) wp.UpdateErrors(val, x, y);
         row[x] = val;
       }
     }
