@@ -880,6 +880,33 @@ int jxl_decode_modular(
       if (tree[i].property < 0 && tree[i].predictor != 6 &&
           tree[i].predictor != 0) { wp_only = false; break; }
   if (wp_only) {
+    // The walk is a BST over one property: flatten it to sorted
+    // thresholds + a rank->leaf table so the per-pixel lookup is a
+    // branchless vectorized compare-count instead of ~6 data-dependent
+    // branches (wp_prop is noise-like, so those branches mispredict).
+    // In-order traversal (rchild = "<= splitval" side first) yields
+    // ascending thresholds on a validated BST.
+    std::vector<int32_t> thr;
+    std::vector<const TreeNode*> rank_leaf;
+    {
+      std::vector<int> st;
+      int idx = 0;
+      for (;;) {
+        while (tree[idx].property >= 0) {
+          st.push_back(idx);
+          idx = tree[idx].rchild;  // lower-value side
+        }
+        rank_leaf.push_back(&tree[idx]);
+        if (st.empty()) break;
+        idx = st.back();
+        st.pop_back();
+        thr.push_back(tree[idx].splitval);
+        idx = tree[idx].lchild;  // higher-value side
+      }
+    }
+    const int nthr = (int)thr.size();
+    const int32_t* tdata = thr.data();
+    const TreeNode* const* leaves = rank_leaf.data();
     WPState wp;
     for (int ci = 0; ci < num_channels; ci++) {
       const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
@@ -908,10 +935,9 @@ int jxl_decode_modular(
           int64_t wp_pred;
           int32_t wp_prop;
           wp.PredictAndProperty(x, y, pd, &wp_pred, &wp_prop);
-          const TreeNode* node = &tree[0];
-          while (node->property >= 0)
-            node = wp_prop > node->splitval ? &tree[node->lchild]
-                                            : &tree[node->rchild];
+          int rank = 0;
+          for (int i = 0; i < nthr; i++) rank += (wp_prop > tdata[i]) ? 1 : 0;
+          const TreeNode* node = leaves[rank];
           int32_t decd = dec.ReadSigned(br, node->ctx);
           const int64_t base_pred = node->predictor == 6 ? wp_pred : 0;
           int32_t val =
