@@ -84,6 +84,7 @@ def get_lib():
         lib.jxl_gradient_reconstruct.restype = None
         lib.jxl_apply_lehmer.restype = ctypes.c_int
         lib.jxl_filter_chain.restype = None
+        lib.jxl_filter_chain_strided.restype = None
         lib.jxl_dequant_cfl.restype = None
         lib.jxl_xyb_srgb_u8.restype = None
         lib.jxl_xyb_tf_f32.restype = None
@@ -748,15 +749,19 @@ def apply_lehmer(code, n: int):
 
 
 def filter_chain_native(
-    planes, inv_sigma_px, gab_weights, epf_iters, rf, sigma_is_block=False
+    planes, inv_sigma_px, gab_weights, epf_iters, rf, sigma_is_block=False,
+    in_place=False,
 ):
     """Native gaborish + EPF chain over 3 whole-frame planes (in place).
 
-    planes: list of 3 contiguous (h, w) f32 arrays; inv_sigma_px: (h, w)
+    planes: list of 3 (h, w) f32 arrays — contiguous, or row-strided
+    views (same stride) when in_place is set; inv_sigma_px: (h, w)
     stored 1/sigma — or, with sigma_is_block, the (ceil(h/8), ceil(w/8))
     per-block array expanded in-kernel — (None when epf_iters == 0);
     gab_weights: flat [w1_c0, w2_c0, ...] or None. Returns the filtered
     planes, or None if the native lib is unavailable (caller falls back).
+    With in_place=True the caller's arrays are filtered IN PLACE (they
+    must not alias live data the caller still needs unfiltered).
     Semantics: render/stages/core.py gaborish + epf_step_px at pos (0,0).
     """
     lib = get_lib()
@@ -765,12 +770,24 @@ def filter_chain_native(
     h, w = planes[0].shape
     if h < 8 or w < 8:
         return None  # mirror excursions need n >= border; numpy handles tiny frames
-    # the kernel filters in place: never alias the caller's arrays
-    # (ascontiguousarray is a no-op on contiguous f32 input)
-    ps = []
-    for p in planes:
-        q = np.ascontiguousarray(p, dtype=np.float32)
-        ps.append(p.copy() if q is p else q)
+    if in_place:
+        stride = planes[0].strides[0] // 4
+        if any(
+            p.dtype != np.float32
+            or p.strides[1] != 4
+            or p.strides[0] != stride * 4
+            for p in planes
+        ):
+            return None
+        ps = list(planes)
+    else:
+        stride = w
+        # the kernel filters in place: never alias the caller's arrays
+        # (ascontiguousarray is a no-op on contiguous f32 input)
+        ps = []
+        for p in planes:
+            q = np.ascontiguousarray(p, dtype=np.float32)
+            ps.append(p.copy() if q is p else q)
     if inv_sigma_px is not None:
         if sigma_is_block:
             sbh, sbw = -(-h // 8), -(-w // 8)
@@ -788,10 +805,10 @@ def filter_chain_native(
     else:
         gwp = None
     cs = np.asarray(rf.epf_channel_scale, dtype=np.float32)
-    lib.jxl_filter_chain(
+    lib.jxl_filter_chain_strided(
         _ptr(ps[0], ctypes.c_float), _ptr(ps[1], ctypes.c_float),
         _ptr(ps[2], ctypes.c_float),
-        ctypes.c_int(h), ctypes.c_int(w),
+        ctypes.c_int(h), ctypes.c_int(w), ctypes.c_int64(stride),
         sigp, ctypes.c_int(1 if sigma_is_block else 0),
         gwp, ctypes.c_int(int(epf_iters)),
         _ptr(cs, ctypes.c_float),

@@ -44,10 +44,11 @@ inline int mirror_idx(int i, int n) {
 }
 
 // Copy plane into a (h+2B)x(w+2B) padded buffer with mirrored borders.
-void pad_mirror(const float* src, float* dst, int h, int w, int B) {
+void pad_mirror(const float* src, float* dst, int h, int w, int64_t stride,
+                int B) {
   const int W = w + 2 * B;
   for (int y = -B; y < h + B; ++y) {
-    const float* srow = src + (size_t)mirror_idx(y, h) * w;
+    const float* srow = src + (size_t)mirror_idx(y, h) * stride;
     float* drow = dst + (size_t)(y + B) * W + B;
     std::memcpy(drow, srow, sizeof(float) * w);
     for (int x = 1; x <= B; ++x) {
@@ -195,7 +196,8 @@ void epf_step_t(const float* const in[3], float* const out[3], int h, int w,
 
 extern "C" {
 
-// planes: 3 pointers to h*w f32, filtered in place.
+// planes: 3 pointers to h*w f32 (row stride `io_stride` floats, or w
+// when io_stride <= 0), filtered in place.
 // inv_sigma_px: h*w stored 1/sigma (negative), or nullptr when epf_iters==0.
 // gab_weights: 6 floats (w1,w2 per channel), or nullptr to skip gaborish.
 // Applies: gaborish, then EPF steps in the reference order
@@ -203,11 +205,13 @@ extern "C" {
 // sigma_is_block: inv_sigma_px is (ceil(h/8), ceil(w/8)) per-BLOCK values
 // (stages/core.py _expand_sigma semantics at pos (0,0)) expanded on the
 // fly — saves the caller two whole-image np.repeat passes.
-void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
-                      int w, const float* inv_sigma_px, int sigma_is_block,
-                      const float* gab_weights, int epf_iters,
-                      const float* channel_scale, float pass0_sigma_scale,
-                      float pass2_sigma_scale, float border_sad_mul) {
+void jxl_filter_chain_strided(float* plane0, float* plane1, float* plane2,
+                              int h, int w, int64_t io_stride,
+                              const float* inv_sigma_px, int sigma_is_block,
+                              const float* gab_weights, int epf_iters,
+                              const float* channel_scale,
+                              float pass0_sigma_scale, float pass2_sigma_scale,
+                              float border_sad_mul) {
   const int B = 3;  // max border of any step; shared padded layout
   const int W = w + 2 * B;
   const size_t psz = (size_t)(h + 2 * B) * W;
@@ -222,7 +226,8 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
   float* pa[3] = {bufa.data(), bufa.data() + psz, bufa.data() + 2 * psz};
   float* pb[3] = {bufb.data(), bufb.data() + psz, bufb.data() + 2 * psz};
   float* planes[3] = {plane0, plane1, plane2};
-  for (int c = 0; c < 3; ++c) pad_mirror(planes[c], pa[c], h, w, B);
+  const int64_t iost = io_stride > 0 ? io_stride : w;
+  for (int c = 0; c < 3; ++c) pad_mirror(planes[c], pa[c], h, w, iost, B);
 
   if (gab_weights) {
     for (int c = 0; c < 3; ++c) {
@@ -277,9 +282,20 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
 
   for (int c = 0; c < 3; ++c) {
     for (int y = 0; y < h; ++y)
-      std::memcpy(planes[c] + (size_t)y * w,
+      std::memcpy(planes[c] + (size_t)y * iost,
                   pa[c] + (size_t)(y + B) * W + B, sizeof(float) * w);
   }
+}
+
+void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
+                      int w, const float* inv_sigma_px, int sigma_is_block,
+                      const float* gab_weights, int epf_iters,
+                      const float* channel_scale, float pass0_sigma_scale,
+                      float pass2_sigma_scale, float border_sad_mul) {
+  jxl_filter_chain_strided(plane0, plane1, plane2, h, w, 0, inv_sigma_px,
+                           sigma_is_block, gab_weights, epf_iters,
+                           channel_scale, pass0_sigma_scale, pass2_sigma_scale,
+                           border_sad_mul);
 }
 
 }  // extern "C"

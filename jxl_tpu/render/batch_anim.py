@@ -457,8 +457,26 @@ def render_frames_batched_host(frames: list, out_format: str):
     g_xcc = np.concatenate(acc[5]).astype(np.float32) if tid_parts else None
     g_bcc = np.concatenate(acc[6]).astype(np.float32) if tid_parts else None
 
-    planes = np.zeros((F, 3, Hp, Wp), np.float32)
-    pv = planes.reshape(F, 3, cbh, 8, cbw, 8)
+    # One stacked canvas for the whole pipeline: frames sit at 32-row-
+    # aligned offsets within (3, F*Hs, Wp) channel planes, so the IDCT
+    # scatters, the in-place strided filters, the single color pass and
+    # the u8 dither all address the same memory with per-frame dither
+    # phase identical to the per-frame path. No per-frame copies.
+    Hs = -(-Hp // 32) * 32
+    stacked = np.zeros((3, F * Hs, Wp), np.float32)
+    from numpy.lib.stride_tricks import as_strided
+
+    # (F, 3, Hp, Wp) and blocked views over the stacked storage
+    planes = as_strided(
+        stacked,
+        shape=(F, 3, Hp, Wp),
+        strides=(Hs * Wp * 4, F * Hs * Wp * 4, Wp * 4, 4),
+    )
+    pv = as_strided(
+        stacked,
+        shape=(F, 3, cbh, 8, cbw, 8),
+        strides=(Hs * Wp * 4, F * Hs * Wp * 4, 8 * Wp * 4, Wp * 4, 8 * 4, 4),
+    )
     for t in np.unique(all_tids).tolist():
         m = all_tids == t
         gbx = g_gbx[m]
@@ -491,11 +509,11 @@ def render_frames_batched_host(frames: list, out_format: str):
                 biases,
                 lf3,
                 np.ascontiguousarray(idct_matrix(8), dtype=np.float32),
-                [planes[0, 0], planes[0, 1], planes[0, 2]],
+                [stacked[0], stacked[1], stacked[2]],
                 np.ascontiguousarray(gbx, dtype=np.int32),
                 np.ascontiguousarray(gby, dtype=np.int32),
                 fidx=np.ascontiguousarray(fidx, dtype=np.int32),
-                frame_stride=3 * Hp * Wp,
+                frame_stride=Hs * Wp,
             )
             continue
         dq = dequant_cfl_native(coeffs, off, nc, mats, scl, xcc, bcc, biases)
@@ -534,7 +552,9 @@ def render_frames_batched_host(frames: list, out_format: str):
                 ):
                     pl[f, y * 8 : y * 8 + ph, x * 8 : x * 8 + pw] = pix[i]
 
-    # ---- per-frame filters (native chain), then one stacked color pass ---
+    # ---- per-frame IN-PLACE filters on the stacked canvas ----------------
+    # mirror semantics are per-frame (visible-edge), so each frame filters
+    # at its own (h, w); the strided native chain writes back in place
     rf = f0.header.restoration_filter
     gab = None
     if rf.gab:
@@ -543,78 +563,64 @@ def render_frames_batched_host(frames: list, out_format: str):
             float(rf.gab_y_weight1), float(rf.gab_y_weight2),
             float(rf.gab_b_weight1), float(rf.gab_b_weight2),
         )
-    sizes = set()
-    filtered = []
+    from ..native import filter_chain_native
+
+    fsizes = []
     for fi, fr in enumerate(frames):
         w, h = fr.header.size_upsampled()
         w, h = min(w, Wp), min(h, Hp)
-        sizes.add((h, w))
-        chans = [np.ascontiguousarray(planes[fi, c, :h, :w]) for c in range(3)]
-        if rf.epf_iters > 0 or gab is not None:
-            inv_sigma = None
-            sb = None
-            if rf.epf_iters > 0:
-                sb = st.compute_sigma_image(fr)
-            from ..native import filter_chain_native
-
-            out = filter_chain_native(
-                chans, sb, gab, rf.epf_iters, rf, sigma_is_block=True
+        fsizes.append((h, w))
+        if rf.epf_iters <= 0 and gab is None:
+            continue
+        views = [stacked[c, fi * Hs : fi * Hs + h, :w] for c in range(3)]
+        sb = st.compute_sigma_image(fr) if rf.epf_iters > 0 else None
+        out = filter_chain_native(
+            views, sb, gab, rf.epf_iters, rf, sigma_is_block=True, in_place=True
+        )
+        if out is None:
+            # numpy fallback (native lib missing or tiny frame)
+            chans = [np.ascontiguousarray(v) for v in views]
+            inv_sigma = (
+                st._expand_sigma(np, sb, h, w, (0, 0))
+                if rf.epf_iters > 0
+                else None
             )
-            if out is None and rf.epf_iters > 0:
-                inv_sigma = st._expand_sigma(np, sb, h, w, (0, 0))
-            if out is None:
-                if gab is not None:
-                    chans = [
-                        st.gaborish(np, p, gab[2 * c], gab[2 * c + 1])
-                        for c, p in enumerate(chans)
-                    ]
-                if rf.epf_iters >= 3:
-                    chans = st.epf_step_px(np, chans, inv_sigma, rf, 0)
-                if rf.epf_iters >= 1:
-                    chans = st.epf_step_px(np, chans, inv_sigma, rf, 1)
-                if rf.epf_iters >= 2:
-                    chans = st.epf_step_px(np, chans, inv_sigma, rf, 2)
-            else:
-                chans = out
-        filtered.append(chans)
+            if gab is not None:
+                chans = [
+                    st.gaborish(np, p, gab[2 * c], gab[2 * c + 1])
+                    for c, p in enumerate(chans)
+                ]
+            if rf.epf_iters >= 3:
+                chans = st.epf_step_px(np, chans, inv_sigma, rf, 0)
+            if rf.epf_iters >= 1:
+                chans = st.epf_step_px(np, chans, inv_sigma, rf, 1)
+            if rf.epf_iters >= 2:
+                chans = st.epf_step_px(np, chans, inv_sigma, rf, 2)
+            for c in range(3):
+                views[c][...] = chans[c]
 
-    if len(sizes) == 1:
-        (h, w) = next(iter(sizes))
-        stacked = [
-            np.concatenate([f[c] for f in filtered], axis=0) for c in range(3)
-        ]
-        stacked = render_simple.color_transform(f0, stacked, xp=np)
-        if out_format != "f32":
-            stacked = [
-                st.convert_output(np, p, out_format, channel=i)
-                for i, p in enumerate(stacked)
-            ]
-        out = np.stack(stacked, axis=-1).reshape(F, h, w, 3)
-        return out
-    # mixed frame sizes: ONE stacked color + convert pass over a padded
-    # column of frames (48 per-frame native color calls cost more than the
-    # dead pixels). Each frame sits at a 32-row-aligned offset so the
-    # blue-noise dither phase matches the per-frame path exactly; color is
-    # pointwise, so stacking is bit-exact. Output is canvas-sized with
-    # content at (0,0) so the caller's crop indexing works uniformly.
-    Hs = -(-Hp // 32) * 32
-    stacked = np.zeros((3, F * Hs, Wp), np.float32)
-    for fi, chans in enumerate(filtered):
-        h, w = chans[0].shape
-        for c in range(3):
-            stacked[c, fi * Hs : fi * Hs + h, :w] = chans[c]
-    schans = render_simple.color_transform(f0, [stacked[c] for c in range(3)], xp=np)
+    # ---- ONE color + output-convert pass over the whole stack ------------
+    dtype = {"u8": np.uint8, "u16": np.uint16, "f16": np.float16}.get(
+        out_format, np.float32
+    )
+    out = np.zeros((F, Hp, Wp, 3), dtype)
+    if out_format == "u8":
+        u8img = render_simple.color_convert_u8_native(
+            f0, [stacked[0], stacked[1], stacked[2]]
+        )
+        if u8img is not None:
+            for fi, (h, w) in enumerate(fsizes):
+                out[fi, :h, :w] = u8img[fi * Hs : fi * Hs + h, :w]
+            return out
+    schans = render_simple.color_transform(
+        f0, [stacked[c] for c in range(3)], xp=np
+    )
     if out_format != "f32":
         schans = [
             st.convert_output(np, p, out_format, channel=i)
             for i, p in enumerate(schans)
         ]
-    dtype = {"u8": np.uint8, "u16": np.uint16, "f16": np.float16}.get(
-        out_format, np.float32
-    )
-    out = np.zeros((F, Hp, Wp, 3), dtype)
-    for fi, chans in enumerate(filtered):
-        h, w = chans[0].shape
+    for fi, (h, w) in enumerate(fsizes):
         out[fi, :h, :w] = np.stack(
             [schans[c][fi * Hs : fi * Hs + h, :w] for c in range(3)], axis=-1
         )
