@@ -292,11 +292,14 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     tables = scr["tables"]
     singles = scr["singles"]
     huff_off = scr["huff_off"]
-    huff_cap = 1 << 14
+    if "huff_bits" not in scr:
+        scr["huff_bits"] = np.empty(1 << 14, dtype=np.int32)
+        scr["huff_vals"] = np.empty(1 << 14, dtype=np.int32)
     data = _databuf(br)
     while True:
-        huff_bits = np.empty(huff_cap, dtype=np.int32)
-        huff_vals = np.empty(huff_cap, dtype=np.int32)
+        huff_bits = scr["huff_bits"]
+        huff_vals = scr["huff_vals"]
+        huff_cap = len(huff_bits)
         bit_pos = ctypes.c_uint64(br.pos)
         ret = lib.jxl_decode_histograms(
             data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
@@ -309,7 +312,9 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
         )
         if ret != 9:
             break
-        huff_cap = max(huff_cap * 2, int(meta[11]))
+        grown = max(huff_cap * 2, int(meta[11]))
+        scr["huff_bits"] = np.empty(grown, dtype=np.int32)
+        scr["huff_vals"] = np.empty(grown, dtype=np.int32)
     if ret == 8:
         return None  # needs the python oracle
     if ret == 2:
