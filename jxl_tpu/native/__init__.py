@@ -90,6 +90,8 @@ def get_lib():
         lib.jxl_xyb_tf_f32.restype = None
         lib.jxl_noise_field.restype = None
         lib.jxl_dct8_fused.restype = ctypes.c_int
+        lib.jxl_dither_u8.restype = None
+        lib.jxl_scatter_blocks.restype = None
         lib.jxl_decode_icc.restype = ctypes.c_int
         _lib = lib
     return _lib
@@ -708,6 +710,51 @@ def dct8_fused_native(
         _ptr(fidx, ctypes.c_int32) if fidx is not None else None,
         _ptr(gbx, ctypes.c_int32), _ptr(gby, ctypes.c_int32),
         ctypes.c_int64(ow),
+    )
+    return True
+
+
+def dither_u8_native(plane, dither, yoff: int, xoff: int, maxv: float):
+    """Dithered f32 -> u8 plane (f32_to_u8 semantics) in one native pass.
+    plane: (h, w) f32, row-strided OK. Returns u8 array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if plane.dtype != np.float32 or plane.strides[1] != 4:
+        return None
+    dither = np.ascontiguousarray(dither, dtype=np.float32)
+    h, w = plane.shape
+    out = np.empty((h, w), dtype=np.uint8)
+    lib.jxl_dither_u8(
+        _ptr(plane, ctypes.c_float), ctypes.c_int64(h), ctypes.c_int64(w),
+        ctypes.c_int64(plane.strides[0] // 4),
+        _ptr(dither, ctypes.c_float),
+        ctypes.c_int(yoff), ctypes.c_int(xoff), ctypes.c_float(maxv),
+        _ptr(out, ctypes.c_uint8), ctypes.c_int64(w), ctypes.c_int64(1),
+    )
+    return out
+
+
+def scatter_blocks_native(outp, pix, bx, by) -> bool:
+    """Scatter (n, ph, pw) f32 blocks into `outp` at 8-px block coords.
+    Returns False when unavailable or layouts don't qualify."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if (
+        outp.dtype != np.float32
+        or not outp.flags.c_contiguous
+        or pix.dtype != np.float32
+    ):
+        return False
+    pixc = pix if pix.flags.c_contiguous else np.ascontiguousarray(pix)
+    n, ph, pw = pixc.shape
+    lib.jxl_scatter_blocks(
+        _ptr(outp, ctypes.c_float), ctypes.c_int64(outp.shape[1]),
+        _ptr(pixc, ctypes.c_float), ctypes.c_int64(n),
+        ctypes.c_int64(ph), ctypes.c_int64(pw),
+        _ptr(np.ascontiguousarray(bx, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(by, dtype=np.int32), ctypes.c_int32),
     )
     return True
 

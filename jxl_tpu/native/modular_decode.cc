@@ -10,6 +10,7 @@
 // coefficient buffers.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -2428,6 +2429,42 @@ int jxl_dct8_fused(
     }
   }
   return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Dithered f32 -> u8 plane conversion (render/stages/core.py f32_to_u8:
+// scale, add 32x32 blue-noise at (y+yoff, x+xoff) mod 32, clamp, round-
+// half-even). One pass; the numpy version makes ~8 whole-plane passes.
+void jxl_dither_u8(const float* p, int64_t h, int64_t w, int64_t stride,
+                   const float* dither, int yoff, int xoff, float maxv,
+                   uint8_t* out, int64_t out_stride, int64_t out_step) {
+  for (int64_t y = 0; y < h; ++y) {
+    const float* dr = dither + (((y + yoff) & 31) * 32);
+    const float* row = p + y * stride;
+    uint8_t* orow = out + y * out_stride;
+    for (int64_t x = 0; x < w; ++x) {
+      float v = row[x] * maxv + dr[(x + xoff) & 31];
+      v = v < 0.0f ? 0.0f : (v > maxv ? maxv : v);
+      orow[x * out_step] = (uint8_t)nearbyintf(v);
+    }
+  }
+}
+
+// Row-memcpy scatter of (n, ph, pw) pixel blocks into a plane at 8-px
+// block coordinates (the numpy fancy-index version materializes two
+// (n, ph, pw) int64 index arrays per call).
+void jxl_scatter_blocks(float* out, int64_t ow, const float* pix, int64_t n,
+                        int64_t ph, int64_t pw, const int32_t* bx,
+                        const int32_t* by) {
+  for (int64_t i = 0; i < n; ++i) {
+    float* dst = out + (int64_t)by[i] * 8 * ow + (int64_t)bx[i] * 8;
+    const float* src = pix + i * ph * pw;
+    for (int64_t y = 0; y < ph; ++y)
+      std::memcpy(dst + y * ow, src + y * pw, pw * sizeof(float));
+  }
 }
 
 }  // extern "C"

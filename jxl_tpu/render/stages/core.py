@@ -265,6 +265,18 @@ def f32_to_u8(xp, plane, bit_depth: int = 8, channel: int = 0, pos=(0, 0)):
     table lowers to a 1K-entry gather under jit, not an HxW constant."""
     h, w = plane.shape
     maxv = np.float32((1 << bit_depth) - 1)
+    if xp is np and isinstance(plane, np.ndarray):
+        from ... import native
+
+        out = native.dither_u8_native(
+            plane,
+            dither_table(),
+            (pos[1] + 13 * channel) % 32,
+            (pos[0] + 23 * channel) % 32,
+            float(maxv),
+        )
+        if out is not None:
+            return out
     tab = xp.asarray(dither_table().reshape(-1))
     ys = (xp.arange(h) + (pos[1] + 13 * channel)) % 32
     xs = (xp.arange(w) + (pos[0] + 23 * channel)) % 32

@@ -175,8 +175,13 @@ def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = Tr
 
 
 def _scatter_blocks(outp, pix, bx, by):
-    """Place (N, ph, pw) pixel blocks at (by*8, bx*8): one fancy-index
-    scatter (blocks never overlap, so assignment order is irrelevant)."""
+    """Place (N, ph, pw) pixel blocks at (by*8, bx*8): native row-memcpy
+    loop, or one fancy-index scatter as fallback (blocks never overlap,
+    so assignment order is irrelevant)."""
+    from .. import native
+
+    if native.scatter_blocks_native(outp, np.asarray(pix, dtype=np.float32), bx, by):
+        return
     n, ph, pw = pix.shape
     rows = by[:, None, None] * BLOCK_DIM + np.arange(ph)[None, :, None]
     cols = bx[:, None, None] * BLOCK_DIM + np.arange(pw)[None, None, :]
