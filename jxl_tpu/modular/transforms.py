@@ -485,17 +485,18 @@ def apply_palette(storage, step: PaletteStep):
 
     if w == 0:
         return
-    if num_deltas == 0 and pred == Predictor.ZERO:
-        idx = buf_in.data
-        # vectorized gather with implicit-cube / delta handling per element
-        psz = num_colors
-        for c, out in enumerate(outs):
-            out.data[...] = _palette_lookup_vec(palette, idx, c, psz, bit_depth)
-        return
-
     psz = num_colors + num_deltas
 
     from .. import native
+
+    if num_deltas == 0 and pred == Predictor.ZERO and not native.available():
+        idx = buf_in.data
+        # vectorized gather with implicit-cube / delta handling per element
+        for c, out in enumerate(outs):
+            out.data[...] = _palette_lookup_vec(
+                palette, idx, c, num_colors, bit_depth
+            )
+        return
 
     if native.available():
         import ctypes

@@ -828,6 +828,7 @@ def filter_chain_native(
             p.dtype != np.float32
             or p.strides[1] != 4
             or p.strides[0] != stride * 4
+            or not p.flags.writeable
             for p in planes
         ):
             return None

@@ -113,9 +113,18 @@ def _run_filters_native(chans, ctx, gabw, rf, sig_info, epf_iters):
         else:
             inv_sigma = np.full((-(-h // 8), -(-w // 8)), np.float32(sig_const))
             sigma_is_block = True
+    # The pipeline planes are owned by this render (the host paths copy
+    # frame state before the stage run), so the chain filters them in
+    # place — the copy-in path costs ~0.5 s on a 23.7 MP frame. Falls
+    # back to the copying call for non-qualifying layouts.
     out = filter_chain_native(
-        chans[:3], inv_sigma, gabw, epf_iters, rf or _GAB_RF, sigma_is_block
+        chans[:3], inv_sigma, gabw, epf_iters, rf or _GAB_RF, sigma_is_block,
+        in_place=True,
     )
+    if out is None:
+        out = filter_chain_native(
+            chans[:3], inv_sigma, gabw, epf_iters, rf or _GAB_RF, sigma_is_block
+        )
     if out is None:
         return None
     return out + list(chans[3:])
