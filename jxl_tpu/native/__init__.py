@@ -823,6 +823,8 @@ def filter_chain_native(
     if h < 8 or w < 8:
         return None  # mirror excursions need n >= border; numpy handles tiny frames
     if in_place:
+        if any(not isinstance(p, np.ndarray) for p in planes):
+            return None  # e.g. jax arrays: caller falls back
         stride = planes[0].strides[0] // 4
         if any(
             p.dtype != np.float32
