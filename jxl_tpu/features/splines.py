@@ -171,30 +171,61 @@ class Splines:
             self._add_segments(draw_pts, length, color_dct, sigma_dct, high_precision)
 
     def _add_segments(self, draw_pts, length, color_dct, sigma_dct, high_precision):
+        # vectorized over all arc-length samples: the per-point 32-tap
+        # DCT evaluation (fast_cos + dot) was a python loop over
+        # thousands of points per spline (animated-spline frames decode
+        # one spline set per frame)
         inv_length = 1.0 / length
-        for idx, (pt, mult) in enumerate(draw_pts):
-            progress = min(idx * _DESIRED_DIST * inv_length, 1.0)
-            t = np.float32(31.0 * progress)
-            cosines = np.float32(math.sqrt(2.0)) * fast_cos(
-                np.arange(32, dtype=np.float32) * np.float32(math.pi / 32.0) * (t + np.float32(0.5))
-            )
-            color = [float(np.sum(np.asarray(cd, dtype=np.float32) * cosines)) for cd in color_dct]
-            sigma = float(np.sum(np.asarray(sigma_dct, dtype=np.float32) * cosines))
-            if (
-                math.isinf(sigma)
-                or sigma == 0.0
-                or math.isinf(1.0 / sigma)
-                or math.isinf(mult)
-            ):
-                continue
+        P = len(draw_pts)
+        idxs = np.arange(P, dtype=np.float32)
+        progress = np.minimum(
+            idxs * np.float32(_DESIRED_DIST * inv_length), np.float32(1.0)
+        )
+        t = np.float32(31.0) * progress
+        ang = (
+            np.arange(32, dtype=np.float32)[None, :]
+            * np.float32(math.pi / 32.0)
+            * (t[:, None] + np.float32(0.5))
+        )
+        cosines = np.float32(math.sqrt(2.0)) * fast_cos(ang)  # (P, 32)
+        cd = np.asarray(color_dct, dtype=np.float32)  # (3, 32)
+        sd = np.asarray(sigma_dct, dtype=np.float32)  # (32,)
+        colors = cosines @ cd.T  # (P, 3)
+        sigmas = cosines @ sd  # (P,)
+        mults = np.asarray([m for _, m in draw_pts], dtype=np.float64)
+        ok = (
+            np.isfinite(sigmas)
+            & (sigmas != 0.0)
+            & np.isfinite(mults)
+        )
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            ok &= np.isfinite(1.0 / sigmas)
             distance_exp = 5.0 if high_precision else 3.0
-            max_color = max(abs(c * mult) for c in [0.01] + color)
-            max_dist = math.sqrt(
-                max(0.0, -2.0 * sigma * sigma * (math.log(0.1) * distance_exp - math.log(max_color)))
+            max_color = np.maximum(
+                np.abs(colors.astype(np.float64) * mults[:, None]).max(axis=1),
+                np.abs(0.01 * mults),
             )
-            self.segments.append(
+            s64 = sigmas.astype(np.float64)
+            max_dist = np.sqrt(
+                np.maximum(
+                    0.0,
+                    -2.0 * s64 * s64 * (math.log(0.1) * distance_exp - np.log(max_color)),
+                )
+            )
+            inv_sigma = 1.0 / s64
+            s4m = 0.25 * s64 * mults
+        append = self.segments.append
+        colors_l = colors.astype(np.float64).tolist()
+        md_l = max_dist.tolist()
+        is_l = inv_sigma.tolist()
+        s4_l = s4m.tolist()
+        ok_l = ok.tolist()
+        for i, (pt, _) in enumerate(draw_pts):
+            if not ok_l[i]:
+                continue
+            append(
                 _Segment(
-                    pt[0], pt[1], max_dist, 1.0 / sigma, 0.25 * sigma * mult, tuple(color)
+                    pt[0], pt[1], md_l[i], is_l[i], s4_l[i], tuple(colors_l[i])
                 )
             )
 

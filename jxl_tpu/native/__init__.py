@@ -92,6 +92,7 @@ def get_lib():
         lib.jxl_dct8_fused.restype = ctypes.c_int
         lib.jxl_dither_u8.restype = None
         lib.jxl_scatter_blocks.restype = None
+        lib.jxl_spline_splat.restype = None
         lib.jxl_decode_icc.restype = ctypes.c_int
         _lib = lib
     return _lib
@@ -755,6 +756,45 @@ def scatter_blocks_native(outp, pix, bx, by) -> bool:
         ctypes.c_int64(ph), ctypes.c_int64(pw),
         _ptr(np.ascontiguousarray(bx, dtype=np.int32), ctypes.c_int32),
         _ptr(np.ascontiguousarray(by, dtype=np.int32), ctypes.c_int32),
+    )
+    return True
+
+
+def spline_splat_native(planes, splines) -> bool:
+    """Additive in-place splat of `splines.segments` onto 3 contiguous or
+    uniformly row-strided f32 planes. Returns False when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    stride = planes[0].strides[0] // 4
+    if any(
+        not isinstance(p, np.ndarray)
+        or p.dtype != np.float32
+        or p.strides[1] != 4
+        or p.strides[0] != stride * 4
+        or not p.flags.writeable
+        for p in planes[:3]
+    ):
+        return False
+    segs = getattr(splines, "_native_segs", None)
+    if segs is None:
+        segs = np.empty((len(splines.segments), 8), dtype=np.float32)
+        for i, s in enumerate(splines.segments):
+            segs[i] = (
+                s.center_x, s.center_y, s.maximum_distance, s.inv_sigma,
+                s.sigma_over_4_times_intensity,
+                s.color[0], s.color[1], s.color[2],
+            )
+        try:
+            splines._native_segs = segs
+        except AttributeError:
+            pass
+    h, w = planes[0].shape
+    lib.jxl_spline_splat(
+        _ptr(planes[0], ctypes.c_float), _ptr(planes[1], ctypes.c_float),
+        _ptr(planes[2], ctypes.c_float),
+        ctypes.c_int64(h), ctypes.c_int64(w), ctypes.c_int64(stride),
+        _ptr(segs, ctypes.c_float), ctypes.c_int64(len(segs)),
     )
     return True
 

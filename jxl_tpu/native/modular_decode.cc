@@ -2468,3 +2468,60 @@ void jxl_scatter_blocks(float* out, int64_t ow, const float* pix, int64_t n,
 }
 
 }  // extern "C"
+
+namespace {
+// ref util/fast_math.rs:45-59, identical to features/splines.py fast_erf
+inline float FastErf(float x) {
+  float ax = std::fabs(x);
+  float d1 = ax * 7.77394369e-02f + 2.05260015e-04f;
+  float d2 = d1 * ax + 2.32120216e-01f;
+  float d3 = d2 * ax + 2.77820801e-01f;
+  float d4 = d3 * ax + 1.0f;
+  float d5 = d4 * d4;
+  float inv = 1.0f / d5;
+  return std::copysign(-inv * inv + 1.0f, x);
+}
+}  // namespace
+
+extern "C" {
+
+// Additive Gaussian-brush splat of spline segments onto 3 planes
+// (features/splines.py Splines.draw / render/pipeline.py _spline_splat
+// semantics, ref features/spline.rs draw_segments). segs: (n, 8) f32
+// rows [cx, cy, max_dist, inv_sigma, sigma_over_4_times_intensity,
+// color_x, color_y, color_b].
+void jxl_spline_splat(float* p0, float* p1, float* p2, int64_t h, int64_t w,
+                      int64_t stride, const float* segs, int64_t n) {
+  float* planes[3] = {p0, p1, p2};
+  for (int64_t i = 0; i < n; ++i) {
+    const float* s = segs + i * 8;
+    const float cx = s[0], cy = s[1], md = s[2];
+    const float inv_sigma = s[3], s4m = s[4];
+    const float col0 = s[5], col1 = s[6], col2 = s[7];
+    int64_t x0 = std::max<int64_t>(0, (int64_t)std::nearbyint(cx - md));
+    int64_t x1 = std::min<int64_t>(w, (int64_t)std::nearbyint(cx + md) + 1);
+    int64_t y0 = std::max<int64_t>(0, (int64_t)std::nearbyint(cy - md));
+    int64_t y1 = std::min<int64_t>(h, (int64_t)std::nearbyint(cy + md) + 1);
+    if (x1 <= x0 || y1 <= y0) continue;
+    for (int64_t y = y0; y < y1; ++y) {
+      const float dy = (float)y - cy;
+      const float dy2 = dy * dy;
+      float* r0 = planes[0] + y * stride;
+      float* r1 = planes[1] + y * stride;
+      float* r2 = planes[2] + y * stride;
+      for (int64_t x = x0; x < x1; ++x) {
+        const float dx = (float)x - cx;
+        const float dist = std::sqrt(dx * dx + dy2);
+        const float a1 = (dist * 0.5f + 0.35355338f) * inv_sigma;
+        const float a2 = (dist * 0.5f - 0.35355338f) * inv_sigma;
+        const float f = FastErf(a1) - FastErf(a2);
+        const float local = s4m * f * f;
+        r0[x] += col0 * local;
+        r1[x] += col1 * local;
+        r2[x] += col2 * local;
+      }
+    }
+  }
+}
+
+}  // extern "C"

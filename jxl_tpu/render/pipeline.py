@@ -344,9 +344,17 @@ def splines_stage(frame) -> Stage:
     splines = frame.lf_global.splines
 
     def fn(xp, chans, ctx):
-        idx, vals = ctx["spline_splat"]
         out = list(chans)
         h, w = out[0].shape
+        if xp is np:
+            from ..native import spline_splat_native
+
+            planes = [np.array(out[c], dtype=np.float32) for c in range(3)]
+            if spline_splat_native(planes, splines):
+                out[:3] = planes
+                return out
+        splat = ctx["spline_splat"]
+        idx, vals = splat() if callable(splat) else splat
         for c in range(3):
             flat = out[c].reshape(-1)
             flat = flat.at[idx].add(vals[c]) if xp is not np else _np_scatter_add(
@@ -692,7 +700,16 @@ def build_render_pipeline(frame, *, skip_chroma_upsample: bool = False):
         stages.append(patches_stage(frame, num_ec, ctx))
     if header.has_splines and frame.lf_global.splines is not None:
         splines = frame.lf_global.splines
-        ctx["spline_splat"] = _spline_splat(splines, hc, wc)
+        # lazy: the host stage splats segments natively; only the device
+        # scatter-add resolves the COO flatten (memoized)
+        _splat_cache: list = []
+
+        def _splat(sp=splines, hh=hc, ww=wc):
+            if not _splat_cache:
+                _splat_cache.append(_spline_splat(sp, hh, ww))
+            return _splat_cache[0]
+
+        ctx["spline_splat"] = _splat
         stages.append(splines_stage(frame))
 
     if header.upsampling > 1:
