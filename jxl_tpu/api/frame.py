@@ -535,10 +535,15 @@ class Frame:
             self.finalize_lf()
             self._maybe_enable_device_render()
             self._maybe_enable_host_wholeframe()
-            for g in range(header.num_groups):
-                self.decode_hf_group(
-                    g, [(p, sec) for p in range(header.passes.num_passes)]
-                )
+            from ..vardct.group import try_decode_hf_groups
+
+            if not try_decode_hf_groups(
+                self, [(g, sec) for g in range(header.num_groups)]
+            ):
+                for g in range(header.num_groups):
+                    self.decode_hf_group(
+                        g, [(p, sec) for p in range(header.passes.num_passes)]
+                    )
         else:
             sections = self.split_sections(br)
             self.decode_lf_global(sections[self.section_index("lf_global")])
@@ -549,17 +554,28 @@ class Frame:
             self._maybe_enable_device_render()
             self._maybe_enable_host_wholeframe()
             if not self._try_device_ac(sections):
-                jobs = [
-                    (
-                        g,
-                        [
-                            (p, sections[self.section_index("hf", group=g, pass_idx=p)])
-                            for p in range(header.passes.num_passes)
-                        ],
-                    )
-                    for g in range(header.num_groups)
-                ]
-                self._decode_hf_groups_parallel(jobs)
+                from ..vardct.group import try_decode_hf_groups
+
+                hf_readers = (
+                    [
+                        (g, sections[self.section_index("hf", group=g, pass_idx=0)])
+                        for g in range(header.num_groups)
+                    ]
+                    if header.passes.num_passes == 1
+                    else None
+                )
+                if hf_readers is None or not try_decode_hf_groups(self, hf_readers):
+                    jobs = [
+                        (
+                            g,
+                            [
+                                (p, sections[self.section_index("hf", group=g, pass_idx=p)])
+                                for p in range(header.passes.num_passes)
+                            ],
+                        )
+                        for g in range(header.num_groups)
+                    ]
+                    self._decode_hf_groups_parallel(jobs)
         self._finish_device_render()
         if getattr(self, "_host_wholeframe", False):
             from ..vardct.group import render_vardct_frame_host

@@ -77,6 +77,7 @@ def get_lib():
         lib.jxl_decode_modular.restype = ctypes.c_int
         lib.jxl_read_unsigned_run.restype = ctypes.c_int
         lib.jxl_decode_vardct_ac.restype = ctypes.c_int
+        lib.jxl_decode_hf_groups.restype = ctypes.c_int
         lib.jxl_place_transforms.restype = ctypes.c_int
         lib.jxl_decode_histograms.restype = ctypes.c_int
         lib.jxl_decode_tree.restype = ctypes.c_int
@@ -678,6 +679,83 @@ def decode_modular_native(
             b.data[...] = out[off : off + h * w].reshape(h, w)
             off += h * w
     return True
+
+
+def decode_hf_groups_native(
+    readers, group_ids, slots, bw, bh, gxc, gdim_blocks, hshift3, vshift3,
+    tmap, rqmap, qlfmap, bctx_cmap, num_bctx, num_lf_contexts, qf_thr,
+    num_ac_contexts, num_histograms, cbx, cby, shape_lut, ent, orders,
+    order_off, shift, coeff_pool, chan_stride,
+):
+    """Whole-frame single-pass VarDCT AC decode: one native call loops the
+    HF group sections (histogram selector, per-block item build from the
+    transform/raw-quant/quant-lf maps, shared AC loop, final-state check).
+
+    Returns the list of final bit positions per reader, None when the
+    library is unavailable; raises typed errors on bad streams."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import (
+        InvalidBitstream,
+        InvalidHistogramIndex,
+        InvalidNumNonZeros,
+        NativeDecodeError,
+    )
+
+    n = len(readers)
+    ptrs = (ctypes.c_void_p * n)()
+    sizes = (ctypes.c_uint64 * n)()
+    poss = (ctypes.c_uint64 * n)()
+    keep = []
+    for i, br in enumerate(readers):
+        buf = _databuf(br)
+        keep.append(buf)
+        if isinstance(buf, bytes):
+            ptrs[i] = ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p)
+        else:
+            ptrs[i] = ctypes.cast(buf, ctypes.c_void_p)
+        sizes[i] = len(buf)
+        poss[i] = br.pos
+    gids = np.ascontiguousarray(group_ids, dtype=np.int32)
+    slots_arr = np.ascontiguousarray(slots, dtype=np.int32)
+    ret = lib.jxl_decode_hf_groups(
+        ptrs, sizes, poss, ctypes.c_int(n), _ptr(gids, ctypes.c_int32),
+        ctypes.c_int(bw), ctypes.c_int(bh), ctypes.c_int(gxc),
+        ctypes.c_int(gdim_blocks),
+        _ptr(hshift3, ctypes.c_int32), _ptr(vshift3, ctypes.c_int32),
+        _ptr(tmap, ctypes.c_uint8), _ptr(rqmap, ctypes.c_int32),
+        _ptr(qlfmap, ctypes.c_uint8),
+        _ptr(bctx_cmap, ctypes.c_uint8), ctypes.c_int(num_bctx),
+        ctypes.c_int(num_lf_contexts),
+        _ptr(qf_thr, ctypes.c_int32), ctypes.c_int(len(qf_thr)),
+        ctypes.c_int(num_ac_contexts), ctypes.c_int(num_histograms),
+        _ptr(cbx, ctypes.c_int32), _ptr(cby, ctypes.c_int32),
+        _ptr(shape_lut, ctypes.c_int32),
+        ctypes.c_int(ent["use_prefix"]),
+        _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
+        ctypes.c_int(ent["log_bucket"]),
+        _ptr(ent["huff_offsets"], ctypes.c_int32),
+        _ptr(ent["huff_bits"], ctypes.c_int32),
+        _ptr(ent["huff_values"], ctypes.c_int32),
+        _ptr(ent["context_map"], ctypes.c_uint8),
+        ctypes.c_int(len(ent["context_map"])),
+        _ptr(ent["uint_configs"], ctypes.c_int32),
+        ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
+        ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
+        ctypes.c_int(ent["lz_dist_cluster"]),
+        _ptr(orders, ctypes.c_int32), _ptr(order_off, ctypes.c_int32),
+        ctypes.c_int(shift),
+        coeff_pool.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _ptr(slots_arr, ctypes.c_int32), ctypes.c_int64(chan_stride),
+    )
+    if ret == 4:
+        raise InvalidHistogramIndex("invalid histogram index")
+    if ret == 3:
+        raise InvalidNumNonZeros("invalid number of nonzeros")
+    if ret != 0:
+        raise NativeDecodeError(f"native hf-groups decode failed (code {ret})")
+    return [int(poss[i]) for i in range(n)]
 
 
 def dct8_fused_native(

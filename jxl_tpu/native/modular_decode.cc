@@ -1101,6 +1101,84 @@ int jxl_decode_modular(
   return 0;
 }
 
+// Shared per-item AC coefficient loop (ref frame/group.rs:418-572): for
+// each (block, channel) item, predict the nonzero count from the
+// left/top maps, entropy-decode it, then decode coefficients in coded
+// order with zero-density contexts, accumulating <<shift. Items are rows
+// of 11 ints: [c, sbx, sby, num_blocks, num_coeffs, bctx, context_offset,
+// order_offset, coeffs_offset(absolute), cx, cy]. Returns 0 ok, 3 on
+// invalid nonzeros / end-of-block residual.
+static int DecodeAcItems(EntropyDecoder& dec, BitReader& br, int n_items,
+                         const int32_t* items, const int32_t* orders,
+                         int32_t* coeffs, int shift, int num_bctx,
+                         int32_t* nzeros_maps, const int32_t* nz_dims) {
+  // zero-density context tables (ref block_context_map.rs:21-47)
+  static const int kFreqCtx[64] = {
+      0,  0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14,
+      15, 15, 16, 16, 17, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22,
+      23, 23, 23, 23, 24, 24, 24, 24, 25, 25, 25, 25, 26, 26, 26, 26,
+      27, 27, 27, 27, 28, 28, 28, 28, 29, 29, 29, 29, 30, 30, 30, 30};
+  static const int kNumNzCtx[64] = {
+      0,   0,   31,  62,  62,  93,  93,  93,  93,  123, 123, 123, 123,
+      152, 152, 152, 152, 152, 152, 152, 152, 180, 180, 180, 180, 180,
+      180, 180, 180, 180, 180, 180, 180, 206, 206, 206, 206, 206, 206,
+      206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
+      206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206};
+
+  for (int it = 0; it < n_items; it++) {
+    const int32_t* e = items + (int64_t)it * 11;
+    int c = e[0], sbx = e[1], sby = e[2];
+    int num_blocks = e[3], num_coeffs = e[4];
+    int bctx = e[5];
+    int context_offset = e[6];
+    int order_offset = e[7];
+    int coeffs_offset = e[8];
+    int cx = e[9], cy = e[10];
+
+    int log_num_blocks = 0;
+    while ((1 << (log_num_blocks + 1)) <= num_blocks) log_num_blocks++;
+
+    // predicted nonzeros from the per-channel map
+    const int32_t* dims = nz_dims + c * 3;
+    int nzw = dims[0];
+    int32_t* nzmap = nzeros_maps + dims[2];
+    int predicted;
+    if (sbx == 0) {
+      predicted = sby == 0 ? 32 : nzmap[(sby - 1) * nzw];
+    } else if (sby == 0) {
+      predicted = nzmap[sbx - 1];
+    } else {
+      predicted = (nzmap[(sby - 1) * nzw + sbx] + nzmap[sby * nzw + sbx - 1] + 1) / 2;
+    }
+    int nzctx = predicted < 8 ? predicted
+                               : (predicted < 64 ? 4 + predicted / 2 : 36);
+    int nonzero_context = nzctx * num_bctx + bctx + context_offset;
+    uint32_t nonzeros = dec.ReadUnsigned(br, nonzero_context);
+    if (nonzeros + num_blocks > (uint32_t)num_coeffs) return 3;
+    int fill = (int)((nonzeros + num_blocks - 1) / num_blocks);
+    for (int iy = 0; iy < cy; iy++)
+      for (int ix = 0; ix < cx; ix++) nzmap[(sby + iy) * nzw + sbx + ix] = fill;
+
+    // zero-density context base (ref block_context_map.rs:152-155)
+    int histo_base = num_bctx * 37 + 458 * bctx + context_offset;
+    int prev = nonzeros > (uint32_t)(num_coeffs >> 4) ? 0 : 1;
+    const int32_t* order = orders + order_offset;
+    int32_t* cbuf = coeffs + coeffs_offset;
+
+    for (int k = num_blocks; k < num_coeffs && nonzeros > 0; k++) {
+      int nzl = (int)((nonzeros + (1 << log_num_blocks) - 1) >> log_num_blocks);
+      int kn = k >> log_num_blocks;
+      int ctx = histo_base + (kNumNzCtx[nzl & 63] + kFreqCtx[kn & 63]) * 2 + prev;
+      int32_t coeff = dec.ReadSigned(br, ctx) << shift;
+      prev = coeff != 0 ? 1 : 0;
+      nonzeros -= prev;
+      cbuf[order[k]] += coeff;
+    }
+    if (nonzeros != 0) return 3;
+  }
+  return 0;
+}
+
 // VarDCT AC coefficient decode for one (group, pass).
 // Decodes all blocks' coefficients into `coeffs` (3 x GROUP_AREA int32,
 // accumulating <<shift), using the precomputed per-block metadata arrays.
@@ -1148,79 +1226,412 @@ int jxl_decode_vardct_ac(
   if (lz77_enabled) dec.lz_len_config = UintConfig{lz_config[0], lz_config[1], lz_config[2]};
   dec.Init(br);
 
-  // zero-density context tables (ref block_context_map.rs:21-47)
-  static const int kFreqCtx[64] = {
-      0,  0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14,
-      15, 15, 16, 16, 17, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22,
-      23, 23, 23, 23, 24, 24, 24, 24, 25, 25, 25, 25, 26, 26, 26, 26,
-      27, 27, 27, 27, 28, 28, 28, 28, 29, 29, 29, 29, 30, 30, 30, 30};
-  static const int kNumNzCtx[64] = {
-      0,   0,   31,  62,  62,  93,  93,  93,  93,  123, 123, 123, 123,
-      152, 152, 152, 152, 152, 152, 152, 152, 180, 180, 180, 180, 180,
-      180, 180, 180, 180, 180, 180, 180, 206, 206, 206, 206, 206, 206,
-      206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
-      206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206};
+  int ret = DecodeAcItems(dec, br, n_items, items, orders, coeffs, shift,
+                          num_bctx, nzeros_maps, nz_dims);
+  *bit_pos = br.pos;
+  if (ret) return ret;
+  if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  return 0;
+}
 
-  for (int it = 0; it < n_items; it++) {
-    const int32_t* e = items + (int64_t)it * 11;
-    int c = e[0], sbx = e[1], sby = e[2];
-    int num_blocks = e[3], num_coeffs = e[4];
-    int bctx = e[5];
-    int context_offset = e[6];
-    int order_offset = e[7];
-    int coeffs_offset = e[8];
-    int cx = e[9], cy = e[10];
+// Minimal GroupHeader parse for native substream decode (ref
+// headers/modular.rs GroupHeader / python io/headers/modular.py). Fills
+// the 12-int wp-params layout pack order (p1c,p2c,p3ca..p3ce,w0..w3,0)
+// and the transform count; transform params are not parsed — callers
+// bail to Python when num_transforms > 0.
+struct GroupHeaderLite {
+  bool use_global_tree;
+  int32_t wp[12];
+  int num_transforms;
+};
 
-    int log_num_blocks = 0;
-    while ((1 << (log_num_blocks + 1)) <= num_blocks) log_num_blocks++;
+static void ParseGroupHeaderLite(BitReader& br, GroupHeaderLite* gh) {
+  gh->use_global_tree = br.Read(1) != 0;
+  int32_t w[12] = {16, 10, 7, 7, 7, 0, 0, 0xD, 0xC, 0xC, 0xC, 0};
+  if (br.Read(1) == 0) {  // not all_default
+    for (int i = 0; i < 7; i++) w[i] = (int32_t)br.Read(5);
+    for (int i = 7; i < 11; i++) w[i] = (int32_t)br.Read(4);
+  }
+  std::memcpy(gh->wp, w, sizeof w);
+  // U32(Val(0), Val(1), BitsOffset(4, 2), BitsOffset(8, 18))
+  uint32_t sel = (uint32_t)br.Read(2);
+  gh->num_transforms =
+      sel == 0 ? 0
+      : sel == 1 ? 1
+      : sel == 2 ? 2 + (int)br.Read(4)
+                 : 18 + (int)br.Read(8);
+}
 
-    // predicted nonzeros from the per-channel map
-    const int32_t* dims = nz_dims + c * 3;
-    int nzw = dims[0];
-    int32_t* nzmap = nzeros_maps + dims[2];
-    int predicted;
-    if (sbx == 0) {
-      predicted = sby == 0 ? 32 : nzmap[(sby - 1) * nzw];
-    } else if (sby == 0) {
-      predicted = nzmap[sbx - 1];
-    } else {
-      predicted = (nzmap[(sby - 1) * nzw + sbx] + nzmap[sby * nzw + sbx - 1] + 1) / 2;
+// VarDCT LF-group decode: LF coefficients (3-channel modular substream +
+// dequant + CfL at LF + quant-lf context bucketing) and HF metadata
+// (4-channel modular substream: CfL tile maps, transform list, EPF
+// sharpness, then transform placement). Folds the per-group sequence of
+// frame/modular/mod.rs:939-1089 into one call; the modular substreams run
+// through jxl_decode_modular with the global tree.
+//
+// Returns 0 ok; 8 = needs the Python path (local tree, local transforms —
+// caller retries from the ORIGINAL bit position; tmap is only written by
+// the final placement step so a retry sees it untouched); 10 = invalid
+// EPF value; 4..7 = placement errors (same codes as
+// jxl_place_transforms); other codes propagate from the modular decode.
+int jxl_decode_lf_group_vardct(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos,
+    // entropy of the global tree's histograms (standard packing)
+    int use_prefix, const int32_t* ans_tables, int ans_table_size,
+    int ans_log_bucket, const int32_t* huff_offsets, const int32_t* huff_bits,
+    const int32_t* huff_values, const uint8_t* context_map, int num_contexts,
+    const int32_t* uint_configs, int lz77_enabled, uint32_t min_symbol,
+    uint32_t min_length, const int32_t* lz_config, int lz_dist_cluster,
+    // global tree (packed)
+    const int32_t* tree_data, int num_nodes, int num_props,
+    // stream ids
+    int group, int num_lf_groups,
+    // LF group rect in blocks; bw = full-frame plane stride in blocks
+    int ox, int oy, int w, int h, int bw,
+    const int32_t* hshift3, const int32_t* vshift3, int is444,
+    // dequant factors (already x inv_quant_lf, f64 rounded at use) + CfL
+    const double* lf_factors3, float ytox_lf, float ytob_lf,
+    // quant-lf bucketing thresholds per channel
+    int num_lf_contexts, const int32_t* lf_thr, const int32_t* n_lf_thr,
+    // outputs (full-frame planes)
+    float* lf0, float* lf1, float* lf2, uint8_t* qlfmap,
+    int8_t* ytox_map, int8_t* ytob_map, int64_t tile_stride,
+    uint8_t* tmap, int32_t* rqmap, uint8_t* epf_map,
+    const int32_t* cbx_lut, const int32_t* cby_lut, int invalid_transform) {
+  BitReader br{data, size, *bit_pos};
+  uint32_t extra_precision = (uint32_t)br.Read(2);
+  double mul = 1.0 / (double)(1u << extra_precision);
+
+  GroupHeaderLite gh;
+  ParseGroupHeaderLite(br, &gh);
+  if (!gh.use_global_tree || gh.num_transforms > 0 || br.Overrun()) return 8;
+
+  // ---- LF coefficients: 3-channel modular substream in [Y, X, B] order
+  int cws[3], chs[3];
+  for (int c = 0; c < 3; c++) {
+    cws[c] = w >> hshift3[c];
+    chs[c] = h >> vshift3[c];
+  }
+  static const int kLfOrder[3] = {1, 0, 2};  // stream order Y, X, B
+  int64_t chan_info[3 * 6];
+  int64_t total = 0;
+  int image_width = 0;
+  for (int j = 0; j < 3; j++) {
+    int c = kLfOrder[j];
+    chan_info[j * 6 + 0] = cws[c];
+    chan_info[j * 6 + 1] = chs[c];
+    chan_info[j * 6 + 2] = 0;  // shift
+    chan_info[j * 6 + 3] = 0;
+    chan_info[j * 6 + 4] = cws[c];  // row stride
+    chan_info[j * 6 + 5] = total;
+    total += (int64_t)cws[c] * chs[c];
+    if (cws[c] > image_width) image_width = cws[c];
+  }
+  std::vector<int32_t> scratch((size_t)std::max<int64_t>(total, 1));
+  uint64_t pos = br.pos;
+  int64_t nd = 0;
+  int ret = jxl_decode_modular(
+      data, size, &pos, use_prefix, ans_tables, ans_table_size,
+      ans_log_bucket, huff_offsets, huff_bits, huff_values, context_map,
+      num_contexts, uint_configs, lz77_enabled, min_symbol, min_length,
+      lz_config, lz_dist_cluster, lz77_enabled ? (uint32_t)image_width : 0,
+      tree_data, num_nodes, num_props, gh.wp, 3, chan_info, scratch.data(),
+      /*stream_id=*/1 + group, &nd, /*flags=*/0);
+  if (ret != 0) {
+    *bit_pos = pos;
+    return ret;
+  }
+  br.pos = pos;
+
+  const int32_t* qy = scratch.data() + chan_info[0 * 6 + 5];
+  const int32_t* qx = scratch.data() + chan_info[1 * 6 + 5];
+  const int32_t* qb = scratch.data() + chan_info[2 * 6 + 5];
+
+  if (is444) {
+    float fx = (float)(lf_factors3[0] * mul);
+    float fy = (float)(lf_factors3[1] * mul);
+    float fb = (float)(lf_factors3[2] * mul);
+    for (int y = 0; y < h; y++) {
+      const int32_t* ry = qy + (int64_t)y * w;
+      const int32_t* rx = qx + (int64_t)y * w;
+      const int32_t* rb = qb + (int64_t)y * w;
+      float* o0 = lf0 + (int64_t)(oy + y) * bw + ox;
+      float* o1 = lf1 + (int64_t)(oy + y) * bw + ox;
+      float* o2 = lf2 + (int64_t)(oy + y) * bw + ox;
+      for (int x = 0; x < w; x++) {
+        float in_y = (float)ry[x] * fy;
+        float in_x = (float)rx[x] * fx;
+        float in_b = (float)rb[x] * fb;
+        o1[x] = in_y;
+        float tx = in_y * ytox_lf;
+        o0[x] = tx + in_x;
+        float tb = in_y * ytob_lf;
+        o2[x] = tb + in_b;
+      }
     }
-    int nzctx = predicted < 8 ? predicted
-                               : (predicted < 64 ? 4 + predicted / 2 : 36);
-    int nonzero_context = nzctx * num_bctx + bctx + context_offset;
-    uint32_t nonzeros = dec.ReadUnsigned(br, nonzero_context);
-    if (nonzeros + num_blocks > (uint32_t)num_coeffs) {
-      *bit_pos = br.pos;
-      return 3;
+  } else {
+    // modular stream order is [Y, X, B]; lf channel c<2 uses stream c^1
+    float* lfs[3] = {lf0, lf1, lf2};
+    const int32_t* srcs[3] = {qy, qx, qb};
+    for (int c = 0; c < 3; c++) {
+      int cw = cws[c], ch = chs[c];
+      float fac = (float)(lf_factors3[c] * mul);
+      const int32_t* src = srcs[c < 2 ? (c ^ 1) : c];
+      int sx = ox >> hshift3[c], sy = oy >> vshift3[c];
+      int sw = cws[c < 2 ? (c ^ 1) : c];  // stream plane width
+      for (int y = 0; y < ch; y++) {
+        const int32_t* r = src + (int64_t)y * sw;
+        float* o = lfs[c] + (int64_t)(sy + y) * bw + sx;
+        for (int x = 0; x < cw; x++) o[x] = (float)r[x] * fac;
+      }
     }
-    int fill = (int)((nonzeros + num_blocks - 1) / num_blocks);
-    for (int iy = 0; iy < cy; iy++)
-      for (int ix = 0; ix < cx; ix++) nzmap[(sby + iy) * nzw + sbx + ix] = fill;
+  }
 
-    // zero-density context base (ref block_context_map.rs:152-155)
-    int histo_base = num_bctx * 37 + 458 * bctx + context_offset;
-    int prev = nonzeros > (uint32_t)(num_coeffs >> 4) ? 0 : 1;
-    const int32_t* order = orders + order_offset;
-    int32_t* cbuf = coeffs + coeffs_offset;
-
-    for (int k = num_blocks; k < num_coeffs && nonzeros > 0; k++) {
-      int nzl = (int)((nonzeros + (1 << log_num_blocks) - 1) >> log_num_blocks);
-      int kn = k >> log_num_blocks;
-      int ctx = histo_base + (kNumNzCtx[nzl & 63] + kFreqCtx[kn & 63]) * 2 + prev;
-      int32_t coeff = dec.ReadSigned(br, ctx) << shift;
-      prev = coeff != 0 ? 1 : 0;
-      nonzeros -= prev;
-      cbuf[order[k]] += coeff;
+  // quant-lf context bucket image (ref modular/mod.rs:903-934)
+  if (num_lf_contexts <= 1) {
+    for (int y = 0; y < h; y++)
+      std::memset(qlfmap + (int64_t)(oy + y) * bw + ox, 0, w);
+  } else {
+    const int32_t* thr0 = lf_thr;
+    const int32_t* thr1 = lf_thr + n_lf_thr[0];
+    const int32_t* thr2 = lf_thr + n_lf_thr[0] + n_lf_thr[1];
+    for (int y = 0; y < h; y++) {
+      uint8_t* o = qlfmap + (int64_t)(oy + y) * bw + ox;
+      const int32_t* px_row = qx + (int64_t)(y >> vshift3[0]) * cws[0];
+      const int32_t* py_row = qy + (int64_t)(y >> vshift3[1]) * cws[1];
+      const int32_t* pb_row = qb + (int64_t)(y >> vshift3[2]) * cws[2];
+      for (int x = 0; x < w; x++) {
+        int32_t px = px_row[x >> hshift3[0]];
+        int32_t py = py_row[x >> hshift3[1]];
+        int32_t pb = pb_row[x >> hshift3[2]];
+        int bucket = 0;
+        for (int i = 0; i < n_lf_thr[0]; i++) bucket += px > thr0[i];
+        int tmp = 0;
+        for (int i = 0; i < n_lf_thr[2]; i++) tmp += pb > thr2[i];
+        bucket = bucket * (n_lf_thr[2] + 1) + tmp;
+        tmp = 0;
+        for (int i = 0; i < n_lf_thr[1]; i++) tmp += py > thr1[i];
+        bucket = bucket * (n_lf_thr[1] + 1) + tmp;
+        o[x] = (uint8_t)bucket;
+      }
     }
-    if (nonzeros != 0) {
-      *bit_pos = br.pos;
-      return 3;
+  }
+
+  // ---- HF metadata (ref modular/mod.rs:992-1089)
+  int64_t upper_bound = (int64_t)w * h;
+  int nbits = 0;
+  while ((1ll << nbits) < upper_bound) nbits++;
+  int64_t count = (int64_t)br.Read(nbits) + 1;
+
+  GroupHeaderLite gh2;
+  ParseGroupHeaderLite(br, &gh2);
+  if (!gh2.use_global_tree || gh2.num_transforms > 0 || br.Overrun()) return 8;
+
+  int cw = (w + 7) / 8, ch2 = (h + 7) / 8;
+  int64_t meta_info[4 * 6];
+  int64_t sizes[4][2] = {{cw, ch2}, {cw, ch2}, {count, 2}, {w, h}};
+  int64_t shifts[4][2] = {{3, 3}, {3, 3}, {-1, -1}, {0, 0}};
+  int64_t mtotal = 0;
+  int mwidth = 0;
+  for (int j = 0; j < 4; j++) {
+    meta_info[j * 6 + 0] = sizes[j][0];
+    meta_info[j * 6 + 1] = sizes[j][1];
+    meta_info[j * 6 + 2] = shifts[j][0];
+    meta_info[j * 6 + 3] = shifts[j][1];
+    meta_info[j * 6 + 4] = sizes[j][0];
+    meta_info[j * 6 + 5] = mtotal;
+    mtotal += sizes[j][0] * sizes[j][1];
+    if (sizes[j][0] > mwidth) mwidth = (int)sizes[j][0];
+  }
+  std::vector<int32_t> meta((size_t)std::max<int64_t>(mtotal, 1));
+  pos = br.pos;
+  ret = jxl_decode_modular(
+      data, size, &pos, use_prefix, ans_tables, ans_table_size,
+      ans_log_bucket, huff_offsets, huff_bits, huff_values, context_map,
+      num_contexts, uint_configs, lz77_enabled, min_symbol, min_length,
+      lz_config, lz_dist_cluster, lz77_enabled ? (uint32_t)mwidth : 0,
+      tree_data, num_nodes, num_props, gh2.wp, 4, meta_info, meta.data(),
+      /*stream_id=*/1 + num_lf_groups * 2 + group, &nd, /*flags=*/0);
+  if (ret != 0) {
+    *bit_pos = pos;
+    return ret;
+  }
+  br.pos = pos;
+
+  const int32_t* mx = meta.data() + meta_info[0 * 6 + 5];
+  const int32_t* mb = meta.data() + meta_info[1 * 6 + 5];
+  const int32_t* mt = meta.data() + meta_info[2 * 6 + 5];
+  const int32_t* me = meta.data() + meta_info[3 * 6 + 5];
+
+  int cox = ox >> 3, coy = oy >> 3;
+  for (int y = 0; y < ch2; y++) {
+    int8_t* oxr = ytox_map + (int64_t)(coy + y) * tile_stride + cox;
+    int8_t* obr = ytob_map + (int64_t)(coy + y) * tile_stride + cox;
+    const int32_t* rx = mx + (int64_t)y * cw;
+    const int32_t* rb = mb + (int64_t)y * cw;
+    for (int x = 0; x < cw; x++) {
+      int32_t vx = rx[x], vb = rb[x];
+      oxr[x] = (int8_t)(vx < -128 ? -128 : vx > 127 ? 127 : vx);
+      obr[x] = (int8_t)(vb < -128 ? -128 : vb > 127 ? 127 : vb);
+    }
+  }
+  for (int y = 0; y < h; y++) {
+    const int32_t* r = me + (int64_t)y * w;
+    uint8_t* o = epf_map + (int64_t)(oy + y) * bw + ox;
+    for (int x = 0; x < w; x++) {
+      int32_t v = r[x];
+      if (v < 0 || v >= 8) return 10;
+      o[x] = (uint8_t)v;
     }
   }
 
   *bit_pos = br.pos;
-  if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  return jxl_place_transforms(mt, mt + count, (int)count, tmap, rqmap, bw, w,
+                              h, ox, oy, is444, cbx_lut, cby_lut,
+                              invalid_transform);
+}
+
+// Whole-frame single-pass VarDCT AC decode: loop the HF group sections
+// natively — per group, read the histogram-selector bits, build the
+// per-block item table straight from the transform/raw-quant/quant-lf
+// maps (the per-group work of frame/group.rs:384-446 + the block-context
+// lookup of block_context_map.rs), run the shared AC item loop, and
+// check the section's final entropy state. This replaces the per-group
+// Python orchestration of the decode fan-out (ref frame/render.rs:373-459)
+// for the dominant single-pass case.
+//
+// sec_data/sec_size/sec_pos: per decoded group, that group's section
+// buffer and in/out bit position. group_ids[i] is the frame group index;
+// slots[i] addresses the coefficient pool: coeffs for (slot, c) live at
+// slot*3*chan_stride + c*chan_stride. Maps tmap/rqmap/qlfmap are
+// full-frame, stride bw. Returns 0 ok, 1 entropy/final-state error,
+// 2 overrun, 3 invalid nonzeros, 4 invalid histogram index.
+int jxl_decode_hf_groups(
+    const void* const* sec_data, const uint64_t* sec_size, uint64_t* sec_pos,
+    int n_dec, const int32_t* group_ids,
+    int bw, int bh, int gxc, int gdim_blocks,
+    const int32_t* hshift3, const int32_t* vshift3,
+    const uint8_t* tmap, const int32_t* rqmap, const uint8_t* qlfmap,
+    const uint8_t* bctx_cmap, int num_bctx, int num_lf_contexts,
+    const int32_t* qf_thr, int num_qf_thr,
+    int num_ac_contexts, int num_histograms,
+    const int32_t* cbx_lut, const int32_t* cby_lut, const int32_t* shape_lut,
+    int use_prefix, const int32_t* ans_tables, int ans_table_size,
+    int ans_log_bucket, const int32_t* huff_offsets, const int32_t* huff_bits,
+    const int32_t* huff_values, const uint8_t* context_map, int num_contexts,
+    const int32_t* uint_configs, int lz77_enabled, uint32_t min_symbol,
+    uint32_t min_length, const int32_t* lz_config, int lz_dist_cluster,
+    const int32_t* orders, const int32_t* order_off, int shift,
+    int32_t* coeff_pool, const int32_t* slots, int64_t chan_stride) {
+  EntropyDecoder dec;
+  dec.use_prefix = use_prefix != 0;
+  dec.ans = AnsTables{ans_tables, ans_table_size, ans_log_bucket,
+                      (1 << ans_log_bucket) - 1};
+  dec.huff = HuffTables{huff_offsets, huff_bits, huff_values};
+  dec.context_map = context_map;
+  dec.num_contexts = num_contexts;
+  std::vector<UintConfig> cfgs;
+  {
+    int n_clusters = 0;
+    for (int i = 0; i < num_contexts; i++)
+      if (context_map[i] + 1 > n_clusters) n_clusters = context_map[i] + 1;
+    cfgs.resize(n_clusters);
+    for (int i = 0; i < n_clusters; i++)
+      cfgs[i] = UintConfig{uint_configs[3 * i], uint_configs[3 * i + 1],
+                           uint_configs[3 * i + 2]};
+  }
+  dec.uint_configs = cfgs.data();
+  dec.lz77 = lz77_enabled != 0;
+  dec.min_symbol = min_symbol;
+  dec.min_length = min_length;
+  dec.dist_multiplier = 0;  // AC streams never use 2-D special distances
+  dec.lz_dist_cluster = lz_dist_cluster;
+  if (lz77_enabled)
+    dec.lz_len_config = UintConfig{lz_config[0], lz_config[1], lz_config[2]};
+
+  int num_histo_bits = 0;
+  while ((1 << num_histo_bits) < num_histograms) num_histo_bits++;
+  static const int kChanOrder[3] = {1, 0, 2};
+  const int nq1 = num_qf_thr + 1;
+
+  std::vector<int32_t> items;
+  std::vector<int32_t> nzmaps;
+  items.reserve((size_t)gdim_blocks * gdim_blocks * 3 * 11);
+
+  for (int di = 0; di < n_dec; di++) {
+    int g = group_ids[di];
+    BitReader br{(const uint8_t*)sec_data[di], sec_size[di], sec_pos[di]};
+    int gx0 = (g % gxc) * gdim_blocks, gy0 = (g / gxc) * gdim_blocks;
+    int gw = std::min(gdim_blocks, bw - gx0);
+    int gh = std::min(gdim_blocks, bh - gy0);
+
+    uint32_t hidx = (uint32_t)br.Read(num_histo_bits);
+    if (hidx >= (uint32_t)num_histograms) {
+      sec_pos[di] = br.pos;
+      return 4;
+    }
+    int ctx_off = (int)hidx * num_ac_contexts;
+
+    dec.num_to_copy = 0;
+    dec.copy_pos = 0;
+    dec.num_decoded = 0;
+    dec.error = false;
+    dec.Init(br);
+
+    int32_t nzdims[9];
+    int nzoff = 0;
+    for (int c = 0; c < 3; c++) {
+      int w = gw >> hshift3[c], h = gh >> vshift3[c];
+      nzdims[c * 3] = w;
+      nzdims[c * 3 + 1] = h;
+      nzdims[c * 3 + 2] = nzoff;
+      nzoff += w * h;
+    }
+    nzmaps.assign(nzoff, 0);
+
+    items.clear();
+    int64_t slot_base = (int64_t)slots[di] * 3 * chan_stride;
+    int64_t block_off = 0;
+    for (int y = 0; y < gh; y++) {
+      const uint8_t* trow = tmap + (int64_t)(gy0 + y) * bw + gx0;
+      const int32_t* rqrow = rqmap + (int64_t)(gy0 + y) * bw + gx0;
+      const uint8_t* qlfrow = qlfmap + (int64_t)(gy0 + y) * bw + gx0;
+      for (int x = 0; x < gw; x++) {
+        uint8_t t = trow[x];
+        if (!(t & 128)) continue;
+        int tid = t & 127;
+        int cx = cbx_lut[tid], cy = cby_lut[tid], shape = shape_lut[tid];
+        int nb = cx * cy, nc = nb * 64;
+        int rq = rqrow[x];
+        int qlf = qlfrow[x];
+        int qf_idx = 0;
+        for (int i = 0; i < num_qf_thr; i++) qf_idx += rq > qf_thr[i];
+        for (int j = 0; j < 3; j++) {
+          int c = kChanOrder[j];
+          int hs = hshift3[c], vs = vshift3[c];
+          int sbx = x >> hs, sby = y >> vs;
+          if ((sbx << hs) != x || (sby << vs) != y) continue;
+          int cidx = c < 2 ? (c ^ 1) : 2;
+          int midx = ((cidx * 13 + shape) * nq1 + qf_idx) * num_lf_contexts + qlf;
+          int bctx = bctx_cmap[midx];
+          int32_t row[11] = {c,    sbx,  sby, nb, nc, bctx,
+                             ctx_off, order_off[shape * 3 + c],
+                             (int32_t)(slot_base + (int64_t)c * chan_stride +
+                                       block_off),
+                             cx,   cy};
+          items.insert(items.end(), row, row + 11);
+        }
+        block_off += nc;
+      }
+    }
+
+    int ret = DecodeAcItems(dec, br, (int)(items.size() / 11), items.data(),
+                            orders, coeff_pool, shift, num_bctx,
+                            nzmaps.data(), nzdims);
+    sec_pos[di] = br.pos;
+    if (ret) return ret;
+    if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  }
   return 0;
 }
 

@@ -112,6 +112,101 @@ class _BlockList:
         )
 
 
+def try_decode_hf_groups(frame, group_readers: list) -> bool:
+    """Whole-frame native HF-group decode: one C++ call decodes every
+    group's AC section into a frame-wide coefficient pool (the native
+    analog of the reference's decode fan-out, frame/render.rs:373-459).
+
+    Eligible for single-pass VarDCT frames whose modular HF sections carry
+    no channels (the dominant photo/animation case). Returns False when
+    ineligible so the caller runs the per-group path; raises typed errors
+    on invalid streams. `group_readers` is [(group_index, BitReader)] —
+    for single-TOC frames all entries share one reader."""
+    from ..io.headers.frame import Encoding as _Enc
+
+    header = frame.header
+    if header.encoding != _Enc.VARDCT or header.passes.num_passes != 1:
+        return False
+    from .. import native
+
+    if not native.available():
+        return False
+    state = frame.lf_global
+    mg = state.modular_global
+    if any(len(s) > 0 for s in mg.section_buffer_indices[2:]):
+        return False  # modular HF channels: per-group path handles them
+    hf_global = frame.hf_global
+    hf = frame.hf_meta
+    if hf_global is None or hf is None:
+        return False
+    bctx = state.block_context_map
+    pstate = hf_global.passes[0]
+
+    tmap = hf["transform"]
+    # coeff orders for the shapes present in this frame, concatenated with
+    # a per-(shape, channel)-key offset LUT
+    origin = tmap[tmap >= 128]
+    tids = np.unique(origin).astype(np.int32) & 127
+    shapes = np.unique(_SHAPE_ARR[tids]).tolist()
+    order_off = np.zeros(13 * 3, dtype=np.int32)
+    parts = []
+    pos = 0
+    for s in shapes:
+        for c in range(3):
+            k = int(s) * 3 + c
+            arr = np.ascontiguousarray(pstate.coeff_orders[k], dtype=np.int32)
+            order_off[k] = pos
+            parts.append(arr)
+            pos += len(arr)
+    orders_arr = np.concatenate(parts) if parts else np.zeros(1, np.int32)
+
+    n = len(group_readers)
+    stride = header.group_dim * header.group_dim
+    pool = np.zeros((n, 3, stride), dtype=np.int32)
+    bw, bh = header.size_blocks()
+    gxc = header.size_groups()[0]
+    shift = (
+        header.passes.shift[0] if len(header.passes.shift) > 0 else 0
+    )
+    out_pos = native.decode_hf_groups_native(
+        [sec for _, sec in group_readers],
+        [g for g, _ in group_readers],
+        list(range(n)),
+        bw, bh, gxc, header.group_dim // 8,
+        np.array([header.hshift(c) for c in range(3)], dtype=np.int32),
+        np.array([header.vshift(c) for c in range(3)], dtype=np.int32),
+        np.ascontiguousarray(tmap),
+        np.ascontiguousarray(hf["raw_quant"], dtype=np.int32),
+        np.ascontiguousarray(hf["quant_lf"]),
+        np.asarray(bctx.context_map, dtype=np.uint8),
+        bctx.num_contexts, bctx.num_lf_contexts,
+        np.asarray(bctx.qf_thresholds, dtype=np.int32),
+        bctx.num_ac_contexts, hf_global.num_histograms,
+        _CBX_ARR, _CBY_ARR, _SHAPE_ARR,
+        native.pack_entropy(pstate.histograms),
+        orders_arr, order_off, shift, pool, stride,
+    )
+    if out_pos is None:
+        return False
+    slots = {}
+    for i, (g, sec) in enumerate(group_readers):
+        sec.pos = out_pos[i]
+        hf_global.hf_coefficients[g] = pool[i]
+        slots[g] = i
+    if header.group_dim == GROUP_DIM:
+        hf_global.coeff_pool = pool
+        hf_global.coeff_pool_slots = slots
+    frame.render_after_decode = False
+    if not getattr(frame, "_defer_render", False) and not getattr(
+        frame, "_device_vardct", False
+    ):
+        frame._host_wholeframe = True
+    from ..utils import trace
+
+    trace.metrics.add("hf_group_sections", n)
+    return True
+
+
 def decode_vardct_group(frame, group: int, pass_readers: list, render: bool = True) -> None:
     header = frame.header
     lf_global = frame.lf_global
