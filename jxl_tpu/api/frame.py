@@ -217,8 +217,10 @@ class Frame:
         header = self.header
         state = self.lf_global
         if header.encoding == Encoding.VARDCT and not header.has_lf_frame:
-            from ..vardct.lf import decode_vardct_lf
+            from ..vardct.lf import decode_vardct_lf, try_decode_lf_group
 
+            if try_decode_lf_group(self, group, br):
+                return  # native call covered LF coeffs + (empty) modular LF + HF metadata
             decode_vardct_lf(self, group, br)
         elif header.encoding == Encoding.VARDCT and header.has_lf_frame:
             self._adopt_lf_frame()

@@ -32,7 +32,8 @@ _SRC_COLORS = _DIR / "colors.cc"
 
 def _build() -> pathlib.Path | None:
     src = _SRC.read_bytes() + _SRC_FILTERS.read_bytes() + _SRC_COLORS.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    # the tag must key on flags too, or flag changes reuse a stale .so
+    tag = hashlib.sha256(src + b"|ffp-contract-off-v1").hexdigest()[:16]
     out = _DIR / f"_modular_decode_{tag}.so"
     if out.exists():
         return out
@@ -40,7 +41,9 @@ def _build() -> pathlib.Path | None:
     objs = []
     try:
         for s, extra in (
-            (_SRC, []),
+            # decode kernels must match numpy's separate mul+add bit-exactly
+            # (GCC contracts a*b+c into fma by default at -O3)
+            (_SRC, ["-ffp-contract=off"]),
             (_SRC_FILTERS, []),
             # colors.cc alone gets fast-math: it needs vectorized powf
             # (libmvec); the exact-semantics decode/filter kernels do not
@@ -78,6 +81,8 @@ def get_lib():
         lib.jxl_read_unsigned_run.restype = ctypes.c_int
         lib.jxl_decode_vardct_ac.restype = ctypes.c_int
         lib.jxl_decode_hf_groups.restype = ctypes.c_int
+        lib.jxl_decode_lf_group_vardct.restype = ctypes.c_int
+        lib.jxl_decode_lf_global_tables.restype = ctypes.c_int
         lib.jxl_place_transforms.restype = ctypes.c_int
         lib.jxl_decode_histograms.restype = ctypes.c_int
         lib.jxl_decode_tree.restype = ctypes.c_int
@@ -326,6 +331,22 @@ def decode_histograms_native(br, num_contexts: int, allow_lz77: bool):
     if ret != 0:
         raise NativeDecodeError(f"native histogram decode failed (code {ret})")
     br.pos = bit_pos.value
+    return _histograms_from_packed(
+        meta, lz_cfg, cmap, cfgs, tables, singles,
+        huff_off, huff_bits, huff_vals, num_contexts,
+    )
+
+
+def _histograms_from_packed(
+    meta, lz_cfg, cmap, cfgs, tables, singles, huff_off, huff_bits, huff_vals,
+    num_contexts,
+):
+    """Build a Histograms object (with its _native_packed dict attached)
+    from the jxl_decode_histograms output-array convention. The arrays are
+    shared per-thread scratch — everything kept is copied out."""
+    from ..entropy.ans import NativeAnsCodes
+    from ..entropy.hybrid_uint import HybridUint
+    from ..entropy.reader import Histograms
 
     h = Histograms.__new__(Histograms)
     h.lz77_enabled = bool(meta[0])
@@ -678,6 +699,226 @@ def decode_modular_native(
             h, w = b.data.shape
             b.data[...] = out[off : off + h * w].reshape(h, w)
             off += h * w
+    return True
+
+
+def decode_lf_global_tables_native(br, is_vardct: bool, tree_size_limit: int):
+    """LfGlobal table sequence in one native call (ref frame/decode.rs:
+    314-434): LF quant factors, [VarDCT: quantizer params + block context
+    map + CfL params], optional global MA tree incl. leaf histograms.
+
+    Returns a dict of constructed objects (lf_quant tuple, quant params,
+    block ctx map fields, cfl fields, tree) or None when unavailable;
+    raises typed errors on invalid streams."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import (
+        BaseColorCorrelationOutOfRange,
+        FloatNaNOrInf,
+        InvalidContextMap,
+        LfQuantFactorTooSmall,
+        NativeDecodeError,
+        OutOfBounds,
+        TooManyBlockContexts,
+        TreeTooLarge,
+    )
+
+    scr = _hist_scratch.__dict__
+    if scr.get("cap", -1) < 4096:
+        scr["cap"] = 4096
+        scr["cmap"] = np.empty(scr["cap"] + 1, dtype=np.uint8)
+        scr["cfgs"] = np.empty((256, 3), dtype=np.int32)
+        scr["tables"] = np.empty((256, 5, 256), dtype=np.int32)
+        scr["singles"] = np.empty(256, dtype=np.int32)
+        scr["huff_off"] = np.empty(256, dtype=np.int32)
+    if "huff_bits" not in scr:
+        scr["huff_bits"] = np.empty(1 << 14, dtype=np.int32)
+        scr["huff_vals"] = np.empty(1 << 14, dtype=np.int32)
+    if "lfg_scal" not in scr:
+        scr["lfg_scal"] = np.empty(24, dtype=np.int32)
+        scr["lfg_dbl"] = np.empty(8, dtype=np.float64)
+        scr["lfg_lfthr"] = np.empty(48, dtype=np.int32)
+        scr["lfg_qfthr"] = np.empty(16, dtype=np.int32)
+        scr["lfg_bctx"] = np.empty(2600, dtype=np.uint8)
+        scr["lfg_tree"] = np.empty((1 << 12, 8), dtype=np.int32)
+    meta = np.zeros(16, dtype=np.int32)
+    lz_cfg = np.zeros(3, dtype=np.int32)
+    scal = scr["lfg_scal"]
+    dbl = scr["lfg_dbl"]
+    scal[:] = 0
+    data = _databuf(br)
+    while True:
+        huff_bits = scr["huff_bits"]
+        huff_vals = scr["huff_vals"]
+        tree_nodes = scr["lfg_tree"]
+        bit_pos = ctypes.c_uint64(br.pos)
+        ret = lib.jxl_decode_lf_global_tables(
+            data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+            ctypes.c_int(1 if is_vardct else 0),
+            ctypes.c_int64(tree_size_limit), ctypes.c_int64(len(tree_nodes)),
+            _ptr(scal, ctypes.c_int32), _ptr(dbl, ctypes.c_double),
+            _ptr(scr["lfg_lfthr"], ctypes.c_int32),
+            _ptr(scr["lfg_qfthr"], ctypes.c_int32),
+            _ptr(scr["lfg_bctx"], ctypes.c_uint8),
+            _ptr(tree_nodes, ctypes.c_int32),
+            _ptr(meta, ctypes.c_int32), _ptr(lz_cfg, ctypes.c_int32),
+            _ptr(scr["cmap"], ctypes.c_uint8), _ptr(scr["cfgs"], ctypes.c_int32),
+            _ptr(scr["tables"], ctypes.c_int32), _ptr(scr["singles"], ctypes.c_int32),
+            _ptr(scr["huff_off"], ctypes.c_int32),
+            _ptr(huff_bits, ctypes.c_int32), _ptr(huff_vals, ctypes.c_int32),
+            ctypes.c_int64(len(huff_bits)),
+        )
+        if ret == 9:
+            grown = max(len(huff_bits) * 2, int(meta[11]))
+            scr["huff_bits"] = np.empty(grown, dtype=np.int32)
+            scr["huff_vals"] = np.empty(grown, dtype=np.int32)
+            continue
+        if ret == 11:
+            scr["lfg_tree"] = np.empty((len(tree_nodes) * 4, 8), dtype=np.int32)
+            continue
+        break
+    if ret == 2:
+        raise OutOfBounds(1)
+    if ret == 20:
+        raise LfQuantFactorTooSmall("LF quant factor too small")
+    if ret == 21:
+        raise InvalidContextMap("invalid block context map")
+    if ret == 22:
+        raise TooManyBlockContexts("too many block contexts")
+    if ret == 23:
+        raise BaseColorCorrelationOutOfRange("base color correlation out of range")
+    if ret == 24:
+        raise FloatNaNOrInf("f16 header field is NaN or Inf")
+    if ret == 25:
+        raise NativeDecodeError("invalid MA tree value")
+    if ret != 0:
+        raise NativeDecodeError(f"native lf-global decode failed (code {ret})")
+
+    out = {
+        "lf_quant": (float(dbl[0]), float(dbl[1]), float(dbl[2])),
+        "tree": None,
+    }
+    if is_vardct:
+        out["quant_params"] = (int(scal[0]), int(scal[1]))
+        if scal[2]:
+            out["bctx_default"] = True
+        else:
+            out["bctx_default"] = False
+            thr = scr["lfg_lfthr"]
+            n0, n1, n2 = int(scal[5]), int(scal[6]), int(scal[7])
+            out["lf_thresholds"] = [
+                thr[:n0].tolist(),
+                thr[n0 : n0 + n1].tolist(),
+                thr[n0 + n1 : n0 + n1 + n2].tolist(),
+            ]
+            out["qf_thresholds"] = scr["lfg_qfthr"][: int(scal[4])].tolist()
+            out["bctx_map"] = scr["lfg_bctx"][: int(scal[8])].tolist()
+            out["num_lf_contexts"] = int(scal[3])
+            out["bctx_num_contexts"] = int(scal[9])
+        out["cfl"] = (
+            int(scal[10]), float(dbl[3]), float(dbl[4]),
+            int(scal[11]), int(scal[12]),
+        )
+    if scal[13]:
+        from ..modular.tree import Tree
+
+        count = int(scal[14])
+        arr = np.ascontiguousarray(scr["lfg_tree"][:count])
+        t = Tree.__new__(Tree)
+        t._arr = arr
+        t._nodes = None
+        t._native_packed = arr
+        t.num_properties = int(scal[15]) + 1
+        t._validate_arr(arr)
+        t.histograms = _histograms_from_packed(
+            meta, lz_cfg, scr["cmap"], scr["cfgs"], scr["tables"],
+            scr["singles"], scr["huff_off"], scr["huff_bits"],
+            scr["huff_vals"], (count + 1) // 2,
+        )
+        out["tree"] = t
+    br.pos = bit_pos.value
+    return out
+
+
+def decode_lf_group_vardct_native(
+    br, tree, group, num_lf_groups, ox, oy, w, h, bw, hshift3, vshift3,
+    is444, lf_factors3, ytox_lf, ytob_lf, num_lf_contexts, lf_thr, n_lf_thr,
+    lf_planes, qlfmap, ytox_map, ytob_map, tmap, rqmap, epf_map, cbx, cby,
+    invalid_transform,
+):
+    """VarDCT LF-group decode in one native call: LF modular substream +
+    dequant + CfL at LF + quant-lf bucketing + HF metadata substream +
+    transform placement (ref frame/modular/mod.rs:939-1089).
+
+    Returns True on success (br.pos advanced, planes/maps written),
+    False when the stream needs the Python path (local tree / local
+    transforms) or the library is unavailable; raises typed errors on
+    invalid streams."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    from ..errors import InvalidBitstream, InvalidEpfValue, NativeDecodeError
+
+    ent = pack_entropy(tree.histograms)
+    tree_arr = getattr(tree, "_native_packed", None)
+    if tree_arr is None:
+        tree_arr = pack_tree(tree)
+        try:
+            tree._native_packed = tree_arr
+        except AttributeError:
+            pass
+    data = _databuf(br)
+    bit_pos = ctypes.c_uint64(br.pos)
+    ret = lib.jxl_decode_lf_group_vardct(
+        data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+        ctypes.c_int(ent["use_prefix"]),
+        _ptr(ent["ans_tables"], ctypes.c_int32), ctypes.c_int(ent["table_size"]),
+        ctypes.c_int(ent["log_bucket"]),
+        _ptr(ent["huff_offsets"], ctypes.c_int32),
+        _ptr(ent["huff_bits"], ctypes.c_int32),
+        _ptr(ent["huff_values"], ctypes.c_int32),
+        _ptr(ent["context_map"], ctypes.c_uint8),
+        ctypes.c_int(len(ent["context_map"])),
+        _ptr(ent["uint_configs"], ctypes.c_int32),
+        ctypes.c_int(ent["lz77"]), ctypes.c_uint32(ent["min_symbol"]),
+        ctypes.c_uint32(ent["min_length"]), _ptr(ent["lz_cfg"], ctypes.c_int32),
+        ctypes.c_int(ent["lz_dist_cluster"]),
+        _ptr(tree_arr, ctypes.c_int32), ctypes.c_int(len(tree_arr)),
+        ctypes.c_int(tree.num_properties),
+        ctypes.c_int(group), ctypes.c_int(num_lf_groups),
+        ctypes.c_int(ox), ctypes.c_int(oy), ctypes.c_int(w), ctypes.c_int(h),
+        ctypes.c_int(bw),
+        _ptr(hshift3, ctypes.c_int32), _ptr(vshift3, ctypes.c_int32),
+        ctypes.c_int(is444),
+        _ptr(lf_factors3, ctypes.c_double),
+        ctypes.c_float(ytox_lf), ctypes.c_float(ytob_lf),
+        ctypes.c_int(num_lf_contexts),
+        _ptr(lf_thr, ctypes.c_int32), _ptr(n_lf_thr, ctypes.c_int32),
+        lf_planes[0].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lf_planes[1].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lf_planes[2].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        qlfmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ytox_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ytob_map.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int64(ytox_map.shape[1]),
+        tmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rqmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        epf_map.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(cbx, ctypes.c_int32), _ptr(cby, ctypes.c_int32),
+        ctypes.c_int(invalid_transform),
+    )
+    if ret == 8:
+        return False  # local tree/transforms: Python path
+    if ret == 10:
+        raise InvalidEpfValue("invalid EPF value")
+    if ret in (4, 5, 6, 7):
+        from ..vardct.lf import _PLACE_ERRORS
+
+        raise InvalidBitstream(_PLACE_ERRORS.get(ret, f"placement failed ({ret})"))
+    if ret != 0:
+        raise NativeDecodeError(f"native lf-group decode failed (code {ret})")
+    br.pos = bit_pos.value
     return True
 
 

@@ -1234,6 +1234,12 @@ int jxl_decode_vardct_ac(
   return 0;
 }
 
+int jxl_place_transforms(const int32_t* raw_transforms,
+                         const int32_t* raw_quants, int count, uint8_t* tmap,
+                         int32_t* rqmap, int64_t stride, int w, int h, int ox,
+                         int oy, int is444, const int32_t* cbx,
+                         const int32_t* cby, int num_transform_types);
+
 // Minimal GroupHeader parse for native substream decode (ref
 // headers/modular.rs GroupHeader / python io/headers/modular.py). Fills
 // the 12-int wp-params layout pack order (p1c,p2c,p3ca..p3ce,w0..w3,0)
@@ -1378,7 +1384,7 @@ int jxl_decode_lf_group_vardct(
       float fac = (float)(lf_factors3[c] * mul);
       const int32_t* src = srcs[c < 2 ? (c ^ 1) : c];
       int sx = ox >> hshift3[c], sy = oy >> vshift3[c];
-      int sw = cws[c < 2 ? (c ^ 1) : c];  // stream plane width
+      int sw = cws[c];  // stream plane for channel c has channel-c dims
       for (int y = 0; y < ch; y++) {
         const int32_t* r = src + (int64_t)y * sw;
         float* o = lfs[c] + (int64_t)(sy + y) * bw + sx;
@@ -2492,6 +2498,220 @@ int jxl_decode_histograms(
   }
   *bit_pos = br.pos;
   return ret;
+}
+
+namespace {
+// IEEE binary16 -> float; returns false for NaN/Inf (header F16 fields are
+// invalid when non-finite, ref headers/encodings.rs F16 coder).
+bool F16ToFloat(uint32_t u, float* out) {
+  uint32_t sign = (u >> 15) & 1, exp = (u >> 10) & 31, mant = u & 1023;
+  if (exp == 31) return false;
+  float v = exp == 0 ? std::ldexp((float)mant, -24)
+                     : std::ldexp((float)(mant + 1024), (int)exp - 25);
+  *out = sign ? -v : v;
+  return true;
+}
+
+inline int32_t UnpackSigned(uint32_t u) {
+  return (u & 1) ? -(int32_t)((u + 1) >> 1) : (int32_t)(u >> 1);
+}
+}  // namespace
+
+// LfGlobal table sequence after the feature dictionaries (ref
+// frame/decode.rs:314-434 / python api/frame.py decode_lf_global):
+// LF quant factors, [VarDCT: quantizer params, block context map, color
+// correlation params], the optional global MA tree (tree histograms +
+// node loop + leaf histograms). One call replaces five Python bundle
+// readers per frame; the leaf histograms come back in the same packed
+// layout as jxl_decode_histograms.
+//
+// scal_out (int32[24]): [0] global_scale [1] quant_lf [2] bctx_default
+// [3] num_lf_contexts [4] n_qf_thr [5..7] n_lf_thr per channel
+// [8] bctx map size [9] bctx num_contexts [10] cfl color_factor
+// [11] cfl ytox_lf [12] cfl ytob_lf [13] tree_present [14] tree_count
+// [15] tree max_property.
+// dbl_out (double[8]): [0..2] lf quant factors [3] cfl base_x [4] base_b.
+//
+// Returns 0 ok; 1 entropy error; 2 overrun; 9 = leaf-histograms huff
+// buffer too small (retry bigger, meta[11] holds the needed size);
+// 11 = tree node buffer too small (retry bigger); 20 lf-quant factor too
+// small; 21 invalid context map; 22 too many block contexts; 23 CfL base
+// correlation out of range; 24 non-finite f16; 25 invalid tree value.
+int jxl_decode_lf_global_tables(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos, int is_vardct,
+    int64_t tree_size_limit, int64_t tree_cap,
+    int32_t* scal_out, double* dbl_out,
+    int32_t* lf_thr_out /* >= 45 */, int32_t* qf_thr_out /* >= 15 */,
+    uint8_t* bctx_map_out /* >= 2496 */, int32_t* tree_nodes_out,
+    int32_t* h_meta, int32_t* h_lz, uint8_t* h_cmap, int32_t* h_cfgs,
+    int32_t* h_tables, int32_t* h_singles, int32_t* h_hoff,
+    int32_t* h_hbits, int32_t* h_hvals, int64_t h_hcap) {
+  BitReader br{data, size, *bit_pos};
+
+  // ---- LF quant factors (ref frame/quantizer.rs LfQuantFactors)
+  static const double kLfQuant[3] = {1.0 / 4096.0, 1.0 / 512.0, 1.0 / 256.0};
+  if (br.Read(1)) {
+    dbl_out[0] = kLfQuant[0];
+    dbl_out[1] = kLfQuant[1];
+    dbl_out[2] = kLfQuant[2];
+  } else {
+    for (int i = 0; i < 3; i++) {
+      float v;
+      if (!F16ToFloat((uint32_t)br.Read(16), &v)) return 24;
+      double q = (double)v / 128.0;
+      if (q < 1e-8) return 20;
+      dbl_out[i] = q;
+    }
+  }
+  if (br.Overrun()) return 2;
+
+  if (is_vardct) {
+    // ---- quantizer params (ref frame/quantizer.rs QuantizerParams)
+    uint32_t sel = (uint32_t)br.Read(2);
+    int32_t gs = sel == 0   ? (int32_t)br.Read(11) + 1
+                 : sel == 1 ? (int32_t)br.Read(11) + 2049
+                 : sel == 2 ? (int32_t)br.Read(12) + 4097
+                            : (int32_t)br.Read(16) + 8193;
+    sel = (uint32_t)br.Read(2);
+    int32_t qlf = sel == 0   ? 16
+                  : sel == 1 ? (int32_t)br.Read(5) + 1
+                  : sel == 2 ? (int32_t)br.Read(8) + 1
+                             : (int32_t)br.Read(16) + 1;
+    scal_out[0] = gs;
+    scal_out[1] = qlf;
+
+    // ---- block context map (ref frame/block_context_map.rs)
+    if (br.Read(1)) {
+      scal_out[2] = 1;  // default map
+    } else {
+      scal_out[2] = 0;
+      int num_lf_contexts = 1;
+      int off = 0;
+      for (int ch = 0; ch < 3; ch++) {
+        int n = (int)br.Read(4);
+        scal_out[5 + ch] = n;
+        for (int i = 0; i < n; i++) {
+          uint32_t s = (uint32_t)br.Read(2);
+          uint32_t u = s == 0   ? (uint32_t)br.Read(4)
+                       : s == 1 ? (uint32_t)br.Read(8) + 16
+                       : s == 2 ? (uint32_t)br.Read(16) + 272
+                                : (uint32_t)br.Read(32) + 65808;
+          lf_thr_out[off++] = UnpackSigned(u);
+        }
+        num_lf_contexts *= n + 1;
+      }
+      int nq = (int)br.Read(4);
+      scal_out[4] = nq;
+      for (int i = 0; i < nq; i++) {
+        uint32_t s = (uint32_t)br.Read(2);
+        int32_t v = s == 0   ? (int32_t)br.Read(2)
+                    : s == 1 ? (int32_t)br.Read(3) + 4
+                    : s == 2 ? (int32_t)br.Read(5) + 12
+                             : (int32_t)br.Read(8) + 44;
+        qf_thr_out[i] = v + 1;
+      }
+      if (br.Overrun()) return 2;
+      if (num_lf_contexts * (nq + 1) > 64) return 21;
+      int msize = 3 * 13 * num_lf_contexts * (nq + 1);
+      int ret = DecodeContextMap(br, msize, 0, bctx_map_out);
+      if (ret != 0) return br.Overrun() ? 2 : 21;
+      int maxv = 0;
+      for (int i = 0; i < msize; i++)
+        if (bctx_map_out[i] > maxv) maxv = bctx_map_out[i];
+      if (maxv + 1 > 16) return 22;
+      scal_out[3] = num_lf_contexts;
+      scal_out[8] = msize;
+      scal_out[9] = maxv + 1;
+    }
+
+    // ---- color correlation params (ref frame/color_correlation_map.rs)
+    if (br.Read(1)) {
+      scal_out[10] = 84;  // default color factor
+      dbl_out[3] = 0.0;
+      dbl_out[4] = 1.0;
+      scal_out[11] = 0;
+      scal_out[12] = 0;
+    } else {
+      uint32_t s = (uint32_t)br.Read(2);
+      scal_out[10] = s == 0   ? 84
+                     : s == 1 ? 256
+                     : s == 2 ? (int32_t)br.Read(8) + 2
+                              : (int32_t)br.Read(16) + 258;
+      float bx, bb;
+      if (!F16ToFloat((uint32_t)br.Read(16), &bx)) return 24;
+      if (!F16ToFloat((uint32_t)br.Read(16), &bb)) return 24;
+      if (bx > 4.0f || bb > 4.0f) return 23;
+      dbl_out[3] = (double)bx;
+      dbl_out[4] = (double)bb;
+      scal_out[11] = (int32_t)br.Read(8) - 128;
+      scal_out[12] = (int32_t)br.Read(8) - 128;
+    }
+    if (br.Overrun()) return 2;
+  }
+
+  // ---- optional global MA tree (ref frame/modular/tree.rs)
+  scal_out[13] = (int32_t)br.Read(1);
+  if (scal_out[13]) {
+    // tree histograms (6 contexts), internal only
+    int32_t t_meta[16], t_lz[3], t_cfgs[3 * 8], t_single[8];
+    uint8_t t_map[8];
+    std::vector<int32_t> t_tables(8 * 5 * 256);
+    std::vector<int32_t> t_hoff, t_hbits, t_hvals;
+    int ret = DecodeHistogramsImpl(br, 6, 1, 0, t_meta, t_lz, t_map, t_cfgs,
+                                   t_tables.data(), t_single, &t_hoff,
+                                   &t_hbits, &t_hvals);
+    if (ret != 0) return br.Overrun() ? 2 : ret;
+    EntropyDecoder dec;
+    dec.use_prefix = t_meta[10] != 0;
+    dec.ans = AnsTables{t_tables.data(), t_meta[8], t_meta[9],
+                        (1 << t_meta[9]) - 1};
+    if (dec.use_prefix)
+      dec.huff = HuffTables{t_hoff.data(), t_hbits.data(), t_hvals.data()};
+    dec.context_map = t_map;
+    dec.num_contexts = 6 + (t_meta[0] ? 1 : 0);
+    std::vector<UintConfig> cfgs(t_meta[7]);
+    for (int i = 0; i < t_meta[7]; i++)
+      cfgs[i] = UintConfig{t_cfgs[3 * i], t_cfgs[3 * i + 1], t_cfgs[3 * i + 2]};
+    dec.uint_configs = cfgs.data();
+    dec.lz77 = t_meta[0] != 0;
+    dec.min_symbol = (uint32_t)t_meta[1];
+    dec.min_length = (uint32_t)t_meta[2];
+    dec.dist_multiplier = 0;
+    dec.lz_dist_cluster = t_map[dec.num_contexts - 1];
+    if (dec.lz77) dec.lz_len_config = UintConfig{t_lz[0], t_lz[1], t_lz[2]};
+    dec.Init(br);
+
+    int64_t count = 0;
+    int32_t max_prop = 0;
+    uint64_t tree_pos = br.pos;
+    ret = jxl_decode_tree_impl(br, dec, tree_size_limit, tree_cap,
+                               tree_nodes_out, &count, &max_prop, &tree_pos);
+    if (ret == 9) return 11;  // node buffer too small: retry bigger
+    if (ret == 3) return br.Overrun() ? 2 : 25;
+    if (ret != 0) return br.Overrun() ? 2 : ret;
+    br.pos = tree_pos;
+    scal_out[14] = (int32_t)count;
+    scal_out[15] = max_prop;
+
+    // leaf histograms ((count+1)/2 contexts) into the packed out arrays
+    std::vector<int32_t> hoff, hbits, hvals;
+    ret = DecodeHistogramsImpl(br, (int)((count + 1) / 2), 1, 0, h_meta, h_lz,
+                               h_cmap, h_cfgs, h_tables, h_singles, &hoff,
+                               &hbits, &hvals);
+    if (ret == 1 && br.Overrun()) return 2;
+    if (ret != 0) return ret;
+    h_meta[11] = (int32_t)hbits.size();
+    if (h_meta[10]) {
+      if ((int64_t)hbits.size() > h_hcap) return 9;
+      std::memcpy(h_hoff, hoff.data(), hoff.size() * sizeof(int32_t));
+      std::memcpy(h_hbits, hbits.data(), hbits.size() * sizeof(int32_t));
+      std::memcpy(h_hvals, hvals.data(), hvals.size() * sizeof(int32_t));
+    }
+  }
+
+  if (br.Overrun()) return 2;
+  *bit_pos = br.pos;
+  return 0;
 }
 
 // Place VarDCT transforms into the block maps (ref modular/mod.rs:1028-1080):

@@ -43,6 +43,54 @@ def ensure_vardct_buffers(frame) -> None:
         }
 
 
+def try_decode_lf_group(frame, group: int, br: BitReader) -> bool:
+    """One native call for the whole VarDCT LF-group section: LF modular
+    substream + dequant + CfL at LF + quant-lf bucketing + HF metadata +
+    transform placement (ref frame/modular/mod.rs:939-1089). Returns
+    False when ineligible (no global tree, modular LF channels present,
+    local transforms in-stream) so the caller runs the Python sequence."""
+    header = frame.header
+    state = frame.lf_global
+    if header.has_lf_frame or state.tree is None:
+        return False
+    mg = state.modular_global
+    if len(mg.section_buffer_indices) > 1 and mg.section_buffer_indices[1]:
+        return False  # modular LF channels interleave: Python path
+    from .. import native
+
+    if not native.available():
+        return False
+    ensure_vardct_buffers(frame)
+    (ox, oy), (w, h) = header.lf_group_rect(group)
+    qp = state.quant_params
+    inv_quant_lf = qp.GLOBAL_SCALE_DENOM / (qp.global_scale * qp.quant_lf)
+    lf_factors = np.array(
+        [f * inv_quant_lf for f in state.lf_quant.quant_factors], dtype=np.float64
+    )
+    ccp = state.color_correlation_params
+    bctx = state.block_context_map
+    hf = frame.hf_meta
+    from .transform_map import _CBX, _CBY
+
+    lf_thr = np.array(
+        [t for ch in bctx.lf_thresholds for t in ch], dtype=np.int32
+    )
+    n_lf_thr = np.array([len(ch) for ch in bctx.lf_thresholds], dtype=np.int32)
+    return native.decode_lf_group_vardct_native(
+        br, state.tree, group, header.num_lf_groups, ox, oy, w, h,
+        frame.lf_image[0].shape[1],
+        np.array([header.hshift(c) for c in range(3)], dtype=np.int32),
+        np.array([header.vshift(c) for c in range(3)], dtype=np.int32),
+        1 if header.is444 else 0, lf_factors,
+        float(ccp.y_to_x_lf), float(ccp.y_to_b_lf),
+        bctx.num_lf_contexts, lf_thr, n_lf_thr,
+        frame.lf_image, hf["quant_lf"], hf["ytox"], hf["ytob"],
+        hf["transform"], hf["raw_quant"], hf["epf"],
+        np.asarray(_CBX, dtype=np.int32), np.asarray(_CBY, dtype=np.int32),
+        INVALID_TRANSFORM,
+    )
+
+
 def decode_vardct_lf(frame, group: int, br: BitReader) -> None:
     """ref modular/mod.rs:939-990 + dequant_lf :845-936."""
     header = frame.header
