@@ -177,28 +177,60 @@ class Frame:
 
             state.noise = Noise.read(br)
 
-        state.lf_quant = LfQuantFactors.read(br)
+        is_vardct = header.encoding == Encoding.VARDCT
+        num_ec = len(self.file_header.image_metadata.extra_channel_info)
+        size_limit = min(
+            1024
+            + header.width * header.height * (self.color_channels + num_ec) // 16,
+            1 << 22,
+        )
+        res = None
+        if not allow_partial:
+            # one native call for the whole table sequence (lf-quant,
+            # quantizer, block ctx map, CfL, global tree); the Python
+            # readers below are the oracle/fallback (and keep the exact
+            # OutOfBounds size hints for truncated progressive flushes)
+            from .. import native
 
-        if header.encoding == Encoding.VARDCT:
-            from ..vardct.block_context import BlockContextMap
-            from ..vardct.cfl import ColorCorrelationParams
+            res = native.decode_lf_global_tables_native(br, is_vardct, size_limit)
+        if res is not None:
+            state.lf_quant = LfQuantFactors(res["lf_quant"])
+            if is_vardct:
+                from ..vardct.block_context import BlockContextMap
+                from ..vardct.cfl import ColorCorrelationParams
 
-            state.quant_params = QuantizerParams.read(br)
-            state.block_context_map = BlockContextMap.read(br)
-            state.color_correlation_params = ColorCorrelationParams.read(br)
+                gs, qlf = res["quant_params"]
+                state.quant_params = QuantizerParams(gs, qlf)
+                if res["bctx_default"]:
+                    state.block_context_map = BlockContextMap.default()
+                else:
+                    state.block_context_map = BlockContextMap(
+                        res["lf_thresholds"], res["qf_thresholds"],
+                        res["bctx_map"], res["num_lf_contexts"],
+                        res["bctx_num_contexts"],
+                    )
+                cf, bx, bb, yx, yb = res["cfl"]
+                state.color_correlation_params = ColorCorrelationParams(
+                    cf, bx, bb, yx, yb
+                )
+            state.tree = res["tree"]
+        else:
+            state.lf_quant = LfQuantFactors.read(br)
+
+            if is_vardct:
+                from ..vardct.block_context import BlockContextMap
+                from ..vardct.cfl import ColorCorrelationParams
+
+                state.quant_params = QuantizerParams.read(br)
+                state.block_context_map = BlockContextMap.read(br)
+                state.color_correlation_params = ColorCorrelationParams.read(br)
+
+            if br.read(1) == 1:
+                state.tree = Tree.read(br, size_limit)
 
         if state.splines is not None:
             w, h = header.size()
             state.splines.initialize_draw_cache(w, h, state.color_correlation_params)
-
-        if br.read(1) == 1:
-            num_ec = len(self.file_header.image_metadata.extra_channel_info)
-            size_limit = min(
-                1024
-                + header.width * header.height * (self.color_channels + num_ec) // 16,
-                1 << 22,
-            )
-            state.tree = Tree.read(br, size_limit)
 
         state.modular_global = FullModularImage.read(
             header,

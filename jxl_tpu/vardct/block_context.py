@@ -53,16 +53,20 @@ class BlockContextMap:
         return self.num_contexts * (NON_ZERO_BUCKETS + ZERO_DENSITY_CONTEXT_COUNT)
 
     @staticmethod
+    def default() -> "BlockContextMap":
+        return BlockContextMap(
+            [[], [], []],
+            [],
+            [0, 1, 2, 2, 3, 3, 4, 5, 6, 6, 6, 6, 6]
+            + [7, 8, 9, 9, 10, 11, 12, 13, 14, 14, 14, 14, 14] * 2,
+            1,
+            15,
+        )
+
+    @staticmethod
     def read(br: BitReader) -> "BlockContextMap":
         if br.read(1) == 1:
-            return BlockContextMap(
-                [[], [], []],
-                [],
-                [0, 1, 2, 2, 3, 3, 4, 5, 6, 6, 6, 6, 6]
-                + [7, 8, 9, 9, 10, 11, 12, 13, 14, 14, 14, 14, 14] * 2,
-                1,
-                15,
-            )
+            return BlockContextMap.default()
         num_lf_contexts = 1
         lf_thresholds = []
         for _ in range(3):
