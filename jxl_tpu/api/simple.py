@@ -275,6 +275,14 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     state = DecoderState(fh)
     br = BitReader(codestream)
     frames = []
+    # one coefficient pool spanning every (frame, group): the native
+    # HF-groups driver fills slots in place and the batched render reads
+    # them without a cross-frame concatenation
+    shared_pool = None
+    if all(h.group_dim == 256 for h, _, _ in recs):
+        total_groups = sum(h.num_groups for h, _, _ in recs)
+        shared_pool = np.zeros((total_groups, 3, 256 * 256), dtype=np.int32)
+    slot_base = 0
     try:
         for header, toc, sections_start in recs:
             br.pos = sections_start
@@ -287,7 +295,10 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
             frame.icc_profile = icc_profile
             frame.render_after_decode = False
             frame._defer_render = True
+            if shared_pool is not None:
+                frame._shared_coeff_pool = (shared_pool, slot_base)
             frame.decode_all_sections(br)
+            slot_base += header.num_groups
             if not frame.hf_global or not frame.hf_global.hf_coefficients:
                 return None
             frames.append(frame)

@@ -926,11 +926,15 @@ def decode_hf_groups_native(
     readers, group_ids, slots, bw, bh, gxc, gdim_blocks, hshift3, vshift3,
     tmap, rqmap, qlfmap, bctx_cmap, num_bctx, num_lf_contexts, qf_thr,
     num_ac_contexts, num_histograms, cbx, cby, shape_lut, ent, orders,
-    order_off, shift, coeff_pool, chan_stride,
+    order_off, shift, coeff_pool, chan_stride, blocks_out=None,
+    blk_counts=None,
 ):
     """Whole-frame single-pass VarDCT AC decode: one native call loops the
     HF group sections (histogram selector, per-block item build from the
     transform/raw-quant/quant-lf maps, shared AC loop, final-state check).
+    With blocks_out/blk_counts ((n, gdim^2, 4) int32 and (n,) int32), the
+    per-group block tables [gbx, gby, tid, coeff_off] are exported for the
+    render passes.
 
     Returns the list of final bit positions per reader, None when the
     library is unavailable; raises typed errors on bad streams."""
@@ -987,8 +991,10 @@ def decode_hf_groups_native(
         ctypes.c_int(ent["lz_dist_cluster"]),
         _ptr(orders, ctypes.c_int32), _ptr(order_off, ctypes.c_int32),
         ctypes.c_int(shift),
-        coeff_pool.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _ptr(coeff_pool, ctypes.c_int32),
         _ptr(slots_arr, ctypes.c_int32), ctypes.c_int64(chan_stride),
+        _ptr(blocks_out, ctypes.c_int32) if blocks_out is not None else None,
+        _ptr(blk_counts, ctypes.c_int32) if blk_counts is not None else None,
     )
     if ret == 4:
         raise InvalidHistogramIndex("invalid histogram index")

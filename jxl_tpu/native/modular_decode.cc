@@ -1528,7 +1528,11 @@ int jxl_decode_hf_groups(
     const int32_t* uint_configs, int lz77_enabled, uint32_t min_symbol,
     uint32_t min_length, const int32_t* lz_config, int lz_dist_cluster,
     const int32_t* orders, const int32_t* order_off, int shift,
-    int32_t* coeff_pool, const int32_t* slots, int64_t chan_stride) {
+    int32_t* coeff_pool, const int32_t* slots, int64_t chan_stride,
+    // optional per-group block-table export for the render passes:
+    // rows [gbx, gby, tid, coeff_off] per block in raster order;
+    // blk_counts[i] = blocks in group i. Pass null to skip.
+    int32_t* blocks_out, int32_t* blk_counts) {
   EntropyDecoder dec;
   dec.use_prefix = use_prefix != 0;
   dec.ans = AnsTables{ans_tables, ans_table_size, ans_log_bucket,
@@ -1598,6 +1602,10 @@ int jxl_decode_hf_groups(
     items.clear();
     int64_t slot_base = (int64_t)slots[di] * 3 * chan_stride;
     int64_t block_off = 0;
+    int32_t* blk_row =
+        blocks_out ? blocks_out + (int64_t)di * gdim_blocks * gdim_blocks * 4
+                   : nullptr;
+    int n_blk = 0;
     for (int y = 0; y < gh; y++) {
       const uint8_t* trow = tmap + (int64_t)(gy0 + y) * bw + gx0;
       const int32_t* rqrow = rqmap + (int64_t)(gy0 + y) * bw + gx0;
@@ -1608,6 +1616,13 @@ int jxl_decode_hf_groups(
         int tid = t & 127;
         int cx = cbx_lut[tid], cy = cby_lut[tid], shape = shape_lut[tid];
         int nb = cx * cy, nc = nb * 64;
+        if (blk_row) {
+          blk_row[n_blk * 4] = gx0 + x;
+          blk_row[n_blk * 4 + 1] = gy0 + y;
+          blk_row[n_blk * 4 + 2] = tid;
+          blk_row[n_blk * 4 + 3] = (int32_t)block_off;
+          n_blk++;
+        }
         int rq = rqrow[x];
         int qlf = qlfrow[x];
         int qf_idx = 0;
@@ -1630,6 +1645,8 @@ int jxl_decode_hf_groups(
         block_off += nc;
       }
     }
+
+    if (blk_counts) blk_counts[di] = n_blk;
 
     int ret = DecodeAcItems(dec, br, (int)(items.size() / 11), items.data(),
                             orders, coeff_pool, shift, num_bctx,

@@ -134,9 +134,12 @@ def render_frames_batched(frames: list, out_format: str):
             sb = st.compute_sigma_image(fr)
             s = df._sigma_px(rf, sb, None, bh * 8, bw * 8)
             sigma[fi, : bh * 8, : bw * 8] = s
-        # per-frame mirror-pad gather indices over the canvas
-        pad_y[fi] = _mirror_idx(Hp, bh * 8)
-        pad_x[fi] = _mirror_idx(Wp, bw * 8)
+        # per-frame mirror-pad gather indices over the canvas; filters
+        # mirror at the VISIBLE frame edge, not the 8-padded coded area
+        # (matches the single-frame pipeline, verified vs libjxl)
+        w_vis, h_vis = header.size_upsampled()
+        pad_y[fi] = _mirror_idx(Hp, min(h_vis, Hp))
+        pad_x[fi] = _mirror_idx(Wp, min(w_vis, Wp))
 
         qp = fr.lf_global.quant_params
         ccp = fr.lf_global.color_correlation_params
@@ -180,7 +183,9 @@ def render_frames_batched(frames: list, out_format: str):
         mats_key.append(id(fr.hf_global.dequant_matrices))
 
     group_ids = list(range(gid))
-    nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(coeffs_by_gid, group_ids)
+    nz_mode, nz_idx, nz_vals, total, nz_bucket = _sparse_coeffs(
+        coeffs_by_gid, group_ids
+    )
 
     dqm = f0.hf_global.dequant_matrices
     tids = tuple(sorted(by_tid))
@@ -218,14 +223,14 @@ def render_frames_batched(frames: list, out_format: str):
 
     rf = f0.header.restoration_filter
     key = (
-        F, Hp, Wp, tids, tuple(pads), nz_bucket, gid, out_format,
+        F, Hp, Wp, tids, tuple(pads), nz_mode, nz_bucket, gid, out_format,
         _rf_fingerprint(rf),
         tuple(float(b) for b in biases),
     )
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_program(
-            f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format
+            f0, F, Hp, Wp, tids, ncs, mats, nz_mode, total, biases, out_format
         )
         _CACHE[key] = fn
 
@@ -248,10 +253,13 @@ def _mirror_idx(n_out: int, n_valid: int) -> np.ndarray:
     return np.clip(m, 0, n_valid - 1).astype(np.int32)
 
 
-def _build_program(f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format):
+def _build_program(
+    f0, F, Hp, Wp, tids, ncs, mats, nz_mode, total, biases, out_format
+):
     from ..render import device_filters as df
     from ..render import simple as render_simple
     from ..render.stages import core as st
+    from ..vardct.device_frame import _unpack_coeffs_device
     from ..vardct.transform_map import covered_blocks_x, covered_blocks_y
 
     header = f0.header
@@ -272,7 +280,7 @@ def _build_program(f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format):
     stride_c = GROUP_PX * GROUP_PX
 
     def program(nz_i, nz_v, lf, sigma, pad_y, pad_x, tid_args):
-        flat = jnp.zeros(total + 1, jnp.int32).at[nz_i].set(nz_v)[:total]
+        flat = _unpack_coeffs_device(nz_mode, nz_i, nz_v, total)
         planes = jnp.zeros((3, F * Hp * Wp), jnp.float32)
         lf_flat = lf.reshape(3, -1)  # (3, F*cbh*cbw)
         for ti, t in enumerate(tids):
@@ -327,8 +335,15 @@ def _build_program(f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format):
         def per_frame(p3, sig, py_idx, px_idx):
             # per-frame mirror padding: reflect the frame's own content
             # across the canvas slack so filter borders match the
-            # single-frame pipeline
-            chans = [p3[c][py_idx[:, None], px_idx[None, :]] for c in range(3)]
+            # single-frame pipeline. The gather re-applies BEFORE every
+            # filter step: EPF's block-border SAD mask is position-based
+            # (not mirror-symmetric), so filtered slack content is not the
+            # mirror of filtered interior — stale halos drift by ~3e-3 at
+            # visible edges of sub-canvas frames.
+            def remirror(cs):
+                return [c[py_idx[:, None], px_idx[None, :]] for c in cs]
+
+            chans = remirror([p3[c] for c in range(3)])
             sig = sig[py_idx[:, None], px_idx[None, :]]
             if gab_weights is not None:
                 chans = [
@@ -336,11 +351,11 @@ def _build_program(f0, F, Hp, Wp, tids, ncs, mats, total, biases, out_format):
                     for c, (w1, w2) in zip(chans, gab_weights)
                 ]
             if epf_iters >= 3:
-                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 0)
+                chans = st.epf_step_px(jnp, remirror(chans), sig, rf_obj, 0)
             if epf_iters >= 1:
-                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 1)
+                chans = st.epf_step_px(jnp, remirror(chans), sig, rf_obj, 1)
             if epf_iters >= 2:
-                chans = st.epf_step_px(jnp, chans, sig, rf_obj, 2)
+                chans = st.epf_step_px(jnp, remirror(chans), sig, rf_obj, 2)
             chans = render_simple.color_transform(f0, chans, xp=jnp)
             if out_format != "f32":
                 chans = [
@@ -390,13 +405,30 @@ def render_frames_batched_host(frames: list, out_format: str):
     )
 
     # ---- global (frame, group) block tables ------------------------------
-    # Accumulate raw per-group block arrays in the frame loop, then
-    # partition by transform type ONCE over the global concatenation (the
-    # per-frame per-type masking dominated this function's own time).
+    # The frame loop only stacks maps and per-frame scalars and collects
+    # the per-group block tables (exported by the native HF-groups driver
+    # when available); the per-block dequant/CfL parameters then compute
+    # in ONE vectorized pass over the cross-frame concatenation.
     coeff_parts = []
-    acc: list[list] = [[] for _ in range(7)]  # gbx, gby, fi, off, scl, xcc, bcc
-    tid_parts = []
+    bx_parts, by_parts, fi_parts, off_parts, tid_parts = [], [], [], [], []
+    pool0 = getattr(f0.hf_global, "coeff_pool", None)
+    shared_pool = (
+        pool0
+        if pool0 is not None
+        and all(getattr(fr.hf_global, "coeff_pool", None) is pool0 for fr in frames)
+        else None
+    )
     lf_all = np.zeros((3, F, cbh, cbw), np.float32)
+    tcw, tch = -(-cbw // 8), -(-cbh // 8)
+    rq_all = np.ones((F, cbh, cbw), np.int32)
+    yx_all = np.zeros((F, tch, tcw), np.int8)
+    yb_all = np.zeros((F, tch, tcw), np.int8)
+    igs_f = np.empty(F, np.float32)
+    xdm_f = np.empty(F, np.float32)
+    bdm_f = np.empty(F, np.float32)
+    basex_f = np.empty(F, np.float32)
+    baseb_f = np.empty(F, np.float32)
+    cf_f = np.empty(F, np.float32)
     stride = GROUP_PX * GROUP_PX
     gid = 0
     for fi, fr in enumerate(frames):
@@ -409,53 +441,71 @@ def render_frames_batched_host(frames: list, out_format: str):
         lf_all[:, fi, :bh, :bw] = np.stack(fr.lf_image)[:, :bh, :bw]
         qp = fr.lf_global.quant_params
         ccp = fr.lf_global.color_correlation_params
-        igs = np.float32(qp.inv_global_scale)
-        x_dm = np.float32((1.0 / 1.25) ** (header.x_qm_scale - 2.0))
-        b_dm = np.float32((1.0 / 1.25) ** (header.b_qm_scale - 2.0))
+        igs_f[fi] = qp.inv_global_scale
+        xdm_f[fi] = (1.0 / 1.25) ** (header.x_qm_scale - 2.0)
+        bdm_f[fi] = (1.0 / 1.25) ** (header.b_qm_scale - 2.0)
+        basex_f[fi] = ccp.base_correlation_x
+        baseb_f[fi] = ccp.base_correlation_b
+        cf_f[fi] = ccp.color_factor
         hf = fr.hf_meta
-        rq = np.asarray(hf["raw_quant"])
-        ytox, ytob = np.asarray(hf["ytox"]), np.asarray(hf["ytob"])
+        rq_all[fi, :bh, :bw] = hf["raw_quant"]
+        th, tw = hf["ytox"].shape
+        yx_all[fi, :th, :tw] = hf["ytox"]
+        yb_all[fi, :th, :tw] = hf["ytob"]
+        tables = getattr(fr.hf_global, "block_tables", None)
+        slots = getattr(fr.hf_global, "coeff_pool_slots", None)
         for g in sorted(fr.hf_global.hf_coefficients):
-            bl = _BlockList(fr, g)
-            (gx0, gy0) = bl.origin
             coeff_parts.append(fr.hf_global.hf_coefficients[g])
-            gbx = bl.bxs + gx0
-            gby = bl.bys + gy0
-            rq_b = rq[gby, gbx].astype(np.float32)
-            sy = igs / np.maximum(rq_b, 1e-9)
-            scales = np.stack([sy * x_dm, sy, sy * b_dm], axis=1)
-            tx = gbx // 8
-            ty = gby // 8
-            x_cc = (
-                np.float32(ccp.base_correlation_x)
-                + ytox[ty, tx].astype(np.float32) / np.float32(ccp.color_factor)
-            )
-            b_cc = (
-                np.float32(ccp.base_correlation_b)
-                + ytob[ty, tx].astype(np.float32) / np.float32(ccp.color_factor)
-            )
-            tid_parts.append(bl.tids)
-            for a, v in zip(
-                acc,
-                (
-                    gbx, gby,
-                    np.full(len(gbx), fi, np.int32),
-                    bl.offs.astype(np.int64) + gid * stride,
-                    scales, x_cc, b_cc,
-                ),
-            ):
-                a.append(v)
+            if shared_pool is not None:
+                base = np.int64(slots[g]) * (3 * stride)
+            else:
+                base = np.int64(gid) * stride
+            if tables is not None and g in tables:
+                t = tables[g]
+                bx_parts.append(t[:, 0])
+                by_parts.append(t[:, 1])
+                tid_parts.append(t[:, 2])
+                off_parts.append(t[:, 3].astype(np.int64) + base)
+            else:
+                bl = _BlockList(fr, g)
+                (gx0, gy0) = bl.origin
+                bx_parts.append(bl.bxs + gx0)
+                by_parts.append(bl.bys + gy0)
+                tid_parts.append(bl.tids)
+                off_parts.append(bl.offs.astype(np.int64) + base)
+            fi_parts.append(np.full(len(bx_parts[-1]), fi, np.int32))
             gid += 1
-    coeffs = np.concatenate(coeff_parts, axis=1) if coeff_parts else None
+    if shared_pool is not None:
+        # channel views over the one pool: coeffs for (slot, c) live at
+        # slot*3*stride + c*stride + off (no cross-frame concatenation)
+        flat = shared_pool.reshape(-1)
+        coeffs = [flat, flat[stride:], flat[2 * stride :]]
+    else:
+        coeffs = np.concatenate(coeff_parts, axis=1) if coeff_parts else None
 
     all_tids = np.concatenate(tid_parts) if tid_parts else np.zeros(0, np.int32)
-    g_gbx = np.concatenate(acc[0]).astype(np.int32) if tid_parts else None
-    g_gby = np.concatenate(acc[1]).astype(np.int32) if tid_parts else None
-    g_fidx = np.concatenate(acc[2]) if tid_parts else None
-    g_off = np.concatenate(acc[3]).astype(np.int64) if tid_parts else None
-    g_scl = np.concatenate(acc[4]).astype(np.float32) if tid_parts else None
-    g_xcc = np.concatenate(acc[5]).astype(np.float32) if tid_parts else None
-    g_bcc = np.concatenate(acc[6]).astype(np.float32) if tid_parts else None
+    g_gbx = np.concatenate(bx_parts).astype(np.int32) if tid_parts else None
+    g_gby = np.concatenate(by_parts).astype(np.int32) if tid_parts else None
+    g_fidx = np.concatenate(fi_parts) if tid_parts else None
+    g_off = np.concatenate(off_parts) if tid_parts else None
+    if tid_parts:
+        # vectorized per-block dequant scales and CfL factors (same f32
+        # op order as the per-group computation they replace)
+        rq_b = rq_all[g_fidx, g_gby, g_gbx].astype(np.float32)
+        sy = igs_f[g_fidx] / np.maximum(rq_b, 1e-9)
+        g_scl = np.stack([sy * xdm_f[g_fidx], sy, sy * bdm_f[g_fidx]], axis=1)
+        g_xcc = (
+            basex_f[g_fidx]
+            + yx_all[g_fidx, g_gby // 8, g_gbx // 8].astype(np.float32)
+            / cf_f[g_fidx]
+        )
+        g_bcc = (
+            baseb_f[g_fidx]
+            + yb_all[g_fidx, g_gby // 8, g_gbx // 8].astype(np.float32)
+            / cf_f[g_fidx]
+        )
+    else:
+        g_scl = g_xcc = g_bcc = None
 
     # One stacked canvas for the whole pipeline: frames sit at 32-row-
     # aligned offsets within (3, F*Hs, Wp) channel planes, so the IDCT
@@ -493,7 +543,12 @@ def render_frames_batched_host(frames: list, out_format: str):
         from .. import native
         from ..native import dequant_cfl_native
 
-        if t == 0 and native.available() and coeffs.flags.c_contiguous:
+        coeffs_ok = (
+            all(c.flags.c_contiguous for c in coeffs)
+            if isinstance(coeffs, list)
+            else coeffs.flags.c_contiguous
+        )
+        if t == 0 and native.available() and coeffs_ok:
             # fused native dequant+CfL+IDCT8+scatter straight into the
             # per-frame planes (fidx advances the plane pointers)
             from ..vardct.transforms import idct_matrix

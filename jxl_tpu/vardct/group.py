@@ -162,16 +162,29 @@ def try_decode_hf_groups(frame, group_readers: list) -> bool:
 
     n = len(group_readers)
     stride = header.group_dim * header.group_dim
-    pool = np.zeros((n, 3, stride), dtype=np.int32)
+    shared = getattr(frame, "_shared_coeff_pool", None)
+    if shared is not None and shared[0].shape[2] == stride:
+        # batched-animation caller provides one pool spanning all frames
+        # (render reads it in place; no cross-frame concatenation)
+        pool_arr, base_slot = shared
+        slot_ids = list(range(base_slot, base_slot + n))
+        pool = pool_arr[base_slot : base_slot + n]
+    else:
+        pool_arr = pool = np.zeros((n, 3, stride), dtype=np.int32)
+        base_slot = 0
+        slot_ids = list(range(n))
     bw, bh = header.size_blocks()
     gxc = header.size_groups()[0]
     shift = (
         header.passes.shift[0] if len(header.passes.shift) > 0 else 0
     )
+    gdb = header.group_dim // 8
+    blocks_out = np.empty((n, gdb * gdb, 4), dtype=np.int32)
+    blk_counts = np.empty(n, dtype=np.int32)
     out_pos = native.decode_hf_groups_native(
         [sec for _, sec in group_readers],
         [g for g, _ in group_readers],
-        list(range(n)),
+        slot_ids,
         bw, bh, gxc, header.group_dim // 8,
         np.array([header.hshift(c) for c in range(3)], dtype=np.int32),
         np.array([header.vshift(c) for c in range(3)], dtype=np.int32),
@@ -184,17 +197,20 @@ def try_decode_hf_groups(frame, group_readers: list) -> bool:
         bctx.num_ac_contexts, hf_global.num_histograms,
         _CBX_ARR, _CBY_ARR, _SHAPE_ARR,
         native.pack_entropy(pstate.histograms),
-        orders_arr, order_off, shift, pool, stride,
+        orders_arr, order_off, shift, pool_arr, stride,
+        blocks_out, blk_counts,
     )
     if out_pos is None:
         return False
     slots = {}
+    hf_global.block_tables = {}
     for i, (g, sec) in enumerate(group_readers):
         sec.pos = out_pos[i]
-        hf_global.hf_coefficients[g] = pool[i]
-        slots[g] = i
+        hf_global.hf_coefficients[g] = pool_arr[slot_ids[i]]
+        hf_global.block_tables[g] = blocks_out[i, : blk_counts[i]]
+        slots[g] = slot_ids[i]
     if header.group_dim == GROUP_DIM:
-        hf_global.coeff_pool = pool
+        hf_global.coeff_pool = pool_arr
         hf_global.coeff_pool_slots = slots
     frame.render_after_decode = False
     if not getattr(frame, "_defer_render", False) and not getattr(
@@ -487,20 +503,33 @@ def render_vardct_frame_host(frame) -> None:
     pool = getattr(frame.hf_global, "coeff_pool", None)
     slots = getattr(frame.hf_global, "coeff_pool_slots", None)
     pooled = pool is not None and slots is not None and all(g in slots for g in groups)
+    tables = getattr(frame.hf_global, "block_tables", None)
+    if tables is not None and not all(g in tables for g in groups):
+        tables = None
     bxs, bys, tids, offs = [], [], [], []
     for slot, g in enumerate(groups):
-        bl = _BlockList(frame, g)
-        (gx0, gy0) = bl.origin
-        bxs.append(bl.bxs + np.int32(gx0))
-        bys.append(bl.bys + np.int32(gy0))
-        tids.append(bl.tids)
+        if tables is not None:
+            # block tables exported by the native HF-groups driver:
+            # rows [gbx, gby, tid, group-local coeff off] in raster order
+            t = tables[g]
+            bxs.append(t[:, 0])
+            bys.append(t[:, 1])
+            tids.append(t[:, 2])
+            t_offs = t[:, 3]
+        else:
+            bl = _BlockList(frame, g)
+            (gx0, gy0) = bl.origin
+            bxs.append(bl.bxs + np.int32(gx0))
+            bys.append(bl.bys + np.int32(gy0))
+            tids.append(bl.tids)
+            t_offs = bl.offs
         if pooled:
             # address straight into the frame pool: (slot, c, off) lives at
             # slot*3*stride + c*stride + off; channel views below are the
             # flat pool shifted by c*stride, so no concatenation happens
-            offs.append(bl.offs.astype(np.int64) + np.int64(slots[g] * 3 * stride))
+            offs.append(t_offs.astype(np.int64) + np.int64(slots[g] * 3 * stride))
         else:
-            offs.append(bl.offs + np.int32(slot * stride))
+            offs.append(t_offs + np.int32(slot * stride))
     if not bxs:
         return
     union = types.SimpleNamespace(
