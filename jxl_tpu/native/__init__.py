@@ -702,6 +702,117 @@ def decode_modular_native(
     return True
 
 
+_NAT_ORDERS = None
+
+
+def _natural_orders_concat():
+    """Process-cached concatenation of the 13 natural zig-zag orders
+    (int32) + the 14-entry prefix-offset table for the native HfGlobal
+    fast path."""
+    global _NAT_ORDERS
+    if _NAT_ORDERS is None:
+        from ..vardct.coeff_order import TRANSFORM_TYPE_LUT, natural_order_array
+
+        parts = [natural_order_array(t) for t in TRANSFORM_TYPE_LUT]
+        off = np.zeros(14, dtype=np.int32)
+        for i, p in enumerate(parts):
+            off[i + 1] = off[i] + len(p)
+        _NAT_ORDERS = (
+            np.ascontiguousarray(np.concatenate(parts)).astype(np.int32),
+            off,
+        )
+    return _NAT_ORDERS
+
+
+_hf_global_scratch = _threading.local()
+
+
+def decode_hf_global_native(br, num_histo_bits: int, num_ac_contexts: int):
+    """Single-pass HfGlobal with all-default dequant matrices in one
+    native call (ref frame/decode.rs:513-583): default bit,
+    num_histograms, pass-0 order selector, coded coefficient orders
+    (permutations + Lehmer against the cached natural orders), AC
+    histograms. Returns (num_histograms, used_orders, coded-orders dict,
+    Histograms) or None when the library is unavailable or the stream
+    carries custom matrices (bit position untouched -- the Python oracle
+    re-reads); raises typed errors on bad streams."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..errors import InvalidPermutation, NativeDecodeError, OutOfBounds
+
+    nat, nat_off = _natural_orders_concat()
+    scr = _hf_global_scratch.__dict__
+    max_ctx = (1 << num_histo_bits) * num_ac_contexts + 8
+    if scr.get("cap", -1) < max_ctx:
+        scr["cap"] = max(max_ctx, 4096)
+        scr["cmap"] = np.empty(scr["cap"] + 1, dtype=np.uint8)
+    if "orders" not in scr:
+        scr["orders"] = np.empty(3 * len(nat), dtype=np.int32)
+        scr["cfgs"] = np.empty((256, 3), dtype=np.int32)
+        scr["tables"] = np.empty((256, 5, 256), dtype=np.int32)
+        scr["singles"] = np.empty(256, dtype=np.int32)
+        scr["huff_off"] = np.empty(256, dtype=np.int32)
+        scr["huff_bits"] = np.empty(1 << 14, dtype=np.int32)
+        scr["huff_vals"] = np.empty(1 << 14, dtype=np.int32)
+    info = np.zeros(2, dtype=np.int32)
+    meta = np.zeros(16, dtype=np.int32)
+    lz_cfg = np.zeros(3, dtype=np.int32)
+    orders = scr["orders"]
+    cmap = scr["cmap"]
+    cfgs = scr["cfgs"]
+    tables = scr["tables"]
+    singles = scr["singles"]
+    huff_off = scr["huff_off"]
+    data = _databuf(br)
+    while True:
+        huff_bits = scr["huff_bits"]
+        huff_vals = scr["huff_vals"]
+        bit_pos = ctypes.c_uint64(br.pos)
+        ret = lib.jxl_decode_hf_global(
+            data, ctypes.c_uint64(len(data)), ctypes.byref(bit_pos),
+            ctypes.c_int(num_histo_bits), ctypes.c_int(num_ac_contexts),
+            _ptr(nat, ctypes.c_int32), _ptr(nat_off, ctypes.c_int32),
+            _ptr(info, ctypes.c_int32), _ptr(orders, ctypes.c_int32),
+            _ptr(meta, ctypes.c_int32), _ptr(lz_cfg, ctypes.c_int32),
+            _ptr(cmap, ctypes.c_uint8), _ptr(cfgs, ctypes.c_int32),
+            _ptr(tables, ctypes.c_int32), _ptr(singles, ctypes.c_int32),
+            _ptr(huff_off, ctypes.c_int32), _ptr(huff_bits, ctypes.c_int32),
+            _ptr(huff_vals, ctypes.c_int32), ctypes.c_int64(len(huff_bits)),
+        )
+        if ret != 9:
+            break
+        grown = max(len(huff_bits) * 2, int(meta[11]))
+        scr["huff_bits"] = np.empty(grown, dtype=np.int32)
+        scr["huff_vals"] = np.empty(grown, dtype=np.int32)
+    if ret == 100 or ret == 8:
+        return None  # custom matrices / prefix path: python oracle
+    if ret == 2:
+        raise OutOfBounds(1)
+    if ret == 3:
+        raise InvalidPermutation("invalid permutation size")
+    if ret != 0:
+        raise NativeDecodeError(f"native HfGlobal decode failed (code {ret})")
+    br.pos = bit_pos.value
+    num_histograms = int(info[0])
+    used_orders = int(info[1])
+    coded = {}
+    pos = 0
+    for o in range(13):
+        if not (used_orders >> o) & 1:
+            continue
+        size = int(nat_off[o + 1] - nat_off[o])
+        for c in range(3):
+            coded[3 * o + c] = orders[pos : pos + size].copy()
+            pos += size
+    histograms = _histograms_from_packed(
+        meta, lz_cfg, cmap, cfgs, tables, singles,
+        huff_off, scr["huff_bits"], scr["huff_vals"],
+        num_histograms * num_ac_contexts,
+    )
+    return num_histograms, used_orders, coded, histograms
+
+
 def decode_lf_global_tables_native(br, is_vardct: bool, tree_size_limit: int):
     """LfGlobal table sequence in one native call (ref frame/decode.rs:
     314-434): LF quant factors, [VarDCT: quantizer params + block context

@@ -2731,6 +2731,129 @@ int jxl_decode_lf_global_tables(
   return 0;
 }
 
+// HfGlobal fast path (ref frame/decode.rs:513-583, python
+// vardct/hf_global.py): all-default dequant matrices + a single pass.
+// Reads the matrices' default bit, num_histograms, the pass-0 order
+// selector, the coded coefficient orders (permutation histograms +
+// Lehmer application against caller-supplied natural orders), then the
+// AC histograms in the jxl_decode_histograms packed layout.
+// nat_orders: the 13 natural zig-zag orders concatenated, prefix
+// offsets in nat_off[14] (each size is nb*64 with nb = size/64).
+// orders_out: final coded orders in stream order (ascending ord_idx,
+// then channel 0..2), each nb*64 int32, concatenated.
+// out_info: [0] num_histograms, [1] used_orders (pass 0).
+// Returns 0 ok; 100 = custom dequant matrices (bit_pos untouched --
+// caller re-reads through the Python oracle); 1 entropy error;
+// 2 overrun; 3 invalid permutation; 9 = huff buffer too small
+// (h_meta[11] = needed size, retry bigger).
+int jxl_decode_hf_global(
+    const uint8_t* data, uint64_t size, uint64_t* bit_pos,
+    int num_histo_bits, int num_ac_contexts,
+    const int32_t* nat_orders, const int32_t* nat_off,
+    int32_t* out_info, int32_t* orders_out,
+    int32_t* h_meta, int32_t* h_lz, uint8_t* h_cmap, int32_t* h_cfgs,
+    int32_t* h_tables, int32_t* h_singles, int32_t* h_hoff,
+    int32_t* h_hbits, int32_t* h_hvals, int64_t h_hcap) {
+  BitReader br{data, size, *bit_pos};
+  if (!br.Read(1)) return br.Overrun() ? 2 : 100;
+  int num_histograms = (int)br.Read(num_histo_bits) + 1;
+  out_info[0] = num_histograms;
+  uint32_t sel = (uint32_t)br.Read(2);
+  uint32_t used = sel == 0   ? 0x5Fu
+                  : sel == 1 ? 0x13u
+                  : sel == 2 ? 0u
+                             : (uint32_t)br.Read(13);
+  out_info[1] = (int32_t)used;
+  if (br.Overrun()) return 2;
+
+  if (used) {
+    // permutation histograms (8 contexts), internal only
+    int32_t t_meta[16], t_lz[3], t_cfgs[3 * 16], t_single[16];
+    uint8_t t_map[16];
+    std::vector<int32_t> t_tables(16 * 5 * 256);
+    std::vector<int32_t> t_hoff, t_hbits, t_hvals;
+    int ret = DecodeHistogramsImpl(br, 8, 1, 0, t_meta, t_lz, t_map, t_cfgs,
+                                   t_tables.data(), t_single, &t_hoff,
+                                   &t_hbits, &t_hvals);
+    if (ret != 0) return br.Overrun() ? 2 : ret;
+    EntropyDecoder dec;
+    dec.use_prefix = t_meta[10] != 0;
+    dec.ans = AnsTables{t_tables.data(), t_meta[8], t_meta[9],
+                        (1 << t_meta[9]) - 1};
+    if (dec.use_prefix)
+      dec.huff = HuffTables{t_hoff.data(), t_hbits.data(), t_hvals.data()};
+    dec.context_map = t_map;
+    dec.num_contexts = 8 + (t_meta[0] ? 1 : 0);
+    std::vector<UintConfig> cfgs(t_meta[7]);
+    for (int i = 0; i < t_meta[7]; i++)
+      cfgs[i] = UintConfig{t_cfgs[3 * i], t_cfgs[3 * i + 1], t_cfgs[3 * i + 2]};
+    dec.uint_configs = cfgs.data();
+    dec.lz77 = t_meta[0] != 0;
+    dec.min_symbol = (uint32_t)t_meta[1];
+    dec.min_length = (uint32_t)t_meta[2];
+    dec.dist_multiplier = 0;
+    dec.lz_dist_cluster = t_map[dec.num_contexts - 1];
+    if (dec.lz77) dec.lz_len_config = UintConfig{t_lz[0], t_lz[1], t_lz[2]};
+    dec.Init(br);
+
+    auto ctx_of = [](uint32_t x) {
+      int b = 0;
+      uint64_t v = (uint64_t)x + 1;
+      while ((1ull << b) < v) b++;
+      return b < 7 ? b : 7;
+    };
+    std::vector<uint32_t> code;
+    std::vector<int32_t> idx;
+    int64_t opos = 0;
+    for (int o = 0; o < 13; o++) {
+      if (!((used >> o) & 1)) continue;
+      const int32_t* base = nat_orders + nat_off[o];
+      int size_o = nat_off[o + 1] - nat_off[o];
+      int nb = size_o / 64;
+      for (int c = 0; c < 3; c++) {
+        uint32_t end = dec.ReadUnsigned(br, ctx_of((uint32_t)size_o));
+        if (dec.error || br.Overrun()) return br.Overrun() ? 2 : 1;
+        if (end > (uint32_t)(size_o - nb)) return 3;
+        code.resize(end);
+        uint32_t prev = 0;
+        for (uint32_t i = 0; i < end; i++) {
+          uint32_t val = dec.ReadUnsigned(br, ctx_of(prev));
+          code[i] = val;
+          prev = val;
+        }
+        if (dec.error || br.Overrun()) return br.Overrun() ? 2 : 1;
+        int n = size_o - nb;
+        idx.resize(n);
+        if (jxl_apply_lehmer(code.data(), (int64_t)end, n, idx.data()) != 0)
+          return 3;
+        int32_t* dst = orders_out + opos;
+        for (int i = 0; i < nb; i++) dst[i] = base[i];
+        for (int i = 0; i < n; i++) dst[nb + i] = base[nb + idx[i]];
+        opos += size_o;
+      }
+    }
+    if (!dec.CheckFinal(br)) return br.Overrun() ? 2 : 1;
+  }
+
+  // AC histograms into the caller's packed buffers
+  std::vector<int32_t> hoff, hbits, hvals;
+  int ret = DecodeHistogramsImpl(br, num_histograms * num_ac_contexts, 1, 0,
+                                 h_meta, h_lz, h_cmap, h_cfgs, h_tables,
+                                 h_singles, &hoff, &hbits, &hvals);
+  if (ret == 1 && br.Overrun()) return 2;
+  if (ret != 0) return ret;
+  h_meta[11] = (int32_t)hbits.size();
+  if (h_meta[10]) {
+    if ((int64_t)hbits.size() > h_hcap) return 9;
+    std::memcpy(h_hoff, hoff.data(), hoff.size() * sizeof(int32_t));
+    std::memcpy(h_hbits, hbits.data(), hbits.size() * sizeof(int32_t));
+    std::memcpy(h_hvals, hvals.data(), hvals.size() * sizeof(int32_t));
+  }
+  if (br.Overrun()) return 2;
+  *bit_pos = br.pos;
+  return 0;
+}
+
 // Place VarDCT transforms into the block maps (ref modular/mod.rs:1028-1080):
 // raster scan over the LF-group rect, claiming cy x cx rects per entry and
 // skipping already-covered cells. Returns 0 ok; 4 = count mismatch;

@@ -34,8 +34,37 @@ class HfGlobalState:
 
 
 def decode_hf_global(frame, br: BitReader) -> HfGlobalState:
-    dequant_matrices = DequantMatrices.decode(frame, br)
     bctx = frame.lf_global.block_context_map
+    if frame.header.passes.num_passes == 1:
+        from .. import native
+
+        res = (
+            native.decode_hf_global_native(
+                br, _ceil_log2(frame.header.num_groups), bctx.num_ac_contexts
+            )
+            if native.available()
+            else None
+        )
+        if res is not None:
+            from .coeff_order import CoeffOrders
+            from .quant_weights import NUM_QUANT_TABLES, library_table
+
+            num_histograms, _used, coded, histograms = res
+            num_contexts = num_histograms * bctx.num_ac_contexts
+            histograms.resize(
+                num_contexts
+                + ZERO_DENSITY_CONTEXT_LIMIT
+                - ZERO_DENSITY_CONTEXT_COUNT
+            )
+            return HfGlobalState(
+                num_histograms,
+                [PassState(CoeffOrders(coded), histograms)],
+                DequantMatrices(
+                    [library_table(i) for i in range(NUM_QUANT_TABLES)]
+                ),
+                {},
+            )
+    dequant_matrices = DequantMatrices.decode(frame, br)
     num_histo_bits = _ceil_log2(frame.header.num_groups)
     num_histograms = br.read(num_histo_bits) + 1
     passes = []
