@@ -84,6 +84,97 @@ void tf_row(float* rc, int64_t w, int tf_kind, float tf_p0, float scale) {
   }
 }
 
+// LUT transfer functions for the u8 output path only: the u8 quantum is
+// 1/255 and the blue-noise dither already perturbs by up to half of it,
+// so a 4096-segment lerp (max error ~0.004 of one LSB for sRGB/709,
+// validated against the exact powf forms in tests) is far inside the
+// +/-1 LSB output contract while replacing 1-2 vector powf calls per
+// element. PQ and pure-gamma curves have unbounded curvature at 0, so
+// those LUTs index by a^(1/8) (three sqrts) instead of a.
+// The f32 output path keeps the exact powf forms.
+constexpr int kTfLutN = 4096;
+
+struct TfLut {
+  int kind = -1;
+  float p0 = 0.0f;
+  std::vector<float> lut;  // kTfLutN + 2 entries, pre-scaled by 255
+};
+
+const float* tf_lut_u8(int tf_kind, float tf_p0) {
+  static thread_local TfLut cache;
+  if (cache.kind == tf_kind && cache.p0 == tf_p0 && !cache.lut.empty())
+    return cache.lut.data();
+  cache.kind = tf_kind;
+  cache.p0 = tf_p0;
+  cache.lut.assign(kTfLutN + 2, 0.0f);
+  for (int i = 0; i <= kTfLutN; ++i) {
+    double a = (double)i / kTfLutN;
+    double t = a;
+    switch (tf_kind) {
+      case 0:  // sRGB, indexed by a
+        t = a <= 0.0031308 ? a * 12.92 : 1.055 * std::pow(a, 1.0 / 2.4) - 0.055;
+        break;
+      case 1: {  // PQ, indexed by (a * tf_p0)^(1/8)
+        double lin = std::pow(a, 8.0);
+        double ym = std::pow(lin, (double)kPqM1);
+        t = std::pow((kPqC1 + (double)kPqC2 * ym) / (1.0 + (double)kPqC3 * ym),
+                     (double)kPqM2);
+        break;
+      }
+      case 2:  // BT.709, indexed by a
+        t = a < 0.018
+                ? a * 4.5
+                : 1.09929682680944 * std::pow(a, 0.45) - 0.09929682680944;
+        break;
+      case 3:  // pure gamma tf_p0, indexed by a^(1/8)
+        t = std::pow(std::pow(a, 8.0), (double)tf_p0);
+        break;
+      default:
+        break;
+    }
+    cache.lut[i] = (float)(t * 255.0);
+  }
+  cache.lut[kTfLutN + 1] = cache.lut[kTfLutN];
+  return cache.lut.data();
+}
+
+// u8-path transfer function over one row: LUT lerp, output scaled by 255.
+// Semantics match tf_row(..., scale=255) within ~0.004 LSB.
+void tf_row_u8(float* rc, int64_t w, int tf_kind, float tf_p0,
+               const float* lut) {
+  if (tf_kind < 0 || tf_kind > 3) {  // linear (tf_row's default case)
+#pragma omp simd
+    for (int64_t i = 0; i < w; ++i) rc[i] *= 255.0f;
+    return;
+  }
+  const float n = (float)kTfLutN;
+  if (tf_kind == 0 || tf_kind == 2) {
+#pragma omp simd
+    for (int64_t i = 0; i < w; ++i) {
+      float v = rc[i];
+      // fminf/fmaxf quash NaN/Inf before indexing (memory safety)
+      float a = fminf(fmaxf(fabsf(v), 0.0f), 1.0f) * n;
+      int idx = (int)a;
+      float fr = a - (float)idx;
+      float t = lut[idx] + fr * (lut[idx + 1] - lut[idx]);
+      rc[i] = copysignf(t, v);
+    }
+    return;
+  }
+  // PQ / gamma: index by the 8th root
+  const float s = tf_kind == 1 ? tf_p0 : 1.0f;
+#pragma omp simd
+  for (int64_t i = 0; i < w; ++i) {
+    float v = rc[i];
+    float a = fminf(fmaxf(fabsf(v) * s, 0.0f), 1.0f);
+    float u = sqrtf(sqrtf(sqrtf(a))) * n;
+    int idx = (int)u;
+    float fr = u - (float)idx;
+    float t = lut[idx] + fr * (lut[idx + 1] - lut[idx]);
+    rc[i] = copysignf(t, v);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -105,6 +196,8 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
   const float m00 = mat[0], m01 = mat[1], m02 = mat[2];
   const float m10 = mat[3], m11 = mat[4], m12 = mat[5];
   const float m20 = mat[6], m21 = mat[7], m22 = mat[8];
+  const float* lut =
+      (tf_kind >= 0 && tf_kind <= 3) ? tf_lut_u8(tf_kind, tf_p0) : nullptr;
   std::vector<float> buf(3 * (size_t)w);
   float* r0 = buf.data();
   float* r1 = r0 + w;
@@ -125,9 +218,9 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
       r1[i] = m10 * l + m11 * m + m12 * s;
       r2[i] = m20 * l + m21 * m + m22 * s;
     }
-    tf_row(r0, w, tf_kind, tf_p0, 255.0f);
-    tf_row(r1, w, tf_kind, tf_p0, 255.0f);
-    tf_row(r2, w, tf_kind, tf_p0, 255.0f);
+    tf_row_u8(r0, w, tf_kind, tf_p0, lut);
+    tf_row_u8(r1, w, tf_kind, tf_p0, lut);
+    tf_row_u8(r2, w, tf_kind, tf_p0, lut);
     // dither + clamp + round + interleave (3 bytes/px; scalar is fine)
     const float* d0 = dither + (yy % 32) * 32;
     const float* d1 = dither + ((yy + 13) % 32) * 32;
