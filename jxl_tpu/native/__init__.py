@@ -1350,6 +1350,54 @@ def filter_chain_native(
     return ps
 
 
+def filter_chain_multi_native(
+    stacked, offsets, hs, ws, stride, sigma_flat, sigma_offs, gab_weights,
+    epf_iters, rf,
+):
+    """Batched per-frame gaborish+EPF over a stacked animation canvas
+    (in place). stacked: (3, H_total, W) contiguous f32; frame i's planes
+    start at element offset offsets[i] with shape (hs[i], ws[i]) on row
+    stride `stride`; sigma_flat/sigma_offs hold each frame's raveled
+    block-resolution 1/sigma (None when epf_iters == 0). Returns True, or
+    False when the native lib is unavailable (caller falls back).
+    Semantics: filter_chain_native per frame."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    n = len(offsets)
+    if n == 0:
+        return True
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    hs_a = np.ascontiguousarray(hs, dtype=np.int32)
+    ws_a = np.ascontiguousarray(ws, dtype=np.int32)
+    if sigma_flat is not None:
+        sig = np.ascontiguousarray(sigma_flat, dtype=np.float32)
+        sigp = _ptr(sig, ctypes.c_float)
+        soffs = np.ascontiguousarray(sigma_offs, dtype=np.int64)
+        soffp = _ptr(soffs, ctypes.c_int64)
+    else:
+        sigp = soffp = None
+    if gab_weights is not None:
+        gw = np.asarray(gab_weights, dtype=np.float32).reshape(6)
+        gwp = _ptr(gw, ctypes.c_float)
+    else:
+        gwp = None
+    cs = np.asarray(rf.epf_channel_scale, dtype=np.float32)
+    lib.jxl_filter_chain_multi(
+        _ptr(stacked[0], ctypes.c_float), _ptr(stacked[1], ctypes.c_float),
+        _ptr(stacked[2], ctypes.c_float),
+        ctypes.c_int(n), _ptr(offs, ctypes.c_int64),
+        _ptr(hs_a, ctypes.c_int32), _ptr(ws_a, ctypes.c_int32),
+        ctypes.c_int64(stride), sigp, soffp,
+        gwp, ctypes.c_int(int(epf_iters)),
+        _ptr(cs, ctypes.c_float),
+        ctypes.c_float(float(rf.epf_pass0_sigma_scale)),
+        ctypes.c_float(float(rf.epf_pass2_sigma_scale)),
+        ctypes.c_float(float(rf.epf_border_sad_mul)),
+    )
+    return True
+
+
 def dequant_cfl_native(coeffs3, offs, nc, mats, scales, xcc, bcc, biases):
     """Gather + bias-adjust + dequant + CfL in one native pass.
 

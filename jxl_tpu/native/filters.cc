@@ -298,6 +298,30 @@ void jxl_filter_chain(float* plane0, float* plane1, float* plane2, int h,
                            border_sad_mul);
 }
 
+// Batched per-frame filter chain over a stacked animation canvas: frame
+// i's three planes start at plane{0,1,2} + offsets[i], sized hs[i] x
+// ws[i] on the shared io_stride, with its block-resolution 1/sigma at
+// sigmas + sigma_offs[i] (null sigmas = gaborish only). One call
+// replaces `count` ctypes round trips; filter semantics are exactly the
+// per-frame jxl_filter_chain_strided (visible-edge mirror per frame).
+void jxl_filter_chain_multi(float* plane0, float* plane1, float* plane2,
+                            int count, const int64_t* offsets,
+                            const int32_t* hs, const int32_t* ws,
+                            int64_t io_stride, const float* sigmas,
+                            const int64_t* sigma_offs,
+                            const float* gab_weights, int epf_iters,
+                            const float* channel_scale,
+                            float pass0_sigma_scale, float pass2_sigma_scale,
+                            float border_sad_mul) {
+  for (int i = 0; i < count; ++i) {
+    jxl_filter_chain_strided(
+        plane0 + offsets[i], plane1 + offsets[i], plane2 + offsets[i], hs[i],
+        ws[i], io_stride, sigmas ? sigmas + sigma_offs[i] : nullptr, 1,
+        gab_weights, epf_iters, channel_scale, pass0_sigma_scale,
+        pass2_sigma_scale, border_sad_mul);
+  }
+}
+
 }  // extern "C"
 
 namespace {

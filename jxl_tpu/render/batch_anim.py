@@ -588,24 +588,31 @@ def render_frames_batched_host(frames: list, out_format: str):
             if cx == 1 and cy == 1:
                 tiles = lf_all[c, fidx, gby, gbx][:, None, None]
             else:
-                tiles = np.stack(
-                    [
-                        lf_all[c, f, y : y + cy, x : x + cx]
-                        for f, x, y in zip(
-                            fidx.tolist(), gbx.tolist(), gby.tolist()
-                        )
-                    ]
-                )
+                # broadcast gather of the (cy, cx) LF tiles (a per-block
+                # python loop here cost ~3 us x thousands of blocks)
+                iy = np.arange(cy, dtype=np.intp)
+                ix = np.arange(cx, dtype=np.intp)
+                tiles = lf_all[
+                    c,
+                    fidx[:, None, None],
+                    gby[:, None, None] + iy[None, :, None],
+                    gbx[:, None, None] + ix[None, None, :],
+                ]
             pix = transform_to_pixels_batch(np, t, tiles, dq[:, c])
             ph, pw = pix.shape[1], pix.shape[2]
             if ph == 8 and pw == 8:
                 pv[fidx, c, gby, :, gbx, :] = pix
             else:
-                pl = planes[:, c]
-                for i, (f, x, y) in enumerate(
-                    zip(fidx.tolist(), gbx.tolist(), gby.tolist())
-                ):
-                    pl[f, y * 8 : y * 8 + ph, x * 8 : x * 8 + pw] = pix[i]
+                # one flat-index scatter per (type, channel) into the
+                # contiguous stacked canvas
+                rows = (
+                    fidx[:, None].astype(np.intp) * Hs
+                    + gby[:, None] * 8
+                    + np.arange(ph, dtype=np.intp)[None, :]
+                )
+                cols = gbx[:, None] * 8 + np.arange(pw, dtype=np.intp)[None, :]
+                flat = rows[:, :, None] * Wp + cols[:, None, :]
+                stacked[c].reshape(-1)[flat.reshape(-1)] = pix.reshape(-1)
 
     # ---- per-frame IN-PLACE filters on the stacked canvas ----------------
     # mirror semantics are per-frame (visible-edge), so each frame filters
@@ -618,14 +625,34 @@ def render_frames_batched_host(frames: list, out_format: str):
             float(rf.gab_y_weight1), float(rf.gab_y_weight2),
             float(rf.gab_b_weight1), float(rf.gab_b_weight2),
         )
-    from ..native import filter_chain_native
+    from .. import native
+    from ..native import filter_chain_multi_native, filter_chain_native
 
     fsizes = []
+    batch_idx, batch_offs, batch_hs, batch_ws = [], [], [], []
+    sig_parts, sig_offs = [], []
+    sig_pos = 0
     for fi, fr in enumerate(frames):
         w, h = fr.header.size_upsampled()
         w, h = min(w, Wp), min(h, Hp)
         fsizes.append((h, w))
         if rf.epf_iters <= 0 and gab is None:
+            continue
+        if native.available() and h >= 8 and w >= 8:
+            # fold into ONE native multi-frame filter call below
+            batch_idx.append(fi)
+            batch_offs.append(fi * Hs * Wp)
+            batch_hs.append(h)
+            batch_ws.append(w)
+            if rf.epf_iters > 0:
+                sb = st.compute_sigma_image(fr)
+                sbh, sbw = -(-h // 8), -(-w // 8)
+                tight = np.ascontiguousarray(
+                    sb[:sbh, :sbw], dtype=np.float32
+                ).reshape(-1)
+                sig_parts.append(tight)
+                sig_offs.append(sig_pos)
+                sig_pos += len(tight)
             continue
         views = [stacked[c, fi * Hs : fi * Hs + h, :w] for c in range(3)]
         sb = st.compute_sigma_image(fr) if rf.epf_iters > 0 else None
@@ -653,6 +680,14 @@ def render_frames_batched_host(frames: list, out_format: str):
                 chans = st.epf_step_px(np, chans, inv_sigma, rf, 2)
             for c in range(3):
                 views[c][...] = chans[c]
+
+    if batch_idx:
+        filter_chain_multi_native(
+            stacked, batch_offs, batch_hs, batch_ws, Wp,
+            np.concatenate(sig_parts) if sig_parts else None,
+            sig_offs if sig_parts else None,
+            gab, rf.epf_iters, rf,
+        )
 
     # ---- ONE color + output-convert pass over the whole stack ------------
     dtype = {"u8": np.uint8, "u16": np.uint16, "f16": np.float16}.get(
