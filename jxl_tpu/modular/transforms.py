@@ -613,16 +613,77 @@ def _palette_lookup_vec(palette: np.ndarray, idx: np.ndarray, c: int, palette_si
 
 
 def inverse_apply_steps(steps, storage):
-    """Inverse-apply transform steps in reverse order (decode direction)."""
-    for step in reversed(steps):
+    """Inverse-apply transform steps in reverse order (decode direction).
+
+    Maximal runs of squeeze steps go through ONE native call
+    (jxl_squeeze_chain) — animations run ~24 per frame on the alpha
+    channel and the per-step ctypes round trips dominated the math."""
+    rev = list(reversed(steps))
+    i = 0
+    while i < len(rev):
+        step = rev[i]
         if isinstance(step, RctStep):
             apply_rct(storage, step)
+            i += 1
         elif isinstance(step, SqueezeStep):
-            if step.horizontal:
-                apply_hsqueeze(storage, step)
-            else:
-                apply_vsqueeze(storage, step)
+            j = i
+            while j < len(rev) and isinstance(rev[j], SqueezeStep):
+                j += 1
+            if not _squeeze_chain_native(storage, rev[i:j]):
+                for s in rev[i:j]:
+                    if s.horizontal:
+                        apply_hsqueeze(storage, s)
+                    else:
+                        apply_vsqueeze(storage, s)
+            i = j
         elif isinstance(step, PaletteStep):
             apply_palette(storage, step)
+            i += 1
         else:
             raise AssertionError(f"unknown step {step}")
+
+
+def _squeeze_chain_native(storage, steps) -> bool:
+    """Submit a run of inverse squeeze steps as one native call. Returns
+    False (caller falls back per-step) when the library is unavailable or
+    any buffer is non-contiguous — pointers are snapshotted BEFORE the
+    chain runs, so a lazily-copied non-contiguous input would break the
+    step-to-step aliasing the chain relies on."""
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return False
+    import ctypes
+
+    recs = np.empty((len(steps), 11), dtype=np.int64)
+    n = 0
+    for step in steps:
+        out = storage[step.buf_out].data
+        if out.size == 0:
+            continue  # apply_{h,v}squeeze early-return shapes
+        avg = storage[step.buf_in[0]].data
+        res = storage[step.buf_in[1]].data
+        for a in (out, avg, res):
+            if a.dtype != np.int32 or not a.flags.c_contiguous:
+                return False
+        if step.horizontal:
+            h, wo = out.shape
+            recs[n] = (
+                1, avg.ctypes.data, avg.shape[1] if avg.size else 0,
+                res.ctypes.data, res.shape[1] if res.size else 0,
+                out.ctypes.data, wo, h, avg.shape[1], res.shape[1], wo,
+            )
+        else:
+            ho, w = out.shape
+            recs[n] = (
+                0, avg.ctypes.data, avg.shape[1] if avg.size else 0,
+                res.ctypes.data, res.shape[1] if res.size else 0,
+                out.ctypes.data, w, w, avg.shape[0], res.shape[0], ho,
+            )
+        n += 1
+    if n:
+        lib.jxl_squeeze_chain(
+            ctypes.c_int(n), native._ptr(recs, ctypes.c_int64)
+        )
+    return True

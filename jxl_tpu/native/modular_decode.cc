@@ -2731,6 +2731,58 @@ int jxl_decode_lf_global_tables(
   return 0;
 }
 
+// 3x3 self-correcting LF smoothing, in place on the three LF planes
+// (ref adaptive_lf_smoothing.rs; python vardct/lf.py). Bit-exact twin of
+// the numpy formulation: same f32 op order, compiled without fp
+// contraction. ~20 small whole-plane numpy passes per frame collapse to
+// one row loop (animations pay this per frame).
+void jxl_adaptive_lf_smooth(float* p0, float* p1, float* p2, int64_t h,
+                            int64_t w, float f0, float f1, float f2,
+                            float w_corner, float w_side, float w_center) {
+  if (h <= 2 || w <= 2) return;
+  float* planes[3] = {p0, p1, p2};
+  const float fac[3] = {f0, f1, f2};
+  const int64_t oh = h - 2, ow = w - 2;
+  std::vector<float> sbuf(3 * oh * ow);
+  std::vector<float> gap(oh * ow, 0.5f);
+  for (int c = 0; c < 3; ++c) {
+    const float* p = planes[c];
+    float* s = sbuf.data() + (size_t)c * oh * ow;
+    const float lfc = fac[c];
+    for (int64_t y = 0; y < oh; ++y) {
+      const float* r0 = p + y * w;
+      const float* r1 = p + (y + 1) * w;
+      const float* r2 = p + (y + 2) * w;
+      float* srow = s + y * ow;
+      float* grow = gap.data() + y * ow;
+      for (int64_t x = 0; x < ow; ++x) {
+        float corner = ((r0[x] + r0[x + 2]) + r2[x]) + r2[x + 2];
+        float side = ((r1[x] + r1[x + 2]) + r0[x + 1]) + r2[x + 1];
+        float mc = r1[x + 1];
+        float sv = corner * w_corner + side * w_side + mc * w_center;
+        srow[x] = sv;
+        float g = fabsf((mc - sv) / lfc);
+        if (g > grow[x]) grow[x] = g;
+      }
+    }
+  }
+  for (int64_t i = 0; i < oh * ow; ++i) {
+    float f = 3.0f - 4.0f * gap[i];
+    gap[i] = f > 0.0f ? f : 0.0f;
+  }
+  for (int c = 0; c < 3; ++c) {
+    float* p = planes[c];
+    const float* s = sbuf.data() + (size_t)c * oh * ow;
+    for (int64_t y = 0; y < oh; ++y) {
+      float* dst = p + (y + 1) * w + 1;
+      const float* srow = s + y * ow;
+      const float* grow = gap.data() + y * ow;
+      for (int64_t x = 0; x < ow; ++x)
+        dst[x] = (srow[x] - dst[x]) * grow[x] + dst[x];
+    }
+  }
+}
+
 // HfGlobal fast path (ref frame/decode.rs:513-583, python
 // vardct/hf_global.py): all-default dequant matrices + a single pass.
 // Reads the matrices' default bit, num_histograms, the pass-0 order
@@ -3037,6 +3089,26 @@ static int32_t GetPaletteValue(const int32_t* palette, int pal_w, int64_t index,
     return (int32_t)(((i % kLarge) * (((int64_t)1 << bit_depth) - 1)) >> 2);
   }
   return palette[(int64_t)c * pal_w + index];
+}
+
+// A run of inverse squeeze steps in one call: recs holds 11 int64 per
+// step, [horizontal, avg_ptr, avg_stride, res_ptr, res_stride, out_ptr,
+// out_stride, p0, p1, p2, p3] with (p0..p3) the trailing int args of
+// jxl_{h,v}squeeze. Steps execute in order (step k's output plane is
+// step k+1's input by pointer). Saves a ctypes round trip per step --
+// animations run ~24 squeeze steps per frame on the alpha channel.
+extern "C" void jxl_squeeze_chain(int n, const int64_t* recs) {
+  for (int i = 0; i < n; ++i) {
+    const int64_t* r = recs + (int64_t)i * 11;
+    if (r[0])
+      jxl_hsqueeze((const int32_t*)r[1], r[2], (const int32_t*)r[3], r[4],
+                   (int32_t*)r[5], r[6], (int)r[7], (int)r[8], (int)r[9],
+                   (int)r[10]);
+    else
+      jxl_vsqueeze((const int32_t*)r[1], r[2], (const int32_t*)r[3], r[4],
+                   (int32_t*)r[5], r[6], (int)r[7], (int)r[8], (int)r[9],
+                   (int)r[10]);
+  }
 }
 
 extern "C" int jxl_palette_apply(const int32_t* idx, int w, int h,

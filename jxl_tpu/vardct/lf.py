@@ -289,6 +289,24 @@ def adaptive_lf_smoothing(frame) -> None:
     h, w = lf[0].shape
     if h <= 2 or w <= 2:
         return
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is not None and all(
+        p.dtype == np.float32 and p.flags.c_contiguous for p in lf[:3]
+    ):
+        import ctypes
+
+        f = ctypes.c_float
+        lib.jxl_adaptive_lf_smooth(
+            native._ptr(lf[0], f), native._ptr(lf[1], f), native._ptr(lf[2], f),
+            ctypes.c_int64(h), ctypes.c_int64(w),
+            f(np.float32(lf_factors[0])), f(np.float32(lf_factors[1])),
+            f(np.float32(lf_factors[2])),
+            f(np.float32(_W_CORNER)), f(np.float32(_W_SIDE)),
+            f(np.float32(_W_CENTER)),
+        )
+        return
     sm = []
     gap = np.full((h - 2, w - 2), 0.5, dtype=np.float32)
     mcs = []
