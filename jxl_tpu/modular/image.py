@@ -33,6 +33,46 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_PLAN_CACHE: dict = {}
+
+
+def _build_plan(channels, header, frame_header):
+    """Transform meta-apply + section assignment (ref modular/mod.rs:
+    353-419): coded channels in coded order; LfGlobal takes the
+    meta-or-small prefix, LfGroup takes shift >= 3, each pass takes its
+    downsampling bracket."""
+    buffer_infos, coded, transform_steps = meta_apply_transforms(
+        channels, header
+    )
+    group_dim = frame_header.group_dim
+    coded_infos = [(i, buffer_infos[b]) for i, b in enumerate(coded)]
+    prefix_len = 0
+    for _, info in coded_infos:
+        if info.is_meta_or_small(group_dim):
+            prefix_len += 1
+        else:
+            break
+    rest = coded_infos[prefix_len:]
+
+    sections = [[coded[i] for i, _ in coded_infos[:prefix_len]]]
+    sections.append(
+        [coded[i] for i, info in rest if info.is_shift_in_range(3, 1 << 30)]
+    )
+    for p in range(frame_header.passes.num_passes):
+        lo, hi = frame_header.passes.downsampling_bracket(p)
+        sections.append(
+            [coded[i] for i, info in rest if info.is_shift_in_range(lo, hi)]
+        )
+
+    grid_kind = ["none"] * len(buffer_infos)
+    for b in sections[1]:
+        grid_kind[b] = "lf"
+    for sec in sections[2:]:
+        for b in sec:
+            grid_kind[b] = "hf"
+    return (buffer_infos, coded, transform_steps, sections, grid_kind)
+
+
 class FullModularImage:
     def __init__(self):
         self.buffer_infos: list[ChannelInfo] = []
@@ -99,41 +139,54 @@ class FullModularImage:
 
         header = GroupHeader.read(br)
         self.global_header = header
-        self.buffer_infos, self.coded, self.transform_steps = meta_apply_transforms(
-            channels, header
+
+        # The planning below (transform meta-apply + section assignment)
+        # is a pure function of the channel list, the header transforms
+        # and the frame geometry — animations re-derive the identical
+        # plan for every frame, so it is memoized (descriptor objects are
+        # never mutated during decode; storage is always allocated fresh).
+        wp = header.wp_header
+        key = (
+            tuple(
+                (c.size, c.shift, c.bit_depth_bits, c.output_channel_idx)
+                for c in channels
+            ),
+            tuple(
+                (
+                    t.id, t.begin_channel, t.rct_type, t.num_channels,
+                    t.num_colors, t.num_deltas, t.predictor_id,
+                    tuple(
+                        (s.horizontal, s.in_place, s.begin_channel,
+                         s.num_channels)
+                        for s in t.squeezes
+                    ),
+                )
+                for t in header.transforms
+            ),
+            (wp.p1c, wp.p2c, wp.p3ca, wp.p3cb, wp.p3cc, wp.p3cd, wp.p3ce,
+             wp.w0, wp.w1, wp.w2, wp.w3),
+            frame_header.group_dim,
+            frame_header.passes.num_passes,
+            tuple(
+                frame_header.passes.downsampling_bracket(p)
+                for p in range(frame_header.passes.num_passes)
+            ),
         )
-
-        # Section assignment (ref modular/mod.rs:353-419): coded channels in
-        # coded order; LfGlobal takes the meta-or-small prefix, LfGroup takes
-        # shift >= 3, each pass takes its downsampling bracket.
-        group_dim = frame_header.group_dim
-        coded_infos = [(i, self.buffer_infos[b]) for i, b in enumerate(self.coded)]
-        prefix_len = 0
-        for _, info in coded_infos:
-            if info.is_meta_or_small(group_dim):
-                prefix_len += 1
-            else:
-                break
-        rest = coded_infos[prefix_len:]
-
-        sections = [[self.coded[i] for i, _ in coded_infos[:prefix_len]]]
-        sections.append(
-            [self.coded[i] for i, info in rest if info.is_shift_in_range(3, 1 << 30)]
-        )
-        for p in range(frame_header.passes.num_passes):
-            lo, hi = frame_header.passes.downsampling_bracket(p)
-            sections.append(
-                [self.coded[i] for i, info in rest if info.is_shift_in_range(lo, hi)]
-            )
-        self.section_buffer_indices = sections
-
-        # Grid kinds for coded buffers
-        self.grid_kind = ["none"] * len(self.buffer_infos)
-        for b in sections[1]:
-            self.grid_kind[b] = "lf"
-        for sec in sections[2:]:
-            for b in sec:
-                self.grid_kind[b] = "hf"
+        cached = _PLAN_CACHE.get(key)
+        if cached is None:
+            plan = _build_plan(channels, header, frame_header)
+            if len(_PLAN_CACHE) > 64:
+                _PLAN_CACHE.clear()
+            _PLAN_CACHE[key] = plan
+        else:
+            plan = cached
+        (
+            self.buffer_infos,
+            self.coded,
+            self.transform_steps,
+            self.section_buffer_indices,
+            self.grid_kind,
+        ) = plan
 
         # Allocate full-size planes for every buffer. Banded (O(group-row)
         # memory) decoding passes allocate=False and supplies its own
