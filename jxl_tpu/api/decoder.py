@@ -750,7 +750,9 @@ class JxlDecoder:
                 # frame/lf_preview.rs:279 maybe_preview_lf_frame): color
                 # transform the LF planes so callers can show progress
                 # before any main-frame section arrives
-                pv = color_transform(frame, [p.copy() for p in planes[:3]])
+                pv = color_transform(
+                    frame, [p.copy() for p in planes[:3]], in_place=True
+                )
                 self._lf_preview = np.stack(pv, axis=-1)
         if header.can_be_referenced and header.save_before_ct:
             state.reference_frames[header.save_as_reference] = {

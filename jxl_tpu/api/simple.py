@@ -180,7 +180,9 @@ def decode_image(
             }
 
         if header.frame_type != FrameType.REFERENCE_ONLY and not color_done:
-            planes = color_transform(frame, planes)
+            # reference/LF snapshots above already copied: planes are
+            # owned temporaries here, so the native TF can run in place
+            planes = color_transform(frame, planes, in_place=True)
 
         if header.needs_blending():
             canvas = blend_and_extend(frame, planes)

@@ -703,7 +703,7 @@ def render_frames_batched_host(frames: list, out_format: str):
                 out[fi, :h, :w] = u8img[fi * Hs : fi * Hs + h, :w]
             return out
     schans = render_simple.color_transform(
-        f0, [stacked[c] for c in range(3)], xp=np
+        f0, [stacked[c] for c in range(3)], xp=np, in_place=True
     )
     if out_format != "f32":
         schans = [

@@ -299,13 +299,16 @@ def _native_tf_kind(info):
     return None
 
 
-def color_transform(frame, planes, xp=np):
+def color_transform(frame, planes, xp=np, in_place=False):
     """YCbCr|XYB -> linear -> display TF on the first 3 channels.
 
     XYB frames render into the image's nominal output space: the opsin
     inverse matrix is primaries/grayscale-adjusted and the TF chosen per
     OutputColorInfo (ref xyb.rs:41-146); ICC-described spaces render to
-    sRGB (the CMS converts onward)."""
+    sRGB (the CMS converts onward). With in_place=True the caller
+    guarantees the planes are owned temporaries (reference-frame
+    snapshots already taken), letting the native kernel skip a
+    whole-plane copy per channel."""
     header = frame.header
     meta = frame.file_header.image_metadata
     if meta.xyb_encoded:
@@ -317,13 +320,16 @@ def color_transform(frame, planes, xp=np):
             if nk is not None:
                 from .. import native
 
-                # the native kernel writes in place: always hand it
-                # copies (ascontiguousarray is a no-op on contiguous f32
-                # input, which would mutate the caller's planes)
+                # the native kernel writes in place: hand it copies
+                # unless the caller owns the planes (ascontiguousarray
+                # is a no-op on contiguous f32 input, which would
+                # mutate the caller's arrays)
                 ps = []
                 for p in planes[:3]:
                     q = np.ascontiguousarray(p, dtype=np.float32)
-                    ps.append(p.copy() if q is p else q)
+                    if q is p and not in_place:
+                        q = p.copy()
+                    ps.append(q)
                 if native.xyb_tf_f32_native(
                     ps,
                     info.matrix,
