@@ -198,6 +198,24 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
   const float m20 = mat[6], m21 = mat[7], m22 = mat[8];
   const float* lut =
       (tf_kind >= 0 && tf_kind <= 3) ? tf_lut_u8(tf_kind, tf_p0) : nullptr;
+  // pre-tiled dither rows: drows[(phase*3 + c)*w + i] replicates the
+  // old per-pixel lookup d_c[( (i&31) + 23c ) & 31] for row phase yy%32
+  std::vector<float> drows((size_t)32 * 3 * w);
+  for (int ph = 0; ph < 32; ++ph) {
+    const float* d0 = dither + (ph % 32) * 32;
+    const float* d1 = dither + ((ph + 13) % 32) * 32;
+    const float* d2 = dither + ((ph + 26) % 32) * 32;
+    float* t0 = drows.data() + ((size_t)ph * 3 + 0) * w;
+    float* t1 = drows.data() + ((size_t)ph * 3 + 1) * w;
+    float* t2 = drows.data() + ((size_t)ph * 3 + 2) * w;
+    for (int64_t i = 0; i < w; ++i) {
+      const int i32 = (int)(i & 31);
+      t0[i] = d0[i32];
+      t1[i] = d1[(i32 + 23) & 31];
+      t2[i] = d2[(i32 + 46) & 31];
+    }
+  }
+  std::vector<uint8_t> brows(3 * (size_t)w);
   std::vector<float> buf(3 * (size_t)w);
   float* r0 = buf.data();
   float* r1 = r0 + w;
@@ -221,22 +239,40 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
     tf_row_u8(r0, w, tf_kind, tf_p0, lut);
     tf_row_u8(r1, w, tf_kind, tf_p0, lut);
     tf_row_u8(r2, w, tf_kind, tf_p0, lut);
-    // dither + clamp + round + interleave (3 bytes/px; scalar is fine)
-    const float* d0 = dither + (yy % 32) * 32;
-    const float* d1 = dither + ((yy + 13) % 32) * 32;
-    const float* d2 = dither + ((yy + 26) % 32) * 32;
+    // dither + clamp + round per channel as vector loops over w-wide
+    // pre-tiled dither rows (32 row phases x 3 channel phases, built
+    // once per width), then a byte interleave. Identical per-element
+    // math to the old scalar fused loop (u8 hashes are pinned by the
+    // conformance report).
+    const float* dt0 = drows.data() + ((yy % 32) * 3 + 0) * w;
+    const float* dt1 = drows.data() + ((yy % 32) * 3 + 1) * w;
+    const float* dt2 = drows.data() + ((yy % 32) * 3 + 2) * w;
+    uint8_t* b0 = brows.data();
+    uint8_t* b1 = b0 + w;
+    uint8_t* b2 = b1 + w;
+#pragma omp simd
+    for (int64_t i = 0; i < w; ++i) {
+      float u0 = r0[i] + dt0[i];
+      u0 = u0 < 0.0f ? 0.0f : (u0 > 255.0f ? 255.0f : u0);
+      b0[i] = (uint8_t)nearbyintf(u0);
+    }
+#pragma omp simd
+    for (int64_t i = 0; i < w; ++i) {
+      float u1 = r1[i] + dt1[i];
+      u1 = u1 < 0.0f ? 0.0f : (u1 > 255.0f ? 255.0f : u1);
+      b1[i] = (uint8_t)nearbyintf(u1);
+    }
+#pragma omp simd
+    for (int64_t i = 0; i < w; ++i) {
+      float u2 = r2[i] + dt2[i];
+      u2 = u2 < 0.0f ? 0.0f : (u2 > 255.0f ? 255.0f : u2);
+      b2[i] = (uint8_t)nearbyintf(u2);
+    }
     uint8_t* o = out + yy * w * 3;
     for (int64_t i = 0; i < w; ++i) {
-      const int i32 = (int)(i & 31);
-      float u0 = r0[i] + d0[i32];
-      float u1 = r1[i] + d1[(i32 + 23) & 31];
-      float u2 = r2[i] + d2[(i32 + 46) & 31];
-      u0 = u0 < 0.0f ? 0.0f : (u0 > 255.0f ? 255.0f : u0);
-      u1 = u1 < 0.0f ? 0.0f : (u1 > 255.0f ? 255.0f : u1);
-      u2 = u2 < 0.0f ? 0.0f : (u2 > 255.0f ? 255.0f : u2);
-      o[i * 3 + 0] = (uint8_t)nearbyintf(u0);
-      o[i * 3 + 1] = (uint8_t)nearbyintf(u1);
-      o[i * 3 + 2] = (uint8_t)nearbyintf(u2);
+      o[i * 3 + 0] = b0[i];
+      o[i * 3 + 1] = b1[i];
+      o[i * 3 + 2] = b2[i];
     }
   }
 }
