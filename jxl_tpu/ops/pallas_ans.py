@@ -6,14 +6,21 @@ dominated by generic gathers (alias-table rows and per-lane renorm bytes
 lower to gather ops that cost microseconds each on tiny shapes — measured
 ~22 us/step at 20 lanes, NOTES_ROUND2 §5). This kernel runs the whole
 token loop INSIDE one Pallas program with every table VMEM-resident and
-expresses the per-lane lookups as one-hot contractions — the shape the
-MXU/VPU execute natively — instead of gathers:
+expresses the per-lane lookups as one-hot masked INTEGER sums — the
+shape the VPU executes natively — instead of gathers:
 
-  - alias row fetch: onehot(bucket_i) (S, nb) @ table (nb, 5) — one small
-    f32 matmul (all table values < 2^24, exactly representable)
+  - alias row fetch: where(iota == bucket_i, table_col, 0) summed over
+    the bucket axis, one int32 select+reduce per table column
   - renorm read: streams are repacked host-side as 16-bit words (rANS
     renorm positions are always 16-bit aligned after the 32-bit init), so
-    each lane's next bits are onehot(word_idx) * words summed over axis 1
+    each lane's next bits are where(iota == word_idx, words, 0) summed
+    over the word axis
+
+An earlier formulation used f32 one-hot MATMULS for both lookups; on
+real TPUs Mosaic routes large-S contractions to the MXU with bf16
+passes, which silently rounds 16-bit renorm words (>8 mantissa bits) —
+bit-exact at S<=64, input-dependently wrong at S=128. Integer select+
+reduce is exact at every shape.
 
 Semantics: identical to ans_decode_batch / entropy/ans.py AnsHistogram
 .read (12-bit alias rANS, 16-bit renorm; ref entropy_coding/ans.rs:354-393).
@@ -49,8 +56,8 @@ def _words16(streams: jnp.ndarray) -> jnp.ndarray:
 def _kernel(words_ref, table_ref, out_ref, state_out_ref, *, S, W, NB,
             log_bucket, T):
     mask = (1 << log_bucket) - 1
-    words = words_ref[:].astype(jnp.float32)  # (S, W); values < 2^16
-    table = table_ref[:]  # (NB, 5) f32
+    words = words_ref[:]  # (S, W) int32; values < 2^16
+    table = table_ref[:]  # (NB, 5) int32; values < 2^24
     # initial state: first two 16-bit words, LSB-first
     w0 = words_ref[:, 0].astype(jnp.uint32)
     w1 = words_ref[:, 1].astype(jnp.uint32)
@@ -65,23 +72,27 @@ def _kernel(words_ref, table_ref, out_ref, state_out_ref, *, S, W, NB,
         idx = (state & jnp.uint32(0xFFF)).astype(jnp.int32)
         i = idx >> log_bucket
         pos = idx & mask
-        onehot = (nb_iota == i[:, None]).astype(jnp.float32)
-        rows = jax.lax.dot(
-            onehot, table, precision=jax.lax.Precision.HIGHEST
-        )  # (S, 5)
-        dist = rows[:, 0].astype(jnp.int32)
-        asym = rows[:, 1].astype(jnp.int32)
-        aoff = rows[:, 2].astype(jnp.int32)
-        acut = rows[:, 3].astype(jnp.int32)
-        adist = rows[:, 4].astype(jnp.int32)
+        onehot = nb_iota == i[:, None]  # (S, NB) bool
+
+        def pick(col):
+            return jnp.sum(
+                jnp.where(onehot, table[:, col][None, :], 0), axis=1
+            )
+
+        dist = pick(0)
+        asym = pick(1)
+        aoff = pick(2)
+        acut = pick(3)
+        adist = pick(4)
         use_alias = pos >= acut
         sym = jnp.where(use_alias, asym, i)
         off = jnp.where(use_alias, aoff + pos, pos)
         d = jnp.where(use_alias, adist, dist)
         state = (state >> jnp.uint32(LOG_SUM_PROBS)) * d.astype(jnp.uint32) + off.astype(jnp.uint32)
         renorm = state < jnp.uint32(1 << 16)
-        oh_w = (w_iota == wpos[:, None]).astype(jnp.float32)
-        bits = jnp.sum(oh_w * words, axis=1).astype(jnp.uint32)
+        bits = jnp.sum(
+            jnp.where(w_iota == wpos[:, None], words, 0), axis=1
+        ).astype(jnp.uint32)
         state = jnp.where(renorm, (state << jnp.uint32(16)) | bits, state)
         wpos = wpos + jnp.where(renorm, 1, 0)
         out_ref[pl.dslice(t, 1), :] = sym[None, :]
@@ -112,7 +123,7 @@ def _decode_jit(streams, table, log_bucket_size: int, num_tokens: int,
     words = _words16(jnp.asarray(streams))
     W = words.shape[1]
     NB = table.shape[1]
-    table_f = jnp.asarray(table.T, dtype=jnp.float32)  # (NB, 5)
+    table_f = jnp.asarray(table.T, dtype=jnp.int32)  # (NB, 5)
     out, state = pl.pallas_call(
         functools.partial(
             _kernel, S=S, W=W, NB=NB, log_bucket=log_bucket_size,
