@@ -83,10 +83,19 @@ def _run_child(kind: str, fname: str) -> None:
         # render dispatch for the full child timeout otherwise
         from jxl_tpu.utils.devhealth import device_ok
 
-        if not device_ok():
+        if not device_ok(grace=45.0):
             print(json.dumps({"mps": 0.0, "skipped": "device wedged/off"}))
         else:
             print(json.dumps({"mps": bench_device_render()}))
+    # a probe thread wedged inside a stalled backend init aborts normal
+    # interpreter teardown (C++ unwind in the PJRT client) — hard-exit so
+    # the parent always sees a clean child
+    from jxl_tpu.utils import devhealth
+
+    t = devhealth._thread
+    if t is not None and t.is_alive():
+        sys.stdout.flush()
+        os._exit(0)
 
 
 def main():

@@ -13,6 +13,7 @@ import time
 
 import numpy as np
 
+from .. import native
 from ..errors import InvalidBitstream, InvalidBox, JxlError, NotSupported
 from ..io.bit_reader import BitReader
 from ..io.container import extract_codestream
@@ -209,7 +210,9 @@ def decode_image(
             ]
 
         if header.is_visible:
-            arr = np.stack(canvas, axis=-1)
+            arr = native.interleave_native(canvas)
+            if arr is None:
+                arr = np.stack(canvas, axis=-1)
             out.frames.append(apply_orientation(arr, meta.orientation))
             dur = 0.0
             if meta.animation is not None:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import struct
+import os
 import sys
 import time
 import zlib
@@ -386,5 +387,21 @@ def _dispatch(args, data):
     return 0
 
 
+def _exit(rc: int) -> None:
+    """Exit the CLI. When the devhealth probe thread is still wedged inside
+    a stalled backend init (minutes-long tunnel hangs are routine here),
+    normal interpreter teardown aborts in the PJRT client's C++ thread
+    unwind (exit code 134) — hard-exit instead so a completed decode
+    reports success."""
+    from .utils import devhealth
+
+    t = devhealth._thread
+    if t is not None and t.is_alive():
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    _exit(main())

@@ -260,6 +260,15 @@ def apply_rct(storage, step: RctStep):
     v1 = storage[step.buf_in[1]].data
     v2 = storage[step.buf_in[2]].data
     op = step.op
+    from .. import native
+
+    if native.rct_native(
+        (v0, v1, v2),
+        tuple(storage[step.buf_out[i]].data for i in range(3)),
+        op,
+        step.perm,
+    ):
+        return
     with np.errstate(over="ignore"):
         if op == 0:
             pass

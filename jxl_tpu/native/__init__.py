@@ -28,10 +28,16 @@ _hist_scratch = _threading.local()
 
 _SRC_FILTERS = _DIR / "filters.cc"
 _SRC_COLORS = _DIR / "colors.cc"
+_SRC_HOSTOPS = _DIR / "hostops.cc"
 
 
 def _build() -> pathlib.Path | None:
-    src = _SRC.read_bytes() + _SRC_FILTERS.read_bytes() + _SRC_COLORS.read_bytes()
+    src = (
+        _SRC.read_bytes()
+        + _SRC_FILTERS.read_bytes()
+        + _SRC_COLORS.read_bytes()
+        + _SRC_HOSTOPS.read_bytes()
+    )
     # the tag must key on flags too, or flag changes reuse a stale .so
     tag = hashlib.sha256(src + b"|ffp-contract-off-v1").hexdigest()[:16]
     out = _DIR / f"_modular_decode_{tag}.so"
@@ -45,6 +51,7 @@ def _build() -> pathlib.Path | None:
             # (GCC contracts a*b+c into fma by default at -O3)
             (_SRC, ["-ffp-contract=off"]),
             (_SRC_FILTERS, []),
+            (_SRC_HOSTOPS, ["-ffp-contract=off"]),
             # colors.cc alone gets fast-math: it needs vectorized powf
             # (libmvec); the exact-semantics decode/filter kernels do not
             # tolerate reassociation
@@ -100,6 +107,12 @@ def get_lib():
         lib.jxl_scatter_blocks.restype = None
         lib.jxl_spline_splat.restype = None
         lib.jxl_decode_icc.restype = ctypes.c_int
+        lib.jxl_rct.restype = None
+        lib.jxl_interleave_f32.restype = None
+        lib.jxl_interleave_u8.restype = None
+        lib.jxl_interleave_u16.restype = None
+        lib.jxl_i32_to_f32_scaled.restype = None
+        lib.jxl_i32_scaled_interleave.restype = None
         _lib = lib
     return _lib
 
@@ -1552,3 +1565,86 @@ def decode_icc_native(histograms, br, length: int):
         raise InvalidBitstream("ICC entropy stream decode failed")
     br.pos = bit_pos.value
     return out.tobytes()[:length]
+
+
+def rct_native(ins, outs, op: int, perm: int) -> bool:
+    """Fused in-place-safe RCT over three int32 planes (hostops.cc jxl_rct;
+    ref transforms/rct.rs:18-50). ins/outs: 3 (h, w) int32 arrays (views
+    OK; outs may alias ins). Returns False when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    h, w = ins[0].shape
+    args = []
+    for a in (*ins, *outs):
+        assert a.dtype == np.int32 and a.strides[1] == 4, (a.dtype, a.strides)
+        args.append(_ptr(a, ctypes.c_int32))
+        args.append(ctypes.c_int64(a.strides[0] // 4))
+    lib.jxl_rct(*args, ctypes.c_int64(w), ctypes.c_int64(h),
+                ctypes.c_int(op), ctypes.c_int(perm))
+    return True
+
+
+def _plane_ptrs(planes, elem):
+    ptrs = (ctypes.c_void_p * len(planes))()
+    strides = np.empty(len(planes), dtype=np.int64)
+    for i, p in enumerate(planes):
+        assert p.strides[1] == elem, p.strides
+        ptrs[i] = p.ctypes.data
+        strides[i] = p.strides[0] // elem
+    return ptrs, strides
+
+
+def interleave_native(planes) -> "np.ndarray | None":
+    """Interleave n same-shape 2-D planes into (h, w, n) in one pass
+    (numpy's np.stack(axis=-1) allocates + strided-scatters ~100 MB temps
+    on large images). f32/u8/u16 supported; None → caller falls back."""
+    lib = get_lib()
+    if lib is None or not planes:
+        return None
+    dt = planes[0].dtype
+    fn = {np.dtype(np.float32): lib.jxl_interleave_f32,
+          np.dtype(np.uint8): lib.jxl_interleave_u8,
+          np.dtype(np.uint16): lib.jxl_interleave_u16}.get(dt)
+    if fn is None:
+        return None
+    h, w = planes[0].shape
+    if any(p.shape != (h, w) or p.dtype != dt for p in planes):
+        return None
+    ptrs, strides = _plane_ptrs(planes, dt.itemsize)
+    out = np.empty((h, w, len(planes)), dtype=dt)
+    fn(ptrs, _ptr(strides, ctypes.c_int64), ctypes.c_int(len(planes)),
+       ctypes.c_int64(w), ctypes.c_int64(h), _ptr(out, None))
+    return out
+
+
+def i32_to_f32_scaled_native(plane, scale: float) -> "np.ndarray | None":
+    """int32 plane * scale -> f32 in one pass (ConvertModularToF32 integer
+    path, stages/convert.rs:345-)."""
+    lib = get_lib()
+    if lib is None or plane.dtype != np.int32 or plane.strides[1] != 4:
+        return None
+    h, w = plane.shape
+    out = np.empty((h, w), dtype=np.float32)
+    lib.jxl_i32_to_f32_scaled(
+        _ptr(plane, ctypes.c_int32), ctypes.c_int64(plane.strides[0] // 4),
+        ctypes.c_int64(w), ctypes.c_int64(h), ctypes.c_float(scale),
+        _ptr(out, ctypes.c_float), ctypes.c_int64(w))
+    return out
+
+
+def i32_scaled_interleave_native(planes, scale: float) -> "np.ndarray | None":
+    """n int32 planes -> (h, w, n) f32 * scale, fused single pass."""
+    lib = get_lib()
+    if lib is None or not planes:
+        return None
+    h, w = planes[0].shape
+    if any(p.shape != (h, w) or p.dtype != np.int32 for p in planes):
+        return None
+    ptrs, strides = _plane_ptrs(planes, 4)
+    out = np.empty((h, w, len(planes)), dtype=np.float32)
+    lib.jxl_i32_scaled_interleave(
+        ptrs, _ptr(strides, ctypes.c_int64), ctypes.c_int(len(planes)),
+        ctypes.c_int64(w), ctypes.c_int64(h), ctypes.c_float(scale),
+        _ptr(out, ctypes.c_float))
+    return out

@@ -76,6 +76,12 @@ def _modular_to_f32(plane: np.ndarray, bit_depth) -> np.ndarray:
         return out.astype(np.uint32).view(np.float32)
     bits = bit_depth.bits_per_sample
     scale = np.float32(1.0 / ((1 << bits) - 1))
+    if plane.dtype == np.int32 and plane.ndim == 2:
+        from .. import native
+
+        out = native.i32_to_f32_scaled_native(plane, float(scale))
+        if out is not None:
+            return out
     return plane.astype(np.float32) * scale
 
 
@@ -462,7 +468,10 @@ def render_frame(frame) -> np.ndarray:
     planes, color_done, _ = render_frame_channels_ex(frame, fuse=True)
     if not color_done:
         planes = color_transform(frame, planes)
-    return np.stack(planes, axis=-1)
+    from .. import native
+
+    arr = native.interleave_native(planes)
+    return arr if arr is not None else np.stack(planes, axis=-1)
 
 
 def apply_orientation(arr: np.ndarray, orientation) -> np.ndarray:

@@ -21,6 +21,8 @@ import time
 _status: bool | None = None
 _latency: float | None = None
 _lock = threading.Lock()
+_thread: threading.Thread | None = None
+_result: list = []
 
 
 def _probe(result: list) -> None:
@@ -45,26 +47,46 @@ def _probe(result: list) -> None:
         result.append(None)
 
 
-def device_ok(max_latency: float = 2.0, timeout: float = 45.0) -> bool:
-    """True when device render dispatch is worth it right now."""
+def start_probe() -> None:
+    """Kick off the round-trip probe in a daemon thread (idempotent)."""
+    global _thread
+    with _lock:
+        if _thread is None:
+            _thread = threading.Thread(target=_probe, args=(_result,), daemon=True)
+            _thread.start()
+
+
+def device_ok(max_latency: float = 2.0, grace: float = 3.0) -> bool:
+    """True when device render dispatch is worth it right now.
+
+    Non-blocking beyond `grace`: a wedged tunnel (backend init alone can
+    stall for minutes) must not serialize the first decode in a process.
+    While the probe is still pending we answer False — the host path is
+    the correct route for a tunnel that slow anyway — WITHOUT caching the
+    verdict; a later call after the probe lands returns the real answer,
+    so a healthy-but-slow-to-init device is only misrouted for the decode
+    that raced its init.
+    """
     global _status, _latency
     mode = os.environ.get("JXL_TPU_DEVICE", "auto")
     if mode in ("off", "host"):
         return False
     if mode in ("on", "device"):
         return True
+    if _status is not None:
+        return _status
+    start_probe()
+    _thread.join(grace)
     with _lock:
         if _status is not None:
             return _status
-        result: list = []
-        t = threading.Thread(target=_probe, args=(result,), daemon=True)
-        t.start()
-        t.join(timeout)
-        if not result or result[0] is None or result[0] > max_latency:
+        if not _result:
+            return False  # pending — do not cache
+        if _result[0] is None or _result[0] > max_latency:
             _status = False
         else:
             _status = True
-            _latency = result[0]
+            _latency = _result[0]
         return _status
 
 
