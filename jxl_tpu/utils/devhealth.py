@@ -23,6 +23,7 @@ _latency: float | None = None
 _lock = threading.Lock()
 _thread: threading.Thread | None = None
 _result: list = []
+_grace_spent = False
 
 
 def _probe(result: list) -> None:
@@ -76,7 +77,13 @@ def device_ok(max_latency: float = 2.0, grace: float = 3.0) -> bool:
     if _status is not None:
         return _status
     start_probe()
-    _thread.join(grace)
+    global _grace_spent
+    if not _grace_spent:
+        # wait once per process; later calls while the probe is still
+        # pending answer immediately (a decode may consult this dozens of
+        # times — stacking 3 s joins would serialize the whole decode)
+        _grace_spent = True
+        _thread.join(grace)
     with _lock:
         if _status is not None:
             return _status
