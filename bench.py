@@ -28,6 +28,14 @@ CONFIGS = [
     ("animation", "conformance_test_images/animation_icos4d.jxl"),
 ]
 
+# Reported in `detail` but excluded from the aggregate (the aggregate's
+# config mix matches rounds 1-3 so vs_baseline stays comparable).
+EXTRA_CONFIGS = [
+    # 28 MP / ~9k sections / 6 KB file: exposes per-section orchestration
+    # cost (the round-3 cliff: 0.72 MP/s; round 4: >20 MP/s warm)
+    ("sparse_28mp", "issue865_large_toc.jxl"),
+]
+
 REPS = 3
 
 
@@ -75,6 +83,12 @@ def _run_child(kind: str, fname: str) -> None:
     from jxl_tpu import enable_persistent_jit_cache
 
     enable_persistent_jit_cache()
+    # settle the device probe BEFORE timing: its backend init runs on a
+    # daemon thread and would otherwise steal CPU from the timed reps
+    # (this box has one core; a wedged tunnel keeps the thread spinning)
+    from jxl_tpu.utils.devhealth import device_ok
+
+    device_ok(grace=45.0)
     if kind == "file":
         mp, best = bench_one(CORPUS / fname)
         print(json.dumps({"mp": mp, "best": best}))
@@ -108,7 +122,8 @@ def main():
     detail = {}
     total_mp = 0.0
     total_s = 0.0
-    for name, fname in CONFIGS:
+    for name, fname in CONFIGS + EXTRA_CONFIGS:
+        in_aggregate = any(name == n for n, _ in CONFIGS)
         path = CORPUS / fname
         if not path.exists():
             detail[name] = "missing"
@@ -123,8 +138,9 @@ def main():
             out = json.loads(r.stdout.strip().splitlines()[-1])
             mp, best = out["mp"], out["best"]
             detail[name + "_mps"] = round(mp / best, 3)
-            total_mp += mp
-            total_s += best
+            if in_aggregate:
+                total_mp += mp
+                total_s += best
         except subprocess.TimeoutExpired:
             detail[name + "_error"] = "timeout (tunnel stall?)"
         except Exception as e:  # pragma: no cover

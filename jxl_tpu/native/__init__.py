@@ -1466,14 +1466,21 @@ def xyb_srgb_u8_native(
     if lib is None:
         return None
     h, w = planes[0].shape
-    ps = [np.ascontiguousarray(p, dtype=np.float32) for p in planes[:3]]
+    # row views (cropped padded planes) pass by stride; only planes with
+    # non-unit inner stride still copy
+    ps = [
+        p if p.dtype == np.float32 and p.strides[1] == 4
+        else np.ascontiguousarray(p, dtype=np.float32)
+        for p in planes[:3]
+    ]
+    strides = np.array([p.strides[0] // 4 for p in ps], dtype=np.int64)
     m = np.ascontiguousarray(mat, dtype=np.float32).reshape(9)
     b = np.ascontiguousarray(biases, dtype=np.float32).reshape(3)
     d = np.ascontiguousarray(dither, dtype=np.float32).reshape(1024)
     out = np.empty((h, w, 3), dtype=np.uint8)
     lib.jxl_xyb_srgb_u8(
         _ptr(ps[0], ctypes.c_float), _ptr(ps[1], ctypes.c_float),
-        _ptr(ps[2], ctypes.c_float),
+        _ptr(ps[2], ctypes.c_float), _ptr(strides, ctypes.c_int64),
         ctypes.c_int64(h), ctypes.c_int64(w),
         _ptr(m, ctypes.c_float), _ptr(b, ctypes.c_float),
         ctypes.c_float(255.0 / float(intensity_target)),

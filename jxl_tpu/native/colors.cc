@@ -180,6 +180,7 @@ void tf_row_u8(float* rc, int64_t w, int tf_kind, float tf_p0,
 extern "C" {
 
 void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
+                     const int64_t* strides,  // 3 row strides in elements
                      int64_t h, int64_t w,
                      const float* mat,      // 9: inverse opsin (maybe adapted)
                      const float* biases,   // 3: opsin biases (raw)
@@ -221,9 +222,9 @@ void jxl_xyb_srgb_u8(const float* xp, const float* yp, const float* bp,
   float* r1 = r0 + w;
   float* r2 = r1 + w;
   for (int64_t yy = 0; yy < h; ++yy) {
-    const float* xr = xp + yy * w;
-    const float* yr = yp + yy * w;
-    const float* br = bp + yy * w;
+    const float* xr = xp + yy * strides[0];
+    const float* yr = yp + yy * strides[1];
+    const float* br = bp + yy * strides[2];
 #pragma omp simd
     for (int64_t i = 0; i < w; ++i) {
       float l = yr[i] + xr[i] - cb0;

@@ -145,3 +145,27 @@ def test_batched_animation_matches_per_frame():
         for a, b in zip(out.frames, ref.frames):
             assert a.shape == b.shape
             np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_many_group_sparse_frame_is_not_cliffed():
+    """issue865_large_toc.jxl: 28 MP across ~9k sections in a 6 KB file.
+
+    Round 3 decoded this at 0.72 MP/s (per-group orchestration dominated);
+    the bound asserts the warm decode stays in the tens-of-MP/s class.
+    Generous wall-clock bound because this box is shared (loads vary 3x).
+    Ref: frame/render.rs:373-459 (flat render-step list, O(ns)/group).
+    """
+    import time
+
+    from jxl_tpu.api.simple import decode_image
+
+    data = (pathlib.Path("/root/reference/jxl/resources/test") / "issue865_large_toc.jxl").read_bytes()
+    decode_image(data)  # warm (page faults, table caches)
+    t0 = time.perf_counter()
+    img = decode_image(data)
+    dt = time.perf_counter() - t0
+    h, w, _ = img.frames[0].shape
+    assert h * w == 5377 * 5249
+    mps = h * w / 1e6 / dt
+    assert mps > 4.0, f"sparse many-group decode regressed: {mps:.2f} MP/s"
