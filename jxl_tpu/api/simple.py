@@ -277,36 +277,44 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     from .state import DecoderState
 
     fmt = pixel_format if pixel_format in ("u8", "u16", "f16", "f32") else "f32"
-    state = DecoderState(fh)
-    br = BitReader(codestream)
-    frames = []
-    # one coefficient pool spanning every (frame, group): the native
-    # HF-groups driver fills slots in place and the batched render reads
-    # them without a cross-frame concatenation
-    shared_pool = None
-    if all(h.group_dim == 256 for h, _, _ in recs):
-        total_groups = sum(h.num_groups for h, _, _ in recs)
-        shared_pool = np.zeros((total_groups, 3, 256 * 256), dtype=np.int32)
-    slot_base = 0
+    frames = None
+    if mode == "0":
+        # whole-animation native fold: every frame's section chain in ONE
+        # C++ call, frame 0 oracle-verified (render/anim_fold.py)
+        from ..render.anim_fold import try_anim_fold
+
+        frames = try_anim_fold(fh, codestream, recs, icc_profile)
     try:
-        for header, toc, sections_start in recs:
-            br.pos = sections_start
-            if header.is_visible:
-                state.visible_frame_index += 1
-                state.nonvisible_frame_index = 0
-            else:
-                state.nonvisible_frame_index += 1
-            frame = Frame(header, toc, fh, state)
-            frame.icc_profile = icc_profile
-            frame.render_after_decode = False
-            frame._defer_render = True
-            if shared_pool is not None:
-                frame._shared_coeff_pool = (shared_pool, slot_base)
-            frame.decode_all_sections(br)
-            slot_base += header.num_groups
-            if not frame.hf_global or not frame.hf_global.hf_coefficients:
-                return None
-            frames.append(frame)
+        if frames is None:
+            state = DecoderState(fh)
+            br = BitReader(codestream)
+            frames = []
+            # one coefficient pool spanning every (frame, group): the
+            # native HF-groups driver fills slots in place and the batched
+            # render reads them without a cross-frame concatenation
+            shared_pool = None
+            if all(h.group_dim == 256 for h, _, _ in recs):
+                total_groups = sum(h.num_groups for h, _, _ in recs)
+                shared_pool = np.zeros((total_groups, 3, 256 * 256), dtype=np.int32)
+            slot_base = 0
+            for header, toc, sections_start in recs:
+                br.pos = sections_start
+                if header.is_visible:
+                    state.visible_frame_index += 1
+                    state.nonvisible_frame_index = 0
+                else:
+                    state.nonvisible_frame_index += 1
+                frame = Frame(header, toc, fh, state)
+                frame.icc_profile = icc_profile
+                frame.render_after_decode = False
+                frame._defer_render = True
+                if shared_pool is not None:
+                    frame._shared_coeff_pool = (shared_pool, slot_base)
+                frame.decode_all_sections(br)
+                slot_base += header.num_groups
+                if not frame.hf_global or not frame.hf_global.hf_coefficients:
+                    return None
+                frames.append(frame)
         if mode == "1":
             rendered = render_frames_batched(frames, fmt)
         else:

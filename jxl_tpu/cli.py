@@ -388,18 +388,9 @@ def _dispatch(args, data):
 
 
 def _exit(rc: int) -> None:
-    """Exit the CLI. When the devhealth probe thread is still wedged inside
-    a stalled backend init (minutes-long tunnel hangs are routine here),
-    normal interpreter teardown aborts in the PJRT client's C++ thread
-    unwind (exit code 134) — hard-exit instead so a completed decode
-    reports success."""
-    from .utils import devhealth
-
-    t = devhealth._thread
-    if t is not None and t.is_alive():
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os._exit(rc)
+    """Exit the CLI. The devhealth probe runs in a subprocess (killed by
+    its atexit hook), so interpreter teardown is safe even when the
+    tunnel is wedged — a plain exit reports the decode's status."""
     sys.exit(rc)
 
 

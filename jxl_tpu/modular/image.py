@@ -102,7 +102,18 @@ class FullModularImage:
         br: BitReader,
         allocate: bool = True,
     ) -> "FullModularImage":
-        self = FullModularImage()
+        channels = FullModularImage.channel_list(
+            frame_header, image_metadata, modular_color_channels
+        )
+        header = GroupHeader.read(br) if channels else None
+        return FullModularImage.from_header(
+            frame_header, channels, header, allocate=allocate
+        )
+
+    @staticmethod
+    def channel_list(
+        frame_header: FrameHeader, image_metadata, modular_color_channels: int
+    ) -> list[ChannelInfo]:
         bits = image_metadata.bit_depth.bits_per_sample
         channels: list[ChannelInfo] = []
         for c in range(modular_color_channels):
@@ -131,13 +142,23 @@ class FullModularImage:
                     3 + idx,
                 )
             )
+        return channels
+
+    @staticmethod
+    def from_header(
+        frame_header: FrameHeader,
+        channels: list[ChannelInfo],
+        header: GroupHeader | None,
+        allocate: bool = True,
+    ) -> "FullModularImage":
+        """Plan + storage from an already-parsed GroupHeader (the anim
+        fold parses per-frame headers natively and re-plans here)."""
+        self = FullModularImage()
         self.num_input_channels = len(channels)
         num_sections = 2 + frame_header.passes.num_passes
         if not channels:
             self.section_buffer_indices = [[] for _ in range(num_sections)]
             return self
-
-        header = GroupHeader.read(br)
         self.global_header = header
 
         # The planning below (transform meta-apply + section assignment)

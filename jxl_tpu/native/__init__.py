@@ -107,6 +107,7 @@ def get_lib():
         lib.jxl_scatter_blocks.restype = None
         lib.jxl_spline_splat.restype = None
         lib.jxl_decode_icc.restype = ctypes.c_int
+        lib.jxl_anim_decode_frames.restype = ctypes.c_int
         lib.jxl_rct.restype = None
         lib.jxl_interleave_f32.restype = None
         lib.jxl_interleave_u8.restype = None
@@ -1654,4 +1655,86 @@ def i32_scaled_interleave_native(planes, scale: float) -> "np.ndarray | None":
         ptrs, _ptr(strides, ctypes.c_int64), ctypes.c_int(len(planes)),
         ctypes.c_int64(w), ctypes.c_int64(h), ctypes.c_float(scale),
         _ptr(out, ctypes.c_float))
+    return out
+
+
+def anim_decode_frames_native(
+    br, sec_bit_pos, sec_byte_end, bw, bh, tcw, tch, fbw, fbh, hshift3,
+    vshift3, is444, smooth_flags, chan_counts, chan_tmpl_off, chan_template,
+    chan_frame_elems, tree_size_limit, def_bctx_cmap, invalid_transform,
+):
+    """Whole-animation decode fold (modular_decode.cc jxl_anim_decode_frames):
+    every eligible frame's LfGlobal tables -> modular section0 -> LF group ->
+    HfGlobal -> HF-group AC in one native call. Returns a dict of per-frame
+    output arrays, or None for fallback (unavailable / any stream shape the
+    fold does not cover — the caller re-decodes through the per-frame path,
+    so a None here is never a correctness event).
+    Ref: frame/decode.rs:314-583, frame/group.rs:384-618."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..vardct.group import _CBX_ARR, _CBY_ARR, _SHAPE_ARR
+
+    F = len(sec_bit_pos)
+    nat, nat_off = _natural_orders_concat()
+    out = {
+        "scal": np.zeros((F, 24), np.int32),
+        "dbl": np.zeros((F, 8), np.float64),
+        "lfthr": np.zeros((F, 48), np.int32),
+        "qfthr": np.zeros((F, 16), np.int32),
+        "bctxmap": np.zeros((F, 2496), np.uint8),
+        "gh": np.zeros((F, 96), np.int32),
+        "lf": np.zeros((3, F, bh, bw), np.float32),
+        "qlf": np.zeros((F, bh, bw), np.uint8),
+        "tmap": np.full((F, bh, bw), invalid_transform, np.uint8),
+        "rq": np.zeros((F, bh, bw), np.int32),
+        "epf": np.zeros((F, bh, bw), np.uint8),
+        "ytox": np.zeros((F, tch, tcw), np.int8),
+        "ytob": np.zeros((F, tch, tcw), np.int8),
+        "hfinfo": np.zeros((F, 2), np.int32),
+        "pool": np.zeros((F, 3, 65536), np.int32),
+        "blocks": np.empty((F, 1024, 4), np.int32),
+        "blk_counts": np.zeros(F, np.int32),
+        "chan": np.zeros((F, max(chan_frame_elems, 1)), np.int32),
+    }
+    err = np.full(2, -2, np.int32)
+    data = _databuf(br)
+    ret = lib.jxl_anim_decode_frames(
+        data, ctypes.c_uint64(len(data)), ctypes.c_int(F),
+        _ptr(np.ascontiguousarray(sec_bit_pos, dtype=np.uint64), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(sec_byte_end, dtype=np.uint64), ctypes.c_uint64),
+        ctypes.c_int(bw), ctypes.c_int(bh), ctypes.c_int(tcw), ctypes.c_int(tch),
+        _ptr(np.ascontiguousarray(fbw, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(fbh, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(hshift3, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(vshift3, dtype=np.int32), ctypes.c_int32),
+        ctypes.c_int(is444),
+        _ptr(np.ascontiguousarray(smooth_flags, dtype=np.uint8), ctypes.c_uint8),
+        _ptr(np.ascontiguousarray(chan_counts, dtype=np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(chan_tmpl_off, dtype=np.int64), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(chan_template, dtype=np.int64), ctypes.c_int64),
+        ctypes.c_int64(chan_frame_elems), _ptr(out["chan"], ctypes.c_int32),
+        ctypes.c_int64(tree_size_limit),
+        _ptr(nat, ctypes.c_int32), _ptr(nat_off, ctypes.c_int32),
+        _ptr(_CBX_ARR, ctypes.c_int32), _ptr(_CBY_ARR, ctypes.c_int32),
+        _ptr(_SHAPE_ARR, ctypes.c_int32),
+        ctypes.c_int(invalid_transform),
+        _ptr(np.ascontiguousarray(def_bctx_cmap, dtype=np.uint8), ctypes.c_uint8),
+        ctypes.c_int(15),
+        _ptr(out["scal"], ctypes.c_int32), _ptr(out["dbl"], ctypes.c_double),
+        _ptr(out["lfthr"], ctypes.c_int32), _ptr(out["qfthr"], ctypes.c_int32),
+        _ptr(out["bctxmap"], ctypes.c_uint8), _ptr(out["gh"], ctypes.c_int32),
+        _ptr(out["lf"], ctypes.c_float), _ptr(out["qlf"], ctypes.c_uint8),
+        _ptr(out["tmap"], ctypes.c_uint8), _ptr(out["rq"], ctypes.c_int32),
+        _ptr(out["epf"], ctypes.c_uint8),
+        _ptr(out["ytox"], ctypes.c_int8), _ptr(out["ytob"], ctypes.c_int8),
+        _ptr(out["hfinfo"], ctypes.c_int32), _ptr(out["pool"], ctypes.c_int32),
+        _ptr(out["blocks"], ctypes.c_int32), _ptr(out["blk_counts"], ctypes.c_int32),
+        _ptr(err, ctypes.c_int32),
+    )
+    if ret != 0:
+        from ..utils import trace
+
+        trace.metrics.add("anim_fold_fallback", 1)
+        return None
     return out

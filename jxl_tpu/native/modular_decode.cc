@@ -3368,3 +3368,379 @@ void jxl_spline_splat(float* p0, float* p1, float* p2, int64_t h, int64_t w,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Animation frame fold: decode every eligible frame's single-section
+// chain — LfGlobal tables -> GlobalModular header + section-0 modular
+// channels -> VarDCT LF group (LF coeffs + HF metadata) -> adaptive LF
+// smoothing -> HfGlobal (orders + AC histograms) -> HF-group AC — in ONE
+// native call. Folds the 5-call-per-frame sequence (plus its Python glue)
+// that dominated tiny-frame animations (ref frame/decode.rs:314-583,
+// frame/group.rs:384-618; VERDICT r03 item 3).
+//
+// Eligibility (checked by the Python caller AND re-verified here):
+// single-section frames (1 group, 1 LF group), VarDCT, single pass,
+// global-tree modular streams, no local transforms beyond the global
+// header's, frame dims == canvas dims, default dequant matrices.
+//
+// Returns 0 ok; on failure: the per-stage code (see each callee),
+// err_out[0] = failing frame, err_out[1] = stage (0 tables, 1 group
+// header, 2 section0, 3 lf group, 4 hf global, 5 hf groups, 6 overrun).
+// Python falls back to the per-frame path on ANY nonzero code.
+
+namespace {
+
+struct GroupHeaderFull {
+  bool use_global_tree;
+  int32_t wp[12];
+  int num_transforms;
+  // packed transform list: 7 ints per transform
+  // [id, begin, rct_or_nchan, num_colors, num_deltas, predictor, nsq]
+  // followed by 4 ints per squeeze [horizontal, in_place, begin, num]
+  int32_t packed[80];
+  int packed_len;
+};
+
+// U32 with the four coder variants used by modular transforms.
+static inline uint32_t ReadU32(BitReader& br, uint32_t v0, int b0, uint32_t v1,
+                               int b1, uint32_t v2, int b2, uint32_t v3,
+                               int b3) {
+  switch (br.Read(2)) {
+    case 0: return v0 + (uint32_t)br.Read(b0);
+    case 1: return v1 + (uint32_t)br.Read(b1);
+    case 2: return v2 + (uint32_t)br.Read(b2);
+    default: return v3 + (uint32_t)br.Read(b3);
+  }
+}
+
+// Full GroupHeader parse incl. transform params (headers/modular.rs).
+// Returns 0 ok, 1 invalid transform/predictor/RCT, 2 packed overflow.
+static int ParseGroupHeaderFull(BitReader& br, GroupHeaderFull* gh) {
+  gh->use_global_tree = br.Read(1) != 0;
+  int32_t w[12] = {16, 10, 7, 7, 7, 0, 0, 0xD, 0xC, 0xC, 0xC, 0};
+  if (br.Read(1) == 0) {
+    for (int i = 0; i < 7; i++) w[i] = (int32_t)br.Read(5);
+    for (int i = 7; i < 11; i++) w[i] = (int32_t)br.Read(4);
+  }
+  std::memcpy(gh->wp, w, sizeof w);
+  uint32_t sel = (uint32_t)br.Read(2);
+  gh->num_transforms = sel == 0   ? 0
+                       : sel == 1 ? 1
+                       : sel == 2 ? 2 + (int)br.Read(4)
+                                  : 18 + (int)br.Read(8);
+  int p = 0;
+  for (int t = 0; t < gh->num_transforms; t++) {
+    if (p + 7 > 80) return 2;
+    uint32_t id = (uint32_t)br.Read(2);
+    if (id == 3) return 1;
+    int32_t begin = 0, rct_or_nchan = 0, num_colors = 0, num_deltas = 0,
+            predictor = 0, nsq = 0;
+    if (id == 0 || id == 1)
+      begin = (int32_t)ReadU32(br, 0, 3, 8, 6, 72, 10, 1096, 13);
+    if (id == 0) {
+      rct_or_nchan = (int32_t)ReadU32(br, 6, 0, 0, 2, 2, 4, 10, 6);
+      if (rct_or_nchan >= 42) return 1;
+    }
+    if (id == 1) {
+      rct_or_nchan = (int32_t)ReadU32(br, 1, 0, 3, 0, 4, 0, 1, 13);
+      num_colors = (int32_t)ReadU32(br, 0, 8, 256, 10, 1280, 12, 5376, 16);
+      num_deltas = (int32_t)ReadU32(br, 0, 0, 1, 8, 257, 10, 1281, 16);
+      predictor = (int32_t)br.Read(4);
+      if (predictor >= 16) return 1;
+    }
+    int sq_base = -1;
+    if (id == 2) {
+      nsq = (int32_t)ReadU32(br, 0, 0, 1, 4, 9, 6, 41, 8);
+      sq_base = p + 7;
+      if (sq_base + nsq * 4 > 80) return 2;
+    }
+    gh->packed[p + 0] = (int32_t)id;
+    gh->packed[p + 1] = begin;
+    gh->packed[p + 2] = rct_or_nchan;
+    gh->packed[p + 3] = num_colors;
+    gh->packed[p + 4] = num_deltas;
+    gh->packed[p + 5] = predictor;
+    gh->packed[p + 6] = nsq;
+    p += 7;
+    for (int s = 0; s < nsq; s++) {
+      gh->packed[p + 0] = (int32_t)br.Read(1);
+      gh->packed[p + 1] = (int32_t)br.Read(1);
+      gh->packed[p + 2] = (int32_t)ReadU32(br, 0, 3, 8, 6, 72, 10, 1096, 13);
+      gh->packed[p + 3] = (int32_t)ReadU32(br, 1, 0, 2, 0, 3, 0, 4, 4);
+      p += 4;
+    }
+  }
+  gh->packed_len = p;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" int jxl_anim_decode_frames(
+    const uint8_t* data, uint64_t full_size, int num_frames,
+    const uint64_t* sec_bit_pos, const uint64_t* sec_byte_end,
+    // geometry: slab capacities are canvas blocks; each frame uses its
+    // own (fbw, fbh) dims with fbw as the row stride inside its slab
+    int bw, int bh,            // canvas blocks (slab capacity dims)
+    int tcw, int tch,          // canvas CfL tile dims (slab capacity)
+    const int32_t* fbw_arr, const int32_t* fbh_arr,  // per-frame blocks
+    const int32_t* hshift3, const int32_t* vshift3, int is444,
+    const uint8_t* smooth_flags,  // per frame: run adaptive LF smoothing
+    // per-frame modular section-0 templates (squeeze plans are
+    // dims-dependent): frame f's rows are chan_template[chan_tmpl_off[f]
+    // * 6 ..], chan_counts[f] of them
+    const int32_t* chan_counts, const int64_t* chan_tmpl_off,
+    const int64_t* chan_template, int64_t chan_frame_elems,
+    int32_t* chan_out,  // (F, chan_frame_elems)
+    int64_t tree_size_limit,
+    // natural coeff orders + block LUTs
+    const int32_t* nat_orders, const int32_t* nat_off,
+    const int32_t* cbx_lut, const int32_t* cby_lut, const int32_t* shape_lut,
+    int invalid_transform,
+    // default block-context map (used when the stream picks the default)
+    const uint8_t* def_bctx_cmap, int def_num_bctx,
+    // outputs (per frame slabs)
+    int32_t* scal_out,      // (F, 24)
+    double* dbl_out,        // (F, 8)
+    int32_t* lfthr_out,     // (F, 48)
+    int32_t* qfthr_out,     // (F, 16)
+    uint8_t* bctxmap_out,   // (F, 2496)
+    int32_t* gh_out,        // (F, 96): [0] use_global_tree [1] n_transforms
+                            // [2] packed_len [3..14] wp [15..] packed
+    float* lf_out,          // (3, F, bh, bw) channel-major
+    uint8_t* qlf_out,       // (F, bh, bw)
+    uint8_t* tmap_out,      // (F, bh, bw) pre-filled with invalid marker
+    int32_t* rq_out,        // (F, bh, bw)
+    uint8_t* epf_out,       // (F, bh, bw)
+    int8_t* ytox_out, int8_t* ytob_out,  // (F, tch, tcw)
+    int32_t* hfinfo_out,    // (F, 2) num_histograms, used_orders
+    int32_t* coeff_pool,    // (F, 3, 65536)
+    int32_t* blocks_out,    // (F, 1024, 4)
+    int32_t* blk_counts,    // (F)
+    int32_t* err_out) {     // (2) frame, stage
+  const int64_t plane = (int64_t)bw * bh;
+  const int64_t tile_plane = (int64_t)tcw * tch;
+  const int gdb = 32;  // group_dim 256 / 8
+
+  // tree + histogram scratch, reused across frames (sizes mirror the
+  // Python wrappers' thread-local scratch)
+  std::vector<int32_t> tree_nodes((size_t)(1 << 12) * 8);
+  int32_t t_meta[16], t_lz[3], t_cfgs[256 * 3], t_singles[256];
+  std::vector<uint8_t> t_cmap(1 << 16);
+  std::vector<int32_t> t_tables((size_t)256 * 5 * 256);
+  std::vector<int32_t> t_hoffv(256), t_hbits(1 << 14), t_hvals(1 << 14);
+  // AC histogram scratch
+  int32_t a_meta[16], a_lz[3], a_cfgs[256 * 3], a_singles[256];
+  std::vector<uint8_t> a_cmap(1 << 16);
+  std::vector<int32_t> a_tables((size_t)256 * 5 * 256);
+  std::vector<int32_t> a_hoffv(256), a_hbits(1 << 14), a_hvals(1 << 14);
+  const int64_t nat_total = nat_off[13];
+  std::vector<int32_t> orders_scratch((size_t)3 * nat_total);
+  std::vector<int32_t> orders_all((size_t)3 * nat_total);
+  std::vector<int32_t> order_off(13 * 3);
+
+  for (int f = 0; f < num_frames; f++) {
+    err_out[0] = f;
+    uint64_t pos = sec_bit_pos[f];
+    const uint64_t fsize = sec_byte_end[f];
+    const int fbw = fbw_arr[f], fbh = fbh_arr[f];
+    const int ftcw = (fbw + 7) / 8;
+    // single-group frames only: dims must fit one 256px group (gdb blocks)
+    if (fbw > bw || fbh > bh || fbw > gdb || fbh > gdb) {
+      err_out[1] = 0;
+      return 32;
+    }
+    int32_t* scal = scal_out + (int64_t)f * 24;
+    double* dbl = dbl_out + (int64_t)f * 8;
+
+    // ---- stage 0: LfGlobal table sequence --------------------------
+    err_out[1] = 0;
+    std::memset(scal, 0, 24 * sizeof(int32_t));
+    int ret;
+    while (true) {
+      ret = jxl_decode_lf_global_tables(
+          data, fsize, &pos, /*is_vardct=*/1, tree_size_limit,
+          (int64_t)(tree_nodes.size() / 8), scal, dbl,
+          lfthr_out + (int64_t)f * 48, qfthr_out + (int64_t)f * 16,
+          bctxmap_out + (int64_t)f * 2496, tree_nodes.data(), t_meta, t_lz,
+          t_cmap.data(), t_cfgs, t_tables.data(), t_singles, t_hoffv.data(),
+          t_hbits.data(), t_hvals.data(), (int64_t)t_hbits.size());
+      if (ret == 9) {
+        size_t grown = std::max(t_hbits.size() * 2, (size_t)t_meta[11]);
+        t_hbits.resize(grown);
+        t_hvals.resize(grown);
+        continue;
+      }
+      if (ret == 11) {
+        tree_nodes.resize(tree_nodes.size() * 4);
+        continue;
+      }
+      break;
+    }
+    if (ret != 0) return ret;
+    if (!scal[13]) { err_out[1] = 0; return 31; }  // no global tree
+
+    const int tree_count = scal[14];
+    const int num_props = scal[15] + 1;
+    // entropy args of the global tree's leaf histograms
+    const int n_base_ctx = (tree_count + 1) / 2;
+    const int t_nctx = n_base_ctx + (t_meta[0] ? 1 : 0);
+    const int t_lzdist = t_meta[0] ? t_cmap[t_nctx - 1] : 0;
+
+    // ---- stage 1: GlobalModular group header -----------------------
+    err_out[1] = 1;
+    BitReader br{data, fsize, pos};
+    GroupHeaderFull gh;
+    if (ParseGroupHeaderFull(br, &gh) != 0 || br.Overrun())
+      return br.Overrun() ? 2 : 30;
+    if (!gh.use_global_tree) return 30;
+    pos = br.pos;
+    int32_t* gho = gh_out + (int64_t)f * 96;
+    gho[0] = 1;
+    gho[1] = gh.num_transforms;
+    gho[2] = gh.packed_len;
+    std::memcpy(gho + 3, gh.wp, 12 * sizeof(int32_t));
+    std::memcpy(gho + 15, gh.packed, gh.packed_len * sizeof(int32_t));
+
+    // ---- stage 2: section-0 modular channels -----------------------
+    err_out[1] = 2;
+    const int n_chan = chan_counts[f];
+    const int64_t* f_tmpl = chan_template + chan_tmpl_off[f] * 6;
+    if (n_chan > 0) {
+      int image_width = 0;
+      for (int c = 0; c < n_chan; c++)
+        if ((int)f_tmpl[c * 6 + 0] > image_width)
+          image_width = (int)f_tmpl[c * 6 + 0];
+      int64_t nd = 0;
+      ret = jxl_decode_modular(
+          data, fsize, &pos, t_meta[10], t_tables.data(), t_meta[8],
+          t_meta[9], t_hoffv.data(), t_hbits.data(), t_hvals.data(),
+          t_cmap.data(), t_nctx, t_cfgs, t_meta[0], (uint32_t)t_meta[1],
+          (uint32_t)t_meta[2], t_lz, t_lzdist,
+          t_meta[0] ? (uint32_t)image_width : 0, tree_nodes.data(),
+          tree_count, num_props, gh.wp, n_chan, f_tmpl,
+          chan_out + (int64_t)f * chan_frame_elems, /*stream_id=*/0, &nd,
+          /*flags=*/0);
+      if (ret != 0) return ret;
+    }
+
+    // ---- stage 3: VarDCT LF group + HF metadata --------------------
+    err_out[1] = 3;
+    double inv_quant_lf = 65536.0 / ((double)scal[0] * (double)scal[1]);
+    double lf_factors[3] = {dbl[0] * inv_quant_lf, dbl[1] * inv_quant_lf,
+                            dbl[2] * inv_quant_lf};
+    float ytox_lf = (float)(dbl[3] + (double)scal[11] / (double)scal[10]);
+    float ytob_lf = (float)(dbl[4] + (double)scal[12] / (double)scal[10]);
+    int num_lf_contexts = 1;
+    const int32_t* lf_thr = lfthr_out + (int64_t)f * 48;
+    int32_t n_lf_thr[3] = {0, 0, 0};
+    if (!scal[2]) {
+      num_lf_contexts = scal[3];
+      n_lf_thr[0] = scal[5];
+      n_lf_thr[1] = scal[6];
+      n_lf_thr[2] = scal[7];
+    }
+    ret = jxl_decode_lf_group_vardct(
+        data, fsize, &pos, t_meta[10], t_tables.data(), t_meta[8], t_meta[9],
+        t_hoffv.data(), t_hbits.data(), t_hvals.data(), t_cmap.data(), t_nctx,
+        t_cfgs, t_meta[0], (uint32_t)t_meta[1], (uint32_t)t_meta[2], t_lz,
+        t_lzdist, tree_nodes.data(), tree_count, num_props,
+        /*group=*/0, /*num_lf_groups=*/1, /*ox=*/0, /*oy=*/0, fbw, fbh, fbw,
+        hshift3, vshift3, is444, lf_factors, ytox_lf, ytob_lf,
+        num_lf_contexts, lf_thr, n_lf_thr,
+        lf_out + (0 * (int64_t)num_frames + f) * plane,
+        lf_out + (1 * (int64_t)num_frames + f) * plane,
+        lf_out + (2 * (int64_t)num_frames + f) * plane,
+        qlf_out + (int64_t)f * plane, ytox_out + (int64_t)f * tile_plane,
+        ytob_out + (int64_t)f * tile_plane, ftcw,
+        tmap_out + (int64_t)f * plane, rq_out + (int64_t)f * plane,
+        epf_out + (int64_t)f * plane, cbx_lut, cby_lut, invalid_transform);
+    if (ret != 0) return ret;
+
+    if (smooth_flags[f]) {
+      // weights: adaptive_lf_smoothing.rs / python vardct/lf.py:277-279,
+      // pre-rounded to f32 exactly as the Python caller passes them
+      const float w_side = (float)0.20345139757231578;
+      const float w_corner = (float)0.0334829185968739;
+      const float w_center =
+          (float)(1.0 - 4.0 * (0.20345139757231578 + 0.0334829185968739));
+      jxl_adaptive_lf_smooth(
+          lf_out + (0 * (int64_t)num_frames + f) * plane,
+          lf_out + (1 * (int64_t)num_frames + f) * plane,
+          lf_out + (2 * (int64_t)num_frames + f) * plane, fbh, fbw,
+          (float)(float)lf_factors[0], (float)(float)lf_factors[1],
+          (float)(float)lf_factors[2], w_corner, w_side, w_center);
+    }
+
+    // ---- stage 4: HfGlobal -----------------------------------------
+    err_out[1] = 4;
+    const int num_bctx = scal[2] ? def_num_bctx : scal[9];
+    const int num_ac_contexts = num_bctx * (37 + 458);
+    int32_t* info = hfinfo_out + (int64_t)f * 2;
+    while (true) {
+      ret = jxl_decode_hf_global(
+          data, fsize, &pos, /*num_histo_bits=*/0, num_ac_contexts,
+          nat_orders, nat_off, info, orders_scratch.data(), a_meta, a_lz,
+          a_cmap.data(), a_cfgs, a_tables.data(), a_singles, a_hoffv.data(),
+          a_hbits.data(), a_hvals.data(), (int64_t)a_hbits.size());
+      if (ret == 9) {
+        size_t grown = std::max(a_hbits.size() * 2, (size_t)a_meta[11]);
+        a_hbits.resize(grown);
+        a_hvals.resize(grown);
+        continue;
+      }
+      break;
+    }
+    if (ret != 0) return ret;  // 100 = custom matrices -> python path
+
+    // mix coded + natural orders into one (shape, channel)-keyed buffer
+    const uint32_t used = (uint32_t)info[1];
+    {
+      int64_t opos = 0, cpos = 0;
+      for (int o = 0; o < 13; o++) {
+        const int64_t sz = nat_off[o + 1] - nat_off[o];
+        for (int c = 0; c < 3; c++) {
+          order_off[o * 3 + c] = (int32_t)opos;
+          if ((used >> o) & 1) {
+            std::memcpy(orders_all.data() + opos, orders_scratch.data() + cpos,
+                        sz * sizeof(int32_t));
+            cpos += sz;
+          } else {
+            std::memcpy(orders_all.data() + opos, nat_orders + nat_off[o],
+                        sz * sizeof(int32_t));
+          }
+          opos += sz;
+        }
+      }
+    }
+
+    // ---- stage 5: HF group AC --------------------------------------
+    err_out[1] = 5;
+    const int a_nclusters_ctx = info[0] * num_ac_contexts;
+    const int a_nctx = a_nclusters_ctx + (a_meta[0] ? 1 : 0);
+    const int a_lzdist = a_meta[0] ? a_cmap[a_nctx - 1] : 0;
+    const void* sdata = (const void*)data;
+    uint64_t ssize = fsize;
+    uint64_t spos = pos;
+    int32_t gid0 = 0, slot0 = 0;
+    ret = jxl_decode_hf_groups(
+        &sdata, &ssize, &spos, /*n_dec=*/1, &gid0, fbw, fbh, /*gxc=*/1, gdb,
+        hshift3, vshift3, tmap_out + (int64_t)f * plane,
+        rq_out + (int64_t)f * plane, qlf_out + (int64_t)f * plane,
+        scal[2] ? def_bctx_cmap : bctxmap_out + (int64_t)f * 2496, num_bctx,
+        num_lf_contexts, qfthr_out + (int64_t)f * 16,
+        scal[2] ? 0 : scal[4], num_ac_contexts, info[0], cbx_lut, cby_lut,
+        shape_lut, a_meta[10], a_tables.data(), a_meta[8], a_meta[9],
+        a_hoffv.data(), a_hbits.data(), a_hvals.data(), a_cmap.data(), a_nctx,
+        a_cfgs, a_meta[0], (uint32_t)a_meta[1], (uint32_t)a_meta[2], a_lz,
+        a_lzdist, orders_all.data(), order_off.data(), /*shift=*/0,
+        coeff_pool + (int64_t)f * 3 * 65536, &slot0, /*chan_stride=*/65536,
+        blocks_out + (int64_t)f * 1024 * 4, blk_counts + f);
+    if (ret != 0) return ret;
+    pos = spos;
+    if ((pos + 7) / 8 > fsize) { err_out[1] = 6; return 2; }
+  }
+  err_out[0] = -1;
+  err_out[1] = -1;
+  return 0;
+}

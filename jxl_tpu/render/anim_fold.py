@@ -1,0 +1,384 @@
+"""Whole-animation native decode fold: ONE C++ call decodes every
+eligible frame's full section chain (LfGlobal tables -> GlobalModular
+header + section-0 channels -> VarDCT LF group + HF metadata -> adaptive
+LF smoothing -> HfGlobal -> HF-group AC), then lightweight frame shims
+feed the existing cross-frame batched render unchanged.
+
+Why: tiny-frame animations are dominated by per-frame Python section
+orchestration — five native calls per frame plus ctypes marshaling and
+object construction between them. Folding the whole loop into C++
+removes that per-frame floor (VERDICT r03 item 3: animation 5.07 vs
+libjxl 5.8 MP/s).
+
+Safety: frame 0 is ALSO decoded through the regular per-frame path and
+its outputs compared bit-exactly against the fold's frame-0 slab (LF
+planes, HF metadata maps, CfL tiles, block tables). Any mismatch — or
+any stream shape the fold does not cover (local trees, custom dequant
+matrices, modular LF/HF streams, per-frame transform changes) — returns
+None and the caller re-runs the plain per-frame loop, so the fold can
+never change decoded output.
+
+Capability reference: frame/decode.rs:314-583 (section chain),
+frame/group.rs:384-618 (HF groups); the fold is the spatial analog of
+the reference's flat render-step list whose per-frame overhead is O(ns).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..io.bit_reader import BitReader
+from ..io.headers.frame import Encoding
+
+
+def _pack_group_header(gh) -> np.ndarray | None:
+    """Mirror of the C++ gho packing (jxl_anim_decode_frames gh_out rows)
+    so the fold's per-frame GroupHeader parse can be verified against the
+    Python oracle parse of frame 0."""
+    from ..io.headers.modular import TransformId
+
+    out = np.zeros(96, np.int32)
+    out[0] = 1 if gh.use_global_tree else 0
+    out[1] = len(gh.transforms)
+    wp = gh.wp_header
+    out[3:15] = (
+        wp.p1c, wp.p2c, wp.p3ca, wp.p3cb, wp.p3cc, wp.p3cd, wp.p3ce,
+        wp.w0, wp.w1, wp.w2, wp.w3, 0,
+    )
+    packed: list[int] = []
+    for t in gh.transforms:
+        if t.id == TransformId.RCT:
+            rct_or_nchan = t.rct_type
+        elif t.id == TransformId.PALETTE:
+            rct_or_nchan = t.num_channels
+        else:
+            rct_or_nchan = 0
+        begin = t.begin_channel if t.id != TransformId.SQUEEZE else 0
+        n_colors = t.num_colors if t.id == TransformId.PALETTE else 0
+        n_deltas = t.num_deltas if t.id == TransformId.PALETTE else 0
+        pred = t.predictor_id if t.id == TransformId.PALETTE else 0
+        packed += [int(t.id), begin, rct_or_nchan, n_colors, n_deltas,
+                   pred, len(t.squeezes)]
+        for s in t.squeezes:
+            packed += [int(s.horizontal), int(s.in_place),
+                       s.begin_channel, s.num_channels]
+    if len(packed) > 81:
+        return None
+    out[2] = len(packed)
+    out[15 : 15 + len(packed)] = packed
+    return out
+
+
+class _FoldModular:
+    """FullModularImage stand-in: shares frame 0's (memoized, immutable)
+    plan, lazily fills per-frame storage from the fold's section-0 channel
+    slab and runs the inverse transforms on first output request."""
+
+    def __init__(self, mg0, chan_row, tmpl_rows):
+        self.buffer_infos = mg0.buffer_infos
+        self.coded = mg0.coded
+        self.transform_steps = mg0.transform_steps
+        self.section_buffer_indices = mg0.section_buffer_indices
+        self._chan_row = chan_row  # (chan_frame_elems,) int32
+        self._tmpl_rows = tmpl_rows  # [(buf, w, h, off)]
+        self.storage = None
+        self.transforms_applied = False
+
+    def _materialize(self) -> None:
+        if self.storage is not None:
+            return
+        from ..modular.channel import ModularChannel
+
+        self.storage = [
+            ModularChannel(info.size, info.shift, info.bit_depth_bits)
+            for info in self.buffer_infos
+        ]
+        for buf, w, h, off in self._tmpl_rows:
+            self.storage[buf].data[...] = self._chan_row[
+                off : off + w * h
+            ].reshape(h, w)
+
+    def run_transforms(self) -> None:
+        self._materialize()
+        if not self.transforms_applied:
+            from ..modular.transforms import inverse_apply_steps
+
+            inverse_apply_steps(self.transform_steps, self.storage)
+            self.transforms_applied = True
+
+    def output_channel(self, output_idx: int) -> np.ndarray:
+        self.run_transforms()
+        for buf, info in enumerate(self.buffer_infos):
+            if info.output_channel_idx == output_idx:
+                return self.storage[buf].data
+        raise KeyError(f"no output channel {output_idx}")
+
+
+class _FoldLfGlobal:
+    __slots__ = ("quant_params", "color_correlation_params", "modular_global")
+
+
+class _FoldHfGlobal:
+    __slots__ = (
+        "hf_coefficients", "block_tables", "coeff_pool", "coeff_pool_slots",
+        "dequant_matrices",
+    )
+
+
+class _FoldFrame:
+    """Just enough Frame surface for render_frames_batched_host and the
+    post-render extra-channel/blending loop."""
+
+    __slots__ = (
+        "header", "toc", "file_header", "lf_global", "hf_global",
+        "lf_image", "hf_meta", "icc_profile",
+    )
+
+
+def _decode_one_frame_deferred(fh, codestream, rec, icc_profile):
+    """Frame 0 through the regular per-frame section path (render
+    deferred) — supplies the modular plan, the dequant matrices, and the
+    oracle outputs the fold's frame-0 slab is verified against."""
+    from ..api.frame import Frame
+    from ..api.state import DecoderState
+
+    header, toc, sections_start = rec
+    state = DecoderState(fh)
+    if header.is_visible:
+        state.visible_frame_index += 1
+    br = BitReader(codestream)
+    br.pos = sections_start
+    frame = Frame(header, toc, fh, state)
+    frame.icc_profile = icc_profile
+    frame.render_after_decode = False
+    frame._defer_render = True
+    frame.decode_all_sections(br)
+    return frame
+
+
+def try_anim_fold(fh, codestream, recs, icc_profile):
+    """Attempt the whole-animation fold. Returns a list of F frame shims
+    (section decode complete, render deferred) or None for fallback."""
+    if os.environ.get("JXL_TPU_ANIM_FOLD", "1") == "0":
+        return None
+    from .. import native
+
+    if not native.available():
+        return None
+
+    meta = fh.image_metadata
+    cbw, cbh = -(-fh.xsize // 8), -(-fh.ysize // 8)
+    for header, toc, _pos in recs:
+        bw_f, bh_f = header.size_blocks()
+        if (
+            header.num_toc_entries != 1
+            or header.passes.num_passes != 1
+            or header.group_dim != 256
+            or header.encoding != Encoding.VARDCT
+            or bw_f > 32
+            or bh_f > 32  # single-section implies one 256px group
+        ):
+            return None
+
+    # ---- frame 0 through the regular path: plan + oracle ---------------
+    from ..errors import JxlError
+
+    try:
+        f0 = _decode_one_frame_deferred(fh, codestream, recs[0], icc_profile)
+    except JxlError:
+        return None
+    if f0 is None or f0.lf_global is None or f0.lf_global.tree is None:
+        return None
+    mg0 = f0.lf_global.modular_global
+    gh0 = mg0.global_header
+    if gh0 is not None and not gh0.use_global_tree:
+        return None
+    if any(s for s in mg0.section_buffer_indices[1:]):
+        return None  # modular LF/HF streams: the fold decodes only section 0
+    if not f0.hf_global or not f0.hf_global.hf_coefficients:
+        return None
+    gh0_packed = _pack_group_header(gh0) if gh0 is not None else np.zeros(96, np.int32)
+    if gh0_packed is None:
+        return None
+
+    # ---- per-frame modular plans (squeeze plans depend on frame dims) ---
+    # _build_plan is memoized, so repeated frame geometries are free; gh is
+    # assumed identical across frames here and VERIFIED identical after the
+    # fold returns (mismatching frames are discarded wholesale).
+    from ..modular.image import FullModularImage
+
+    num_ec = len(meta.extra_channel_info)
+    plans = [mg0]
+    for header, _toc, _pos in recs[1:]:
+        plans.append(
+            FullModularImage.from_header(
+                header,
+                FullModularImage.channel_list(header, meta, 0),
+                gh0,
+                allocate=False,
+            )
+        )
+    tmpl_rows_all = []
+    chan_counts = np.zeros(len(recs), np.int32)
+    chan_tmpl_off = np.zeros(len(recs), np.int64)
+    tmpl_parts = []
+    chan_frame_elems = 0
+    n_rows = 0
+    for f, mg in enumerate(plans):
+        if any(s for s in mg.section_buffer_indices[1:]):
+            return None  # modular LF/HF streams: fold decodes only section 0
+        sec0 = mg.section_buffer_indices[0] if mg.buffer_infos else []
+        rows = []
+        tmpl = np.zeros((len(sec0), 6), np.int64)
+        off = 0
+        for i, buf in enumerate(sec0):
+            info = mg.buffer_infos[buf]
+            w, h = info.size
+            sx, sy = info.shift if info.shift is not None else (-1, -1)
+            tmpl[i] = (w, h, sx, sy, w, off)
+            rows.append((buf, w, h, off))
+            off += w * h
+        chan_counts[f] = len(sec0)
+        chan_tmpl_off[f] = n_rows
+        n_rows += len(sec0)
+        tmpl_parts.append(tmpl)
+        tmpl_rows_all.append(rows)
+        chan_frame_elems = max(chan_frame_elems, off)
+    chan_template = (
+        np.concatenate(tmpl_parts).reshape(-1)
+        if tmpl_parts
+        else np.zeros(0, np.int64)
+    )
+
+    # min over frames: a limit smaller than a frame's true one can only
+    # cause a (safe) fallback, never accept a stream the oracle rejects
+    tree_size_limit = min(
+        min(
+            1024 + h.width * h.height * (f0.color_channels + num_ec) // 16
+            for h, _, _ in recs
+        ),
+        1 << 22,
+    )
+    from ..vardct.block_context import BlockContextMap
+    from ..vardct.transform_map import INVALID_TRANSFORM
+
+    def_cmap = np.asarray(BlockContextMap.default().context_map, np.uint8)
+    sec_bit_pos = np.array([pos for _, _, pos in recs], np.uint64)
+    sec_byte_end = np.array(
+        [pos // 8 + toc.total_size for _, toc, pos in recs], np.uint64
+    )
+    h0 = recs[0][0]
+    hs3 = np.array([h0.hshift(c) for c in range(3)], np.int32)
+    vs3 = np.array([h0.vshift(c) for c in range(3)], np.int32)
+    smooth = np.array(
+        [1 if h.should_do_adaptive_lf_smoothing else 0 for h, _, _ in recs],
+        np.uint8,
+    )
+    fdims = [h.size_blocks() for h, _, _ in recs]
+    fbw = np.array([d[0] for d in fdims], np.int32)
+    fbh = np.array([d[1] for d in fdims], np.int32)
+    # slab capacity: the largest frame (frames may exceed the canvas crop)
+    sbw, sbh = max(cbw, int(fbw.max())), max(cbh, int(fbh.max()))
+    tcw, tch = -(-sbw // 8), -(-sbh // 8)
+
+    out = native.anim_decode_frames_native(
+        BitReader(codestream), sec_bit_pos, sec_byte_end, sbw, sbh, tcw, tch,
+        fbw, fbh, hs3, vs3, 1 if h0.is444 else 0, smooth, chan_counts,
+        chan_tmpl_off, chan_template, chan_frame_elems, tree_size_limit,
+        def_cmap, INVALID_TRANSFORM,
+    )
+    if out is None:
+        return None
+
+    # per-frame views into the (capacity-dim) slabs: frame f's data is
+    # frame-strided in the first fbh*fbw elements
+    def _fview(slab, f, h, w):
+        return slab[f].reshape(-1)[: h * w].reshape(h, w)
+
+    # ---- verify: identical headers + frame 0 bit-exact vs the oracle ----
+    if not np.array_equal(out["gh"][0], gh0_packed):
+        return None
+    if not (out["gh"] == out["gh"][0]).all():
+        return None
+    hf0 = f0.hf_meta
+    cnt0 = int(out["blk_counts"][0])
+    t0 = getattr(f0.hf_global, "block_tables", {}).get(0)
+    w0, h0b = fdims[0]
+    tw0, th0 = -(-w0 // 8), -(-h0b // 8)
+    if (
+        not all(
+            np.array_equal(
+                out["lf"][c, 0].reshape(-1)[: h0b * w0].reshape(h0b, w0),
+                f0.lf_image[c],
+            )
+            for c in range(3)
+        )
+        or not np.array_equal(_fview(out["rq"], 0, h0b, w0), hf0["raw_quant"])
+        or not np.array_equal(_fview(out["qlf"], 0, h0b, w0), hf0["quant_lf"])
+        or not np.array_equal(_fview(out["tmap"], 0, h0b, w0), hf0["transform"])
+        or not np.array_equal(_fview(out["epf"], 0, h0b, w0), hf0["epf"])
+        or not np.array_equal(_fview(out["ytox"], 0, th0, tw0), hf0["ytox"])
+        or not np.array_equal(_fview(out["ytob"], 0, th0, tw0), hf0["ytob"])
+        or (t0 is not None and cnt0 != len(t0))
+    ):
+        from ..utils import trace
+
+        trace.metrics.add("anim_fold_oracle_mismatch", 1)
+        return None
+
+    # ---- shims -----------------------------------------------------------
+    pool = out["pool"]  # (F, 3, 65536); slot f at f*3*65536, chan stride 65536
+    dqm = f0.hf_global.dequant_matrices
+    frames = []
+    F = len(recs)
+    from ..api.frame import QuantizerParams
+    from ..vardct.cfl import ColorCorrelationParams
+
+    for f in range(F):
+        header, toc, _pos = recs[f]
+        w, h = fdims[f]
+        tw, th = -(-w // 8), -(-h // 8)
+        scal = out["scal"][f]
+        dbl = out["dbl"][f]
+        lg = _FoldLfGlobal()
+        lg.quant_params = QuantizerParams(int(scal[0]), int(scal[1]))
+        lg.color_correlation_params = ColorCorrelationParams(
+            int(scal[10]), float(dbl[3]), float(dbl[4]),
+            int(scal[11]), int(scal[12]),
+        )
+        lg.modular_global = _FoldModular(
+            plans[f], out["chan"][f], tmpl_rows_all[f]
+        )
+        hg = _FoldHfGlobal()
+        cnt = int(out["blk_counts"][f])
+        hg.hf_coefficients = {0: pool[f]}
+        hg.block_tables = {0: out["blocks"][f, :cnt]}
+        hg.coeff_pool = pool
+        hg.coeff_pool_slots = {0: f}
+        hg.dequant_matrices = dqm
+        fr = _FoldFrame()
+        fr.header = header
+        fr.toc = toc
+        fr.file_header = fh
+        fr.icc_profile = icc_profile
+        fr.lf_global = lg
+        fr.hf_global = hg
+        fr.lf_image = [
+            out["lf"][c, f].reshape(-1)[: h * w].reshape(h, w)
+            for c in range(3)
+        ]
+        fr.hf_meta = {
+            "ytox": _fview(out["ytox"], f, th, tw),
+            "ytob": _fview(out["ytob"], f, th, tw),
+            "raw_quant": _fview(out["rq"], f, h, w),
+            "transform": _fview(out["tmap"], f, h, w),
+            "epf": _fview(out["epf"], f, h, w),
+            "quant_lf": _fview(out["qlf"], f, h, w),
+        }
+        frames.append(fr)
+    from ..utils import trace
+
+    trace.metrics.add("anim_fold_frames", F)
+    return frames

@@ -3,10 +3,18 @@
 The tunneled TPU in this environment intermittently stalls for minutes
 (BASELINE.md "tunnel transfer economics"); a decode that would win on a
 healthy device loses badly — or hangs — through a wedged one. The first
-device-path decision in a process runs a tiny round-trip probe in a
-daemon thread with a hard wall-clock budget; if the probe times out or
-its latency exceeds the threshold, every subsequent eligibility check
-prefers the host path for the process lifetime.
+device-path decision in a process kicks off a tiny round-trip probe and
+answers from its result; if the probe times out or its latency exceeds
+the threshold, every subsequent eligibility check prefers the host path
+for the process lifetime.
+
+The probe runs in a SUBPROCESS, not a thread: backend init is a C++
+call that can block for minutes, and a daemon thread still inside that
+call when the interpreter exits is killed by pthread forced-unwind —
+which aborts the whole process ("FATAL: exception not rethrown"). A
+child process is killable at any time and its teardown cannot corrupt
+ours. When the platform is pinned to CPU (tests, dryrun_multichip) no
+tunnel is involved and the probe answers inline without a child.
 
 Override with JXL_TPU_DEVICE=on|off (on: trust the device uncondition-
 ally; off: never dispatch device render work).
@@ -14,47 +22,104 @@ ally; off: never dispatch device render work).
 
 from __future__ import annotations
 
+import atexit
 import os
+import subprocess
+import sys
 import threading
 import time
 
-_status: bool | None = None
 _latency: float | None = None
 _lock = threading.Lock()
-_thread: threading.Thread | None = None
-_result: list = []
+_proc: "subprocess.Popen | None" = None
+_result: list = []  # [latency_seconds | None]
 _grace_spent = False
 
+_CHILD_CODE = r"""
+import time
+import jax, jax.numpy as jnp
+import numpy as np
+if jax.default_backend() == "cpu":
+    import sys
+    print(0.0)
+    sys.exit(0)
+t0 = time.perf_counter()
+x = jnp.ones((64, 64), jnp.float32)
+y = (x + 1.0).block_until_ready()
+np.asarray(y)
+print(time.perf_counter() - t0)
+"""
 
-def _probe(result: list) -> None:
-    try:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
 
-        # backend init itself is the first thing that hangs on a wedged
-        # tunnel — it MUST run inside this budgeted thread, never on the
-        # caller's thread
-        if jax.default_backend() == "cpu":
-            # virtual CPU devices (tests / dryrun): no tunnel involved
-            result.append(0.0)
-            return
-        t0 = time.perf_counter()
-        x = jnp.ones((64, 64), jnp.float32)
-        y = (x + 1.0).block_until_ready()
-        np.asarray(y)
-        result.append(time.perf_counter() - t0)
-    except Exception:
-        result.append(None)
+def _cpu_pinned() -> bool:
+    """True when this process cannot be talking to a tunnel: the JAX
+    platform is pinned to CPU via env or (if jax is already imported)
+    via jax.config. Reading config does not initialize a backend."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() in ("cpu", "cpu,"):
+        return True
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is not None:
+        try:
+            if (jax_mod.config.jax_platforms or "").strip().lower() == "cpu":
+                return True
+        except Exception:
+            pass
+    return False
+
+
+def _kill_probe() -> None:
+    p = _proc
+    if p is not None and p.poll() is None:
+        try:
+            p.kill()
+        except Exception:
+            pass
 
 
 def start_probe() -> None:
-    """Kick off the round-trip probe in a daemon thread (idempotent)."""
-    global _thread
+    """Kick off the round-trip probe (idempotent, non-blocking)."""
+    global _proc
     with _lock:
-        if _thread is None:
-            _thread = threading.Thread(target=_probe, args=(_result,), daemon=True)
-            _thread.start()
+        if _result or _proc is not None:
+            return
+        if _cpu_pinned():
+            _result.append(0.0)
+            return
+        try:
+            _proc = subprocess.Popen(
+                [sys.executable, "-c", _CHILD_CODE],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                start_new_session=True,
+            )
+        except Exception:
+            _result.append(None)
+            return
+        atexit.register(_kill_probe)
+
+
+def _collect(timeout: float = 0.0) -> None:
+    """Harvest the child's verdict if it has landed (optionally waiting
+    up to `timeout`). The child writes one short line, far below the
+    pipe buffer, so reading after exit cannot block."""
+    p = _proc
+    if p is None or _result:
+        return
+    if timeout > 0:
+        try:
+            p.wait(timeout)
+        except subprocess.TimeoutExpired:
+            pass
+    if p.poll() is None:
+        return
+    val: float | None = None
+    try:
+        out = p.stdout.read() if p.stdout else b""
+        if p.returncode == 0 and out:
+            val = float(out.split()[0])
+    except Exception:
+        val = None
+    _result.append(val)
 
 
 def device_ok(max_latency: float = 2.0, grace: float = 3.0) -> bool:
@@ -68,39 +133,35 @@ def device_ok(max_latency: float = 2.0, grace: float = 3.0) -> bool:
     so a healthy-but-slow-to-init device is only misrouted for the decode
     that raced its init.
     """
-    global _status, _latency
+    global _latency, _grace_spent
     mode = os.environ.get("JXL_TPU_DEVICE", "auto")
     if mode in ("off", "host"):
         return False
     if mode in ("on", "device"):
         return True
-    if _status is not None:
-        return _status
     start_probe()
-    global _grace_spent
-    if not _grace_spent:
-        # wait once per process; later calls while the probe is still
-        # pending answer immediately (a decode may consult this dozens of
-        # times — stacking 3 s joins would serialize the whole decode)
-        _grace_spent = True
-        _thread.join(grace)
     with _lock:
-        if _status is not None:
-            return _status
+        if not _result and not _grace_spent:
+            # wait once per process; later calls while the probe is still
+            # pending answer immediately (a decode may consult this dozens
+            # of times — stacking 3 s waits would serialize the decode)
+            _grace_spent = True
+            _collect(grace)
+        else:
+            _collect()
         if not _result:
             return False  # pending — do not cache
-        if _result[0] is None or _result[0] > max_latency:
-            _status = False
-        else:
-            _status = True
-            _latency = _result[0]
-        return _status
+        lat = _result[0]
+        if lat is None or lat > max_latency:
+            return False
+        _latency = lat
+        return True
 
 
 def device_fast(max_latency: float = 0.03) -> bool:
     """True when the device is DIRECT-ATTACH-class (round trip under
     `max_latency`), i.e. per-frame dispatch+readback genuinely beats the
-    native host pipeline. A healthy-but-tunneled chip (60-115 ms per
+    native host pipeline. A healthy-but-tunneled chip (45-115 ms per
     computed readback, BASELINE.md) passes device_ok() yet loses to the
     ~190 ms/MP host photo path — whole-image device render and the
     overlapped banded path only pay off below tunnel-class latency.

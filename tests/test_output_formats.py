@@ -106,9 +106,12 @@ def test_u8_tf_lut_accuracy():
     out = np.empty((h, w, 3), np.uint8)
     p = native._ptr
 
+    strides = np.array([w, w, w], np.int64)
+
     def run(kind, p0):
         lib.jxl_xyb_srgb_u8(
             p(x, ctypes.c_float), p(y, ctypes.c_float), p(b, ctypes.c_float),
+            p(strides, ctypes.c_int64),
             ctypes.c_int64(h), ctypes.c_int64(w),
             p(mat, ctypes.c_float), p(biases, ctypes.c_float),
             ctypes.c_float(1.0), p(dither, ctypes.c_float),
