@@ -1,37 +1,41 @@
-"""Device wavefront reconstruction for gradient-only lossless Modular.
+"""Device reconstruction lanes for channel-static lossless Modular.
 
-The fast-lossless shape (channel-split trees with pure-gradient leaves,
-ref frame/modular/decode/specialized_trees.rs:413 lattice, flat_tree.rs)
-dominates lossless corpus pixels. Its row recurrence
+The specialization lattice of the reference (frame/modular/decode/
+specialized_trees.rs:413, flat_tree.rs:23-89) shows most lossless
+corpus pixels flow through channel-split trees whose leaves are STATIC
+simple predictors. Each such stream's entropy residuals can be emitted
+raw by the native decoder (residual mode) and reconstructed by a
+device lane chosen per channel:
 
-    v[y][x] = clamp(l + t - tl, min(l, t), max(l, t)) + r[y][x]
-
-is not a prefix sum (the clamp bounds track the running value), so the
-honest device shape is WAVEFRONT parallelism: every anti-diagonal d of a
-channel depends only on diagonals d-1 and d-2, all its cells in
-parallel. In skewed coordinates S[d, x] = V[d-x, x] the neighbors are
-pure vector shifts:
-
-    t  = S[d-1, x]      l = S[d-1, x-1]      tl = S[d-2, x-1]
-
-so one `lax.scan` over diagonals with a (lanes, W) carry reconstructs
-LANES channels at once — lanes are group-channel streams batched across
-the whole frame (pod-lane counts for large images: a 28 MP image yields
-~500 256x256 lanes).
+- Zero: identity — the residuals ARE the pixels (the RLE/NoTreeZero
+  fast-lossless backbone, SURVEY's named fast path).
+- West: v[y][x] = v[y][x-1] + r, with v[y][0] = v[y-1][0] + r. Two
+  cumsums: col0 = cumsum_y(r[:,0]); v = col0[:,None] + cumsum_x(r) -
+  r[:,0:1]. int32 adds wrap identically on host (wrap_i32), numpy and
+  XLA (two's complement), so this lane is bit-exact with NO magnitude
+  gate — sum reassociation is exact mod 2^32.
+- North: symmetric (row 0 is a West chain: top falls back to left at
+  y == 0): row0 = cumsum_x(r[0]); v = row0[None,:] + cumsum_y(r) -
+  r[0:1,:].
+- Gradient: the clamp bounds track the running value, so this is not a
+  prefix sum; the honest device shape is WAVEFRONT parallelism — every
+  anti-diagonal d depends only on d-1 and d-2, all its cells in
+  parallel. In skewed coordinates S[d, x] = V[d-x, x] the neighbors are
+  pure vector shifts, so one `lax.scan` over diagonals with a
+  (lanes, W) carry reconstructs LANES channels at once.
 
 Split of labor: the host C++ entropy loop emits raw signed residuals
 (native flag bit 0 — pure entropy, no prediction), batches of lanes
-upload (int16 wire when the range allows), and the device scan runs
+upload (int16 wire when the range allows), and the device programs run
 ASYNC while host entropy continues on later sections — the same
 entropy‖compute overlap as the VarDCT band pipeline (api/overlap.py).
 
-Exactness: residual magnitudes are gated host-side at < 2^19 with
-channel dims <= 512. By induction the running max grows by at most
-max|r| per diagonal, so values stay below 1023*2^19 < 2^29 and the
-int32 l + t - tl stays below 3*2^29 < 2^31: no overflow, and the device
-arithmetic is bit-identical to the C++ loop (tested corpus-wide).
-Out-of-range lanes and any device failure fall back to the native
-in-place reconstruction (jxl_gradient_reconstruct).
+Exactness (gradient lane): by induction along diagonals the running
+bound grows by at most max|r| per diagonal, so with the dynamic gate
+3 * (H + W - 1) * max|r| < 2^31 the int32 l + t - tl never overflows
+and the device arithmetic is bit-identical to the C++ loop (tested
+corpus-wide). Out-of-range lanes and any device failure fall back to
+the native in-place reconstruction (jxl_gradient_reconstruct).
 """
 
 from __future__ import annotations
@@ -41,10 +45,11 @@ import threading
 
 import numpy as np
 
-MAX_DIM = 512
-MAX_RESIDUAL = 1 << 19  # |values| < 1023 * 2^19 < 2^29: int32-safe
+MAX_DIM = 2048
 MIN_STREAM_PX = 2048  # tiny streams decode faster fully on host
-CHUNK_LANES = 128  # lanes per async device dispatch
+MAX_CHUNK_BYTES = 128 << 20  # lanes per dispatch scale down for big dims
+
+_PRED_ZERO, _PRED_WEST, _PRED_NORTH, _PRED_GRADIENT = 0, 1, 2, 5
 
 _active = None
 _CACHE: dict = {}
@@ -80,23 +85,41 @@ def _pow2ceil(n: int, lo: int = 32) -> int:
     return v
 
 
-def _program(L: int, H: int, W: int, wire_dtype: str, mesh=None):
-    """Jitted wavefront reconstruction: (L, H, W) residuals -> pixels.
+def _chunk_lanes(H: int, W: int) -> int:
+    """Lanes per async dispatch, memory-capped for large channels."""
+    per_lane = H * W * 4
+    return max(8, min(128, MAX_CHUNK_BYTES // max(per_lane, 1)))
 
+
+def _program(kind: int, L: int, H: int, W: int, wire_dtype: str, mesh=None):
+    """Jitted reconstruction: (L, H, W) residuals -> pixels.
+
+    kind selects the lane: West/North cumsum or the gradient wavefront.
     With `mesh` (a 1-axis jax.sharding.Mesh), lanes shard across devices
-    — the scan is elementwise over lanes, so the pod-scale program runs
-    with zero collectives (each chip reconstructs its own lane slice)."""
+    — every lane is independent, so the pod-scale program runs with zero
+    collectives (each chip reconstructs its own lane slice)."""
     import jax
     import jax.numpy as jnp
 
-    key = (L, H, W, wire_dtype, None if mesh is None else tuple(mesh.shape.items()))
+    key = (kind, L, H, W, wire_dtype,
+           None if mesh is None else tuple(mesh.shape.items()))
     fn = _CACHE.get(key)
     if fn is not None:
         return fn
 
     D = H + W - 1
 
-    def program(r):
+    def cumsum_west(r):
+        r = r.astype(jnp.int32)
+        col0 = jnp.cumsum(r[:, :, 0], axis=1)
+        return col0[:, :, None] + jnp.cumsum(r, axis=2) - r[:, :, 0:1]
+
+    def cumsum_north(r):
+        r = r.astype(jnp.int32)
+        row0 = jnp.cumsum(r[:, 0, :], axis=1)
+        return row0[:, None, :] + jnp.cumsum(r, axis=1) - r[:, 0:1, :]
+
+    def wavefront(r):
         r = r.astype(jnp.int32)
         x_idx = jnp.arange(W, dtype=jnp.int32)
         d_arr = jnp.arange(D, dtype=jnp.int32)
@@ -126,6 +149,12 @@ def _program(L: int, H: int, W: int, wire_dtype: str, mesh=None):
         idx = jnp.arange(H, dtype=jnp.int32)[:, None] + x_idx[None, :]
         return jnp.take_along_axis(st, idx[None, :, :], axis=1)
 
+    program = {
+        _PRED_WEST: cumsum_west,
+        _PRED_NORTH: cumsum_north,
+        _PRED_GRADIENT: wavefront,
+    }[kind]
+
     if mesh is None:
         fn = jax.jit(program)
     else:
@@ -139,16 +168,18 @@ def _program(L: int, H: int, W: int, wire_dtype: str, mesh=None):
 
 
 class BatchContext:
-    """Collects residual-decoded gradient-only streams and reconstructs
+    """Collects residual-decoded channel-static streams and reconstructs
     them in batched async device dispatches; flush() writes pixels back
     into the submitted channel views."""
 
     def __init__(self):
         self._lock = threading.Lock()
-        self._buckets: dict = {}  # (H, W) -> list of (target_view, residuals)
-        self._inflight: list = []  # (device_array, targets, dims)
+        # (kind, Hpow2, Wpow2) -> list of target channel views
+        self._buckets: dict = {}
+        self._inflight: list = []  # (device_array, targets)
         self.lanes_device = 0
         self.lanes_host = 0
+        self.lanes_identity = 0  # Zero-predictor: residuals ARE pixels
 
     # -- submission (called from decode_modular_subbitstream) ----------
 
@@ -162,18 +193,22 @@ class BatchContext:
 
         if transform_steps:
             return False
-        if not tree.is_gradient_only:
+        if not tree.is_channel_static:
             return False
-        live = [b for b in local_buffers if b.data.size > 0]
+        live = [
+            (ci, b) for ci, b in enumerate(local_buffers) if b.data.size > 0
+        ]
         if not live:
             return False
         if any(b.data.shape[0] > MAX_DIM or b.data.shape[1] > MAX_DIM
-               for b in live):
+               for _, b in live):
             return False
-        if sum(b.data.size for b in live) < MIN_STREAM_PX:
+        if sum(b.data.size for _, b in live) < MIN_STREAM_PX:
             return False
         if not native.available():
             return False
+
+        preds = [tree.leaf_predictor_for_channel(ci) for ci, _ in live]
 
         try:
             ok = native.decode_modular_native(
@@ -185,25 +220,31 @@ class BatchContext:
             # caller's partial-render semantics see pixels (bit-exact:
             # safe channels' residuals are complete)
             if partial_out is not None:
-                for b in local_buffers[: partial_out[0]]:
+                done = {ci: p for (ci, _), p in zip(live, preds)}
+                for ci, b in enumerate(local_buffers[: partial_out[0]]):
                     if b.data.size:
-                        native.gradient_reconstruct(b.data)
+                        _reconstruct_host(b.data, done.get(ci, _PRED_GRADIENT))
             raise
         if not ok:
             return False
 
         with self._lock:
-            for b in live:
-                h, w = b.data.shape
-                res = b.data
-                if int(np.abs(res).max(initial=0)) >= MAX_RESIDUAL:
-                    native.gradient_reconstruct(res)
-                    self.lanes_host += 1
+            for (ci, b), pred in zip(live, preds):
+                if pred == _PRED_ZERO:
+                    self.lanes_identity += 1  # residuals are the pixels
                     continue
-                bucket = (_pow2ceil(h), _pow2ceil(w))
+                h, w = b.data.shape
+                if pred == _PRED_GRADIENT:
+                    # dynamic int32-overflow gate (see module docstring)
+                    amax = int(np.abs(b.data).max(initial=0))
+                    if amax >= (1 << 31) // (3 * (h + w - 1)):
+                        _reconstruct_host(b.data, pred)
+                        self.lanes_host += 1
+                        continue
+                bucket = (pred, _pow2ceil(h), _pow2ceil(w))
                 pend = self._buckets.setdefault(bucket, [])
                 pend.append(b)
-                if len(pend) >= CHUNK_LANES:
+                if len(pend) >= _chunk_lanes(bucket[1], bucket[2]):
                     self._dispatch(bucket, pend)
                     self._buckets[bucket] = []
         return True
@@ -211,7 +252,7 @@ class BatchContext:
     # -- device dispatch -----------------------------------------------
 
     def _dispatch(self, bucket, pend) -> None:
-        H, W = bucket
+        kind, H, W = bucket
         L = _pow2ceil(len(pend), lo=8)
         amax = max(int(np.abs(b.data).max(initial=0)) for b in pend)
         wire = np.int16 if amax < 32768 else np.int32
@@ -222,36 +263,32 @@ class BatchContext:
         try:
             import jax
 
-            fn = _program(L, H, W, wire().dtype.name)
+            fn = _program(kind, L, H, W, wire().dtype.name)
             dev = fn(jax.device_put(batch))  # async
         except Exception:
             for b in pend:
-                from .. import native
-
-                native.gradient_reconstruct(b.data)
+                _reconstruct_host(b.data, kind)
             self.lanes_host += len(pend)
             return
-        self._inflight.append((dev, list(pend)))
+        self._inflight.append((dev, list(pend), kind))
         self.lanes_device += len(pend)
 
     def flush(self) -> None:
         """Dispatch remainders, wait for all device chunks, write pixels
         back into every submitted channel view. Host fallback on any
         device failure."""
-        from .. import native
-
         with self._lock:
             for bucket, pend in list(self._buckets.items()):
                 if pend:
                     self._dispatch(bucket, pend)
             self._buckets.clear()
             inflight, self._inflight = self._inflight, []
-        for dev, targets in inflight:
+        for dev, targets, kind in inflight:
             try:
                 host = np.asarray(dev)
             except Exception:
                 for b in targets:
-                    native.gradient_reconstruct(b.data)
+                    _reconstruct_host(b.data, kind)
                 self.lanes_host += len(targets)
                 self.lanes_device -= len(targets)
                 continue
@@ -262,8 +299,31 @@ class BatchContext:
 
         if self.lanes_device:
             trace.metrics.add("lossless_device_lanes", self.lanes_device)
+        if self.lanes_identity:
+            trace.metrics.add("lossless_identity_lanes", self.lanes_identity)
         if self.lanes_host:
             trace.metrics.add("lossless_host_lanes", self.lanes_host)
+
+
+def _reconstruct_host(data: np.ndarray, pred: int) -> None:
+    """In-place host reconstruction of raw residuals for one channel."""
+    if pred == _PRED_ZERO:
+        return
+    if pred == _PRED_WEST:
+        col0 = np.cumsum(data[:, 0], dtype=np.int32)
+        r0 = data[:, 0].copy()
+        data[...] = np.cumsum(data, axis=1, dtype=np.int32)
+        data += (col0 - r0)[:, None]
+        return
+    if pred == _PRED_NORTH:
+        row0 = np.cumsum(data[0], dtype=np.int32)
+        r0 = data[0].copy()
+        data[...] = np.cumsum(data, axis=0, dtype=np.int32)
+        data += (row0 - r0)[None, :]
+        return
+    from .. import native
+
+    native.gradient_reconstruct(data)
 
 
 def maybe_submit(local_buffers, tree, header, transform_steps, br,

@@ -242,6 +242,49 @@ class Tree:
         return self.num_properties - 1
 
     @property
+    def is_channel_static(self) -> bool:
+        """Channel-split tree whose leaves are static simple predictors
+        (Zero/West/North/Gradient, offset 0, multiplier 1) — every such
+        stream's residuals can be emitted raw (native residual mode) and
+        reconstructed by a device lane: identity (Zero), row/col cumsum
+        (West/North, int32-wrap exact), or the gradient wavefront.
+        Mirrors the native chan_static analysis (modular_decode.cc)."""
+        if self._arr is not None:
+            a = self._arr
+            leaf = a[:, 0] < 0
+            p = a[leaf, 4]
+            return bool(
+                (a[~leaf, 0] == 0).all()
+                and ((p == 0) | (p == 1) | (p == 2) | (p == 5)).all()
+                and (a[leaf, 5] == 0).all()
+                and (a[leaf, 6] == 1).all()
+            )
+        return all(
+            (not n.is_leaf and n.property == 0)
+            or (
+                n.is_leaf
+                and int(n.predictor) in (0, 1, 2, 5)
+                and n.offset == 0
+                and n.multiplier == 1
+            )
+            for n in self.nodes
+        )
+
+    def leaf_predictor_for_channel(self, chan: int) -> int:
+        """Leaf predictor reached by a channel-split walk (property 0 ==
+        channel index). Only meaningful when is_channel_static."""
+        if self._arr is not None:
+            a = self._arr
+            i = 0
+            while a[i, 0] >= 0:
+                i = a[i, 2] if chan > a[i, 1] else a[i, 3]
+            return int(a[i, 4])
+        node = self.nodes[0]
+        while not node.is_leaf:
+            node = self.nodes[node.left if chan > node.splitval else node.right]
+        return int(node.predictor)
+
+    @property
     def is_gradient_only(self) -> bool:
         """Channel-split + gradient leaves only — the fast-lossless shape."""
         if self._arr is not None:

@@ -693,15 +693,24 @@ int jxl_decode_modular(
   bool use_wp = false;
   uint32_t used_props = 0;  // bitmask of properties the tree actually reads
   bool gradient_only = true;
+  // channel-split tree whose leaves are static simple predictors
+  // (Zero/West/North/Gradient, offset 0, multiplier 1): the residual
+  // stream needs no prediction at all, so raw residuals can be emitted
+  // for the device reconstruction lanes (identity / cumsum / wavefront)
+  bool chan_static = true;
   for (int i = 0; i < num_nodes; i++) {
     if (tree[i].property < 0) {
       if (tree[i].predictor == 6) use_wp = true;
       if (tree[i].predictor != 5 || tree[i].offset != 0 || tree[i].multiplier != 1)
         gradient_only = false;
+      int p = tree[i].predictor;
+      if (!(p == 0 || p == 1 || p == 2 || p == 5) || tree[i].offset != 0 ||
+          tree[i].multiplier != 1)
+        chan_static = false;
     } else {
       if (tree[i].property < 31) used_props |= 1u << tree[i].property;
       if (tree[i].property == 15) use_wp = true;
-      if (tree[i].property != 0) gradient_only = false;
+      if (tree[i].property != 0) { gradient_only = false; chan_static = false; }
     }
   }
 
@@ -733,7 +742,7 @@ int jxl_decode_modular(
     return code;
   };
 
-  const bool residual_mode = (flags & 1) != 0 && gradient_only;
+  const bool residual_mode = (flags & 1) != 0 && chan_static;
 
   if (gradient_only && is_rle && !residual_mode) {
     uint32_t rle_len = 0;
@@ -815,7 +824,7 @@ int jxl_decode_modular(
   // residual_mode prediction is skipped entirely and the raw signed
   // residuals are emitted — the device wavefront reconstruction
   // (modular/device_lossless.py) turns them back into pixels.
-  if (gradient_only && (flags & 2) == 0) {
+  if ((gradient_only || residual_mode) && (flags & 2) == 0) {
     for (int ci = 0; ci < num_channels; ci++) {
       const ChannelDesc& cd = reinterpret_cast<const ChannelDesc*>(chan_info)[ci];
       int w = (int)cd.w, h = (int)cd.h;
