@@ -13,9 +13,14 @@ whole-image pipeline, so output rows are bit-identical to the one-shot
 decoder.
 
 Eligibility (everything else falls back to the whole-image decoder):
-single REGULAR last frame, upsampling 1, no patches/splines/noise, no
-extra channels, no blending/reference saves, and for Modular encoding no
-global transforms (squeeze couples distant rows). This mirrors the
+single REGULAR last frame, upsampling 1, no patches/splines, no
+blending/reference saves, and for Modular encoding no global transforms
+(squeeze couples distant rows). Noise IS admitted: the xorshift128+
+field is seeded per group subregion, so a band plus the 2-row convolve
+margin generates locally (features/noise.py generate_noise_field_rows).
+Extra channels ARE admitted for Modular streams (dim_shift 0,
+ec_upsampling 1): EC planes are band-local rows of the same per-group
+HF sections and pass through filters untouched. This mirrors the
 reference's own pipeline split: the general path exists, the low-memory
 path engages where its preconditions hold.
 """
@@ -39,10 +44,16 @@ def eligible(frame) -> bool:
         return False
     if h.upsampling != 1 or any(u != 1 for u in h.ec_upsampling):
         return False
-    if h.has_patches or h.has_splines or h.has_noise:
+    if h.has_patches or h.has_splines:
         return False
+    meta = frame.file_header.image_metadata
     if h.num_extra_channels != 0:
-        return False
+        # EC planes are band-local only on the Modular path (they ride
+        # the same per-group HF sections); VarDCT+EC stays whole-image
+        if h.encoding != Encoding.MODULAR:
+            return False
+        if any(info.dim_shift != 0 for info in meta.extra_channel_info):
+            return False
     if h.needs_blending() or h.can_be_referenced or h.lf_level != 0:
         return False
     if h.num_toc_entries == 1:
@@ -52,6 +63,8 @@ def eligible(frame) -> bool:
         if mg is None or mg.transform_steps:
             return False
         if mg.global_header is None:
+            return False
+        if frame.color_channels != 3:
             return False
     else:
         if not h.is444:
@@ -120,8 +133,9 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
         (pre-filter, visible-cropped)."""
         y0 = gy * gdim
         rows = min(gdim, hv - y0)
+        num_ec = header.num_extra_channels
         if header.encoding == Encoding.MODULAR:
-            band = np.zeros((3, rows, wv), np.int32)
+            band = np.zeros((3 + num_ec, rows, wv), np.int32)
             mg = frame.lf_global.modular_global
             from ..modular.channel import ModularChannel
             from ..modular.decode import ModularStreamId, decode_modular_subbitstream
@@ -133,6 +147,12 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
                 bufs = [
                     ModularChannel((cols, rows), (0, 0), meta.bit_depth.bits_per_sample)
                     for _ in range(3)
+                ] + [
+                    ModularChannel(
+                        (cols, rows), (0, 0),
+                        meta.extra_channel_info[i].bit_depth.bits_per_sample,
+                    )
+                    for i in range(num_ec)
                 ]
                 sec2 = frame._section_reader(
                     frame.section_index("hf", group=g, pass_idx=0), codestream, toc_end
@@ -144,10 +164,14 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
                     frame.lf_global.tree,
                     sec2,
                 )
-                for c in range(3):
+                for c in range(3 + num_ec):
                     band[c, :, x0 : x0 + cols] = bufs[c].data
             from ..render.simple import _modular_to_f32
 
+            ec_planes = [
+                _modular_to_f32(band[3 + i], meta.extra_channel_info[i].bit_depth)
+                for i in range(num_ec)
+            ]
             if meta.xyb_encoded:
                 sx_f, sy_f, sb_f = frame.lf_global.lf_quant.quant_factors
                 iy = band[0].astype(np.float32)
@@ -159,10 +183,10 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
                         iy * np.float32(sy_f),
                         (ib + iy) * np.float32(sb_f),
                     ]
-                )
+                ), ec_planes
             return np.stack(
                 [_modular_to_f32(band[c], meta.bit_depth) for c in range(3)]
-            )
+            ), ec_planes
         # VarDCT: render this band's groups from their coefficients
         from ..vardct.group import decode_vardct_group
 
@@ -183,7 +207,7 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
         finally:
             frame.vardct_pixels = None
             frame._band_block_y0 = 0
-        return np.stack([p[:rows, :wv] for p in band_planes])
+        return np.stack([p[:rows, :wv] for p in band_planes]), []
 
     # ---- band pipeline with one-band lookahead ---------------------------
     rf = header.restoration_filter
@@ -198,8 +222,30 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
 
     from ..render.simple import color_transform
 
-    def finalize(gy: int, prev_tail, cur, next_head):
-        """Filter/color/convert band `cur` using real neighbor rows."""
+    noise = frame.lf_global.noise if header.has_noise else None
+
+    def apply_noise(planes, y0: int, rows: int):
+        """ConvolveNoise + AddNoise on band rows [y0, y0+rows): the field
+        slab carries the 2-row convolve margin (real neighbor-group field
+        rows — generated locally, the RNG seeds per subregion), so output
+        rows are bit-identical to the whole-image noise stage."""
+        from ..features.noise import (
+            add_noise,
+            convolve_noise,
+            generate_noise_field_rows,
+        )
+
+        lo = max(0, y0 - 2)
+        hi = min(hv, y0 + rows + 2)
+        nf = generate_noise_field_rows(frame, lo, hi)
+        off = y0 - lo
+        conv = [convolve_noise(np, p)[off : off + rows] for p in nf]
+        ccp = frame.lf_global.color_correlation_params
+        return add_noise(np, planes, conv, noise, ccp)
+
+    def finalize(gy: int, prev_tail, cur, next_head, ec=()):
+        """Filter/noise/color/convert band `cur` using real neighbor rows;
+        EC planes pass through untouched and append to the emitted stack."""
         y0 = gy * gdim
         if have_filters:
             top = prev_tail if prev_tail is not None else cur[:, :0]
@@ -229,23 +275,26 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
             out = [c[pad_top : pad_top + cur.shape[1]] for c in chans]
         else:
             out = [cur[c] for c in range(3)]
+        if noise is not None:
+            out = apply_noise(out, y0, cur.shape[1])
         out = color_transform(frame, list(out))
+        out = out + list(ec)
         if pixel_format != "f32":
             out = [
-                st.convert_output(np, p, pixel_format, channel=i, )
+                st.convert_output(np, p, pixel_format, channel=i)
                 for i, p in enumerate(out)
             ]
         emit(y0, np.stack(out, axis=-1))
 
-    prev = None  # (gy, planes)
+    prev = None  # (gy, planes, ec_planes)
     prev_prev_tail = None
     for gy in range(gy_count):
-        cur = decode_band(gy)
+        cur, cur_ec = decode_band(gy)
         if prev is not None:
-            pgy, pplanes = prev
-            finalize(pgy, prev_prev_tail, pplanes, cur[:, :FILTER_HALO])
+            pgy, pplanes, pec = prev
+            finalize(pgy, prev_prev_tail, pplanes, cur[:, :FILTER_HALO], pec)
             prev_prev_tail = pplanes[:, -FILTER_HALO:]
-        prev = (gy, cur)
-    pgy, pplanes = prev
-    finalize(pgy, prev_prev_tail, pplanes, None)
+        prev = (gy, cur, cur_ec)
+    pgy, pplanes, pec = prev
+    finalize(pgy, prev_prev_tail, pplanes, None, pec)
     return {"width": wv, "height": hv, "bands": gy_count}

@@ -160,6 +160,77 @@ def generate_noise_field(frame) -> list[np.ndarray]:
     return bufs
 
 
+def generate_noise_field_rows(frame, y_lo: int, y_hi: int) -> list[np.ndarray]:
+    """Rows [y_lo, y_hi) of the whole-image noise field, as 3
+    (y_hi - y_lo, wu) planes — bit-identical to the corresponding slice
+    of generate_noise_field. The RNG is seeded per group subregion, so
+    only subregions intersecting the row range are generated (draws for
+    leading skipped rows are consumed and discarded). Used by the banded
+    low-memory decoder, which needs one band plus the 2-row convolve
+    margin (ref render/low_memory_pipeline/mod.rs row-ring discipline)."""
+    header = frame.header
+    up = header.upsampling
+    group_dim = header.group_dim
+    wu, hu = header.size_upsampled()
+    gx_count, gy_count = header.size_groups()
+    vfi = frame.decoder_state.visible_frame_index if frame.decoder_state else 1
+    nfi = frame.decoder_state.nonvisible_frame_index if frame.decoder_state else 0
+    y_lo = max(0, y_lo)
+    y_hi = min(hu, y_hi)
+    bufs = [np.zeros((y_hi - y_lo, wu), dtype=np.float32) for _ in range(3)]
+
+    from .. import native
+
+    if native.noise_field_rows_native(
+        bufs, hu, wu, up, group_dim, gx_count, gy_count, vfi, nfi, y_lo, y_hi
+    ):
+        return bufs
+    FLOATS_PER_BATCH = 16
+    for gy in range(gy_count):
+        gby0 = gy * up * group_dim
+        gby1 = min((gy + 1) * up * group_dim, hu)
+        if gby1 <= y_lo or gby0 >= y_hi:
+            continue
+        for gx in range(gx_count):
+            bx0 = gx * up * group_dim
+            buf_xsize = min((gx + 1) * up * group_dim, wu) - bx0
+            buf_ysize = gby1 - gby0
+            for iy in range(up):
+                for ix in range(up):
+                    x0 = (gx * up + ix) * group_dim
+                    y0 = (gy * up + iy) * group_dim
+                    sx0 = ix * group_dim
+                    sy0 = iy * group_dim
+                    sub_xsize = min((ix + 1) * group_dim, buf_xsize) - sx0
+                    sub_ysize = min((iy + 1) * group_dim, buf_ysize) - sy0
+                    if sub_xsize <= 0 or sub_ysize <= 0:
+                        continue
+                    abs0 = gby0 + sy0
+                    if abs0 >= y_hi or abs0 + sub_ysize <= y_lo:
+                        continue
+                    rng = Xorshift128Plus(vfi, nfi, x0, y0)
+                    nbatch = -(-(sub_xsize + 2) // FLOATS_PER_BATCH)
+                    for c, buf in enumerate(bufs):
+                        for y in range(sub_ysize):
+                            abs_y = abs0 + y
+                            if abs_y >= y_hi and c == 2:
+                                break
+                            want = y_lo <= abs_y < y_hi
+                            for b in range(nbatch):
+                                bits64 = rng.fill()
+                                if not want:
+                                    continue
+                                u32 = np.empty(16, dtype=np.uint32)
+                                u32[0::2] = (bits64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                                u32[1::2] = (bits64 >> np.uint64(32)).astype(np.uint32)
+                                take = min(FLOATS_PER_BATCH, sub_xsize - b * FLOATS_PER_BATCH)
+                                if take <= 0:
+                                    continue
+                                xoff = bx0 + sx0 + b * FLOATS_PER_BATCH
+                                buf[abs_y - y_lo, xoff : xoff + take] = _bits_to_float(u32[:take])
+    return bufs
+
+
 def convolve_noise(xp, plane):
     """5x5 sum*0.16 + center*(-3.84) (ref stages/noise.rs ConvolveNoise)."""
     from ..render.stages.core import _pad_mirror

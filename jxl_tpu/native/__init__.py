@@ -102,6 +102,7 @@ def get_lib():
         lib.jxl_xyb_srgb_u8.restype = None
         lib.jxl_xyb_tf_f32.restype = None
         lib.jxl_noise_field.restype = None
+        lib.jxl_noise_field_rows.restype = None
         lib.jxl_dct8_fused.restype = ctypes.c_int
         lib.jxl_dither_u8.restype = None
         lib.jxl_scatter_blocks.restype = None
@@ -1529,6 +1530,27 @@ def noise_field_native(bufs, up, group_dim, gx_count, gy_count, vfi, nfi):
         ctypes.c_int(int(up)), ctypes.c_int(int(group_dim)),
         ctypes.c_int(int(gx_count)), ctypes.c_int(int(gy_count)),
         ctypes.c_uint32(int(vfi)), ctypes.c_uint32(int(nfi)),
+    )
+    return True
+
+
+def noise_field_rows_native(
+    bufs, hu, wu, up, group_dim, gx_count, gy_count, vfi, nfi, y_lo, y_hi
+):
+    """Fill 3 (y_hi - y_lo, wu) f32 planes with absolute rows [y_lo, y_hi)
+    of the per-group xorshift128+ noise field (banded low-memory path).
+    Returns True, or False when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.jxl_noise_field_rows(
+        _ptr(bufs[0], ctypes.c_float), _ptr(bufs[1], ctypes.c_float),
+        _ptr(bufs[2], ctypes.c_float),
+        ctypes.c_int64(int(hu)), ctypes.c_int64(int(wu)),
+        ctypes.c_int(int(up)), ctypes.c_int(int(group_dim)),
+        ctypes.c_int(int(gx_count)), ctypes.c_int(int(gy_count)),
+        ctypes.c_uint32(int(vfi)), ctypes.c_uint32(int(nfi)),
+        ctypes.c_int64(int(y_lo)), ctypes.c_int64(int(y_hi)),
     )
     return True
 

@@ -372,6 +372,72 @@ extern "C" {
 // features/noise.py generate_noise_field (ref frame/decode.rs:585-695
 // with libjxl's ceil((sub_xsize+2)/16) row stride — see the python
 // docstring for why). bufs: 3 pointers to (hu, wu) f32.
+// Row-ranged variant: fills only absolute rows [y_lo, y_hi) of the
+// upsampled field into (y_hi - y_lo, wu) planes. The RNG is seeded per
+// SUBREGION, so untouched subregions cost nothing; within a touched
+// subregion the draws for rows before y_lo are consumed and discarded
+// (rows are sequential per channel), keeping the stream bit-identical
+// to the whole-image generation. Used by the banded low-memory decoder
+// (api/banded.py), which needs the field for one band plus the 2-row
+// convolve margin.
+void jxl_noise_field_rows(float* buf0, float* buf1, float* buf2, int64_t hu,
+                          int64_t wu, int up, int group_dim, int gx_count,
+                          int gy_count, uint32_t vfi, uint32_t nfi,
+                          int64_t y_lo, int64_t y_hi) {
+  float* bufs[3] = {buf0, buf1, buf2};
+  for (int gy = 0; gy < gy_count; ++gy) {
+    const int64_t gby0 = (int64_t)gy * up * group_dim;
+    const int64_t gby1 =
+        std::min<int64_t>((int64_t)(gy + 1) * up * group_dim, hu);
+    if (gby1 <= y_lo || gby0 >= y_hi) continue;
+    for (int gx = 0; gx < gx_count; ++gx) {
+      const int64_t bx0 = (int64_t)gx * up * group_dim;
+      const int64_t buf_xs =
+          std::min<int64_t>((int64_t)(gx + 1) * up * group_dim, wu) - bx0;
+      const int64_t buf_ys = gby1 - gby0;
+      for (int iy = 0; iy < up; ++iy) {
+        for (int ix = 0; ix < up; ++ix) {
+          const int64_t x0 = ((int64_t)gx * up + ix) * group_dim;
+          const int64_t y0 = ((int64_t)gy * up + iy) * group_dim;
+          const int64_t sx0 = (int64_t)ix * group_dim;
+          const int64_t sy0 = (int64_t)iy * group_dim;
+          const int64_t sub_xs =
+              std::min<int64_t>((int64_t)(ix + 1) * group_dim, buf_xs) - sx0;
+          const int64_t sub_ys =
+              std::min<int64_t>((int64_t)(iy + 1) * group_dim, buf_ys) - sy0;
+          if (sub_xs <= 0 || sub_ys <= 0) continue;
+          const int64_t abs0 = gby0 + sy0;
+          if (abs0 >= y_hi || abs0 + sub_ys <= y_lo) continue;
+          Xor128 rng(vfi, nfi, (uint64_t)x0, (uint64_t)y0);
+          const int64_t nbatch = (sub_xs + 2 + 15) / 16;
+          uint64_t bits[8];
+          for (int c = 0; c < 3; ++c) {
+            for (int64_t y = 0; y < sub_ys; ++y) {
+              const int64_t abs_y = abs0 + y;
+              if (abs_y >= y_hi && c == 2) break;  // nothing left to draw
+              const bool want = abs_y >= y_lo && abs_y < y_hi;
+              float* row = want ? bufs[c] + (abs_y - y_lo) * wu + bx0 + sx0
+                                : nullptr;
+              for (int64_t b = 0; b < nbatch; ++b) {
+                rng.fill(bits);
+                if (!want) continue;
+                const int64_t xoff = b * 16;
+                const int64_t take = std::min<int64_t>(16, sub_xs - xoff);
+                for (int64_t k = 0; k < take; ++k) {
+                  const uint32_t u32 =
+                      (k & 1) ? (uint32_t)(bits[k >> 1] >> 32)
+                              : (uint32_t)(bits[k >> 1] & 0xFFFFFFFFULL);
+                  row[xoff + k] = bits_to_float(u32);
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
 void jxl_noise_field(float* buf0, float* buf1, float* buf2, int64_t hu,
                      int64_t wu, int up, int group_dim, int gx_count,
                      int gy_count, uint32_t vfi, uint32_t nfi) {
