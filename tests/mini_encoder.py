@@ -96,10 +96,10 @@ def _ceil_log2(x: int) -> int:
 
 def write_prefix_histograms(w: BW, num_contexts: int, tokens: set):
     """Histograms bundle where all contexts share ONE prefix-coded cluster
-    whose alphabet contains exactly `tokens` (1 or 2 distinct values).
-    Each symbol then costs 0 bits (singleton) or 1 bit (pair)."""
+    whose alphabet contains exactly `tokens` (1-4 distinct values), using
+    the Brotli 'simple' table form."""
     toks = sorted(tokens)
-    assert 1 <= len(toks) <= 2
+    assert 1 <= len(toks) <= 4
     w.write(0, 1)  # lz77_enabled = 0
     if num_contexts > 1:
         w.write(1, 1)  # context map: simple
@@ -119,15 +119,26 @@ def write_prefix_histograms(w: BW, num_contexts: int, tokens: set):
     max_bits = _ceil_log2(al_size)
     for s in toks:
         w.write(s, max_bits)
-    # 1 symbol -> 0 bits/symbol; 2 symbols -> 1 bit: '0'=min, '1'=max
+    if len(toks) == 4:
+        w.write(0, 1)  # tree_select = 0 -> four 2-bit codes
+    # codes assigned by token_bits below (entropy/huffman.py Table._simple)
 
 
 def token_bits(tokens: set, value: int):
-    """The bits one symbol costs under write_prefix_histograms."""
+    """The (code, nbits) one symbol costs under write_prefix_histograms,
+    matching the decoder's simple-form code assignment (LSB-first)."""
     toks = sorted(tokens)
     if len(toks) == 1:
         return (0, 0)
-    return (toks.index(value), 1)
+    if len(toks) == 2:
+        return (toks.index(value), 1)
+    if len(toks) == 3:
+        # syms[0]='0' (1 bit); remaining sorted: '01', '11'
+        if value == toks[0]:
+            return (0, 1)
+        return (0b01, 2) if value == toks[1] else (0b11, 2)
+    # 4 symbols, tree_select=0: sorted a,b,c,d -> '00','10','01','11'
+    return {toks[0]: (0b00, 2), toks[1]: (0b10, 2), toks[2]: (0b01, 2), toks[3]: (0b11, 2)}[value]
 
 
 def _signed_token(v: int) -> int:
@@ -149,6 +160,24 @@ def write_single_leaf_tree(w: BW, predictor: int, offset: int):
     write_prefix_histograms(w, 1, {0})
 
 
+def write_split_tree(w: BW, prop: int, splitval: int, off_a: int, off_b: int):
+    """Tree bitstream: one inner node splitting on `prop`, two Zero-predictor
+    leaves — off_a applies where property > splitval, off_b elsewhere
+    (modular/tree.py walk order: left child first)."""
+    sv_tok = _signed_token(splitval)
+    toka, tokb = _signed_token(off_a), _signed_token(off_b)
+    toks = {prop + 1, sv_tok, 0, toka, tokb}
+    assert len(toks) <= 4, toks
+    write_prefix_histograms(w, 6, toks)
+    # node: prop+1, splitval; leaves: prop+1=0, predictor, offset, log, bits
+    seq = [prop + 1, sv_tok, 0, 0, toka, 0, 0, 0, 0, tokb, 0, 0]
+    for t in seq:
+        bits, n = token_bits(toks, t)
+        w.write(bits, n)
+    # leaf histograms: 2 contexts, all residual tokens are 0
+    write_prefix_histograms(w, 2, {0})
+
+
 def write_group_header(w: BW, use_global_tree: bool):
     w.write(1 if use_global_tree else 0, 1)
     w.write(1, 1)  # wp_header all_default
@@ -156,17 +185,27 @@ def write_group_header(w: BW, use_global_tree: bool):
 
 
 def encode_constant_modular(
-    width: int, height: int, value: int = 128, filters: bool = True
+    width: int,
+    height: int,
+    value: int = 128,
+    filters: bool = True,
+    num_ec: int = 0,
+    tree_writer=None,
 ) -> bytes:
     """A width x height 8-bit sRGB (non-XYB) image, every sample `value`.
     With filters=False the RestorationFilter disables gaborish and EPF
-    (fast huge-image decode for memory tests)."""
+    (fast huge-image decode for memory tests). num_ec adds that many
+    all-default (alpha, 8-bit, dim_shift 0) extra channels. tree_writer
+    overrides the global MA tree (default: single Zero leaf + `value`)."""
     # ---- per-section payloads (byte-aligned units) -----------------------
     # LfGlobal: flags-free modular global
     lg = BW()
     lg.write(1, 1)  # LfQuantFactors all_default
     lg.write(1, 1)  # global tree present
-    write_single_leaf_tree(lg, 0, value)
+    if tree_writer is not None:
+        tree_writer(lg)
+    else:
+        write_single_leaf_tree(lg, 0, value)
     write_group_header(lg, True)  # GlobalModular group header
     # section 0 has no meta/small channels for a large image -> no data
     lf_global = lg.finish()
@@ -213,7 +252,16 @@ def encode_constant_modular(
     w.write(0, 1)  # bit_depth: float = 0
     w.write(0, 2)  # bits_per_sample selector Val(8)
     w.write(1, 1)  # modular_16bit_sufficient
-    w.write(0, 2)  # extra_channel_info: Vector len U32 Val(0)
+    # extra_channel_info: Vector len U32(Val0, Val1, BitsOffset(4,2), ...)
+    if num_ec == 0:
+        w.write(0, 2)
+    elif num_ec == 1:
+        w.write(1, 2)
+    else:
+        w.write(2, 2)
+        w.write(num_ec - 2, 4)
+    for _ in range(num_ec):
+        w.write(1, 1)  # ExtraChannelInfo all_default (alpha, 8-bit, shift 0)
     w.write(0, 1)  # xyb_encoded = 0
     w.write(1, 1)  # color_encoding all_default (sRGB)
     w.write(0, 2)  # extensions: u64 selector 0
@@ -227,13 +275,17 @@ def encode_constant_modular(
     u64(w, 0)  # flags
     w.write(0, 1)  # do_ycbcr = 0 (non-xyb)
     u32(w, (("val", 1), ("val", 2), ("val", 4), ("val", 8)), 1)  # upsampling
+    for _ in range(num_ec):
+        u32(w, (("val", 1), ("val", 2), ("val", 4), ("val", 8)), 1)  # ec_upsampling
     w.write(1, 2)  # group_size_shift = 1 -> group_dim 256
     # passes: num_passes U32 Val(1)
     u32(w, (("val", 1), ("val", 2), ("val", 3), ("bitsoff", 3, 4)), 1)
     w.write(0, 1)  # have_crop = 0
     # BlendingInfo (full_frame, REPLACE): mode U32 Val(0); source skipped
     u32(w, (("val", 0), ("val", 1), ("val", 2), ("bitsoff", 2, 3)), 0)
-    # no EC blending infos (num_ec = 0); no animation
+    for _ in range(num_ec):  # per-EC BlendingInfo, same REPLACE form
+        u32(w, (("val", 0), ("val", 1), ("val", 2), ("bitsoff", 2, 3)), 0)
+    # no animation
     w.write(1, 1)  # is_last = 1
     # save_as_reference skipped (is_last)
     # save_before_ct skipped (not REFERENCE_ONLY, no can_be_referenced)

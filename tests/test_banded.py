@@ -55,6 +55,66 @@ def test_banded_matches_one_shot_vardct():
     np.testing.assert_allclose(full, ref, rtol=0, atol=5e-5)
 
 
+def test_banded_matches_one_shot_noise():
+    """Noise eligibility (band-local xorshift128+ field generation) must
+    be pixel-identical to the whole-image noise stage on real content
+    (conformance noise.jxl: VarDCT + film grain, 3 bands)."""
+    data = (CORPUS / "conformance_test_images/noise.jxl").read_bytes()
+    bands = {}
+    info = decode_banded(data, lambda y0, arr: bands.__setitem__(y0, arr))
+    assert info["bands"] >= 2
+    full = np.concatenate([bands[k] for k in sorted(bands)], axis=0)
+    ref = _one_shot(data)
+    assert full.shape == ref.shape
+    np.testing.assert_allclose(full, ref, rtol=0, atol=5e-5)
+
+
+def test_banded_matches_one_shot_modular_ec():
+    """Modular extra-channel eligibility: a 600x700 + alpha stream whose
+    MA tree splits on stream id (different groups decode different
+    values) — banded output including the EC plane must match one-shot.
+    The stream-id split catches band/group misordering, not just
+    per-band plumbing."""
+    from mini_encoder import write_split_tree
+
+    def tw(w):
+        write_split_tree(w, 1, 24, 1, -2)  # prop 1 = stream id
+
+    data = encode_constant_modular(600, 700, tree_writer=tw, num_ec=1)
+    bands = {}
+    info = decode_banded(data, lambda y0, arr: bands.__setitem__(y0, arr))
+    assert info["bands"] == 3
+    full = np.concatenate([bands[k] for k in sorted(bands)], axis=0)
+    ref = _one_shot(data)
+    assert full.shape == ref.shape and full.shape[-1] == 4
+    # color channels pass through gaborish+EPF (numpy vs fused jnp: ulp)
+    np.testing.assert_allclose(full[..., :3], ref[..., :3], rtol=0, atol=1e-6)
+    # the EC plane is untouched by filters and must be bit-exact
+    np.testing.assert_array_equal(full[..., 3], ref[..., 3])
+    # content really varies across groups (guards against a trivially
+    # constant image hiding misalignment)
+    assert np.unique(ref[..., 3]).size >= 2
+
+
+def test_noise_field_rows_matches_whole_field():
+    """generate_noise_field_rows must be bit-identical to the same slice
+    of the whole-image field generator, across slices that start/end
+    mid-group and mid-subregion (noise.jxl: 500x606, 2 group rows)."""
+    from jxl_tpu.api.simple import decode_first_frame
+    from jxl_tpu.features.noise import (
+        generate_noise_field,
+        generate_noise_field_rows,
+    )
+
+    data = (CORPUS / "conformance_test_images/noise.jxl").read_bytes()
+    frame = decode_first_frame(data).frame
+    whole = generate_noise_field(frame)
+    for (lo, hi) in [(0, 5), (250, 262), (100, 300), (254, 258), (600, 606)]:
+        rows = generate_noise_field_rows(frame, lo, hi)
+        for c in range(3):
+            np.testing.assert_array_equal(rows[c], whole[c][lo:hi])
+
+
 def test_ineligible_falls_through():
     data = (CORPUS / "conformance_test_images/patches.jxl").read_bytes()
     with pytest.raises(NotSupported):
