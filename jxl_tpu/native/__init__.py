@@ -1680,6 +1680,21 @@ def i32_scaled_interleave_native(planes, scale: float) -> "np.ndarray | None":
     return out
 
 
+_ANIM_ARENA: dict = {}
+
+
+def _anim_arena(key, shape, dtype):
+    """Single-slot per-key buffer arena for the animation fold's large
+    intermediate slabs. The previous decode's shims are dead by the time
+    the next decode starts (decode_image copies pixels out), so reuse is
+    safe; the arena holds one buffer per (name, geometry) key."""
+    buf = _ANIM_ARENA.get(key)
+    if buf is None or buf.shape != shape:
+        buf = np.empty(shape, dtype)
+        _ANIM_ARENA[key] = buf
+    return buf
+
+
 def anim_decode_frames_native(
     br, sec_bit_pos, sec_byte_end, bw, bh, tcw, tch, fbw, fbh, hshift3,
     vshift3, is444, smooth_flags, chan_counts, chan_tmpl_off, chan_template,
@@ -1699,6 +1714,13 @@ def anim_decode_frames_native(
 
     F = len(sec_bit_pos)
     nat, nat_off = _natural_orders_concat()
+    # The two big slabs (37 MB pool + channel slab) come from a per-process
+    # arena: repeated decodes (animation playback, --speedtest reps) would
+    # otherwise pay ~9k page faults per decode re-faulting fresh np.zeros
+    # pages. The C++ side zeroes each frame's used pool region itself and
+    # stage 2 writes every channel pixel, so np.empty contents never leak.
+    pool = _anim_arena(("pool", F), (F, 3, 65536), np.int32)
+    chan = _anim_arena(("chan", F, chan_frame_elems), (F, max(chan_frame_elems, 1)), np.int32)
     out = {
         "scal": np.zeros((F, 24), np.int32),
         "dbl": np.zeros((F, 8), np.float64),
@@ -1714,12 +1736,13 @@ def anim_decode_frames_native(
         "ytox": np.zeros((F, tch, tcw), np.int8),
         "ytob": np.zeros((F, tch, tcw), np.int8),
         "hfinfo": np.zeros((F, 2), np.int32),
-        "pool": np.zeros((F, 3, 65536), np.int32),
+        "pool": pool,
         "blocks": np.empty((F, 1024, 4), np.int32),
         "blk_counts": np.zeros(F, np.int32),
-        "chan": np.zeros((F, max(chan_frame_elems, 1)), np.int32),
+        "chan": chan,
     }
     err = np.full(2, -2, np.int32)
+    stage_ns = np.zeros(8, np.int64)
     data = _databuf(br)
     ret = lib.jxl_anim_decode_frames(
         data, ctypes.c_uint64(len(data)), ctypes.c_int(F),
@@ -1752,11 +1775,15 @@ def anim_decode_frames_native(
         _ptr(out["ytox"], ctypes.c_int8), _ptr(out["ytob"], ctypes.c_int8),
         _ptr(out["hfinfo"], ctypes.c_int32), _ptr(out["pool"], ctypes.c_int32),
         _ptr(out["blocks"], ctypes.c_int32), _ptr(out["blk_counts"], ctypes.c_int32),
-        _ptr(err, ctypes.c_int32),
+        _ptr(err, ctypes.c_int32), _ptr(stage_ns, ctypes.c_int64),
     )
     if ret != 0:
         from ..utils import trace
 
         trace.metrics.add("anim_fold_fallback", 1)
         return None
+    from ..utils import trace
+
+    for s in range(6):
+        trace.metrics.add(f"anim_fold_stage{s}_ns", int(stage_ns[s]))
     return out

@@ -9,6 +9,8 @@
 // this library consumes raw section bytes and fills channel planes /
 // coefficient buffers.
 
+#include <time.h>
+
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
@@ -91,6 +93,7 @@ struct EntropyDecoder {
   // cost). Stale contents are never read: distances clamp to
   // num_decoded, so only entries written by THIS stream are reachable.
   uint32_t* window = nullptr;
+  const uint64_t* ans_packed = nullptr;
   uint32_t num_to_copy = 0, copy_pos = 0, num_decoded = 0;
   bool error = false;
 
@@ -103,6 +106,36 @@ struct EntropyDecoder {
       if (tl_window.size() < (1u << 20)) tl_window.resize(1u << 20);
       window = tl_window.data();
     }
+    if (!use_prefix && ans_packed == nullptr) PackAnsTables();
+  }
+
+  // Interleave the 5 per-cluster alias arrays into one uint64 per entry
+  // (sym[0:8] off[8:21] cutoff[21:34] dist[34:47] alias_dist[47:60]; all
+  // values < 2^13 since the ANS state slice is 12 bits and log_alpha<=8).
+  // The symbol hot loop then costs ONE cache line per lookup instead of
+  // five loads spread 1 KB apart. Built once per decoder; Init is called
+  // per section in the HF-group driver but the tables don't change.
+  void PackAnsTables() {
+    int n_clusters = 0;
+    for (int i = 0; i < num_contexts; i++)
+      if (context_map[i] + 1 > n_clusters) n_clusters = context_map[i] + 1;
+    if (lz_dist_cluster + 1 > n_clusters) n_clusters = lz_dist_cluster + 1;
+    static thread_local std::vector<uint64_t> tl_packed;
+    const int ts = ans.table_size;
+    const size_t need = (size_t)n_clusters * ts;
+    if (tl_packed.size() < need) tl_packed.resize(need);
+    for (int c = 0; c < n_clusters; c++) {
+      const int32_t* t = ans.Cluster(c);
+      uint64_t* p = tl_packed.data() + (size_t)c * ts;
+      for (int i = 0; i < ts; i++) {
+        p[i] = (uint64_t)(uint32_t)(t[ts + i] & 0xff) |
+               ((uint64_t)(uint32_t)(t[2 * ts + i] & 0x1fff) << 8) |
+               ((uint64_t)(uint32_t)(t[3 * ts + i] & 0x1fff) << 21) |
+               ((uint64_t)(uint32_t)(t[i] & 0x1fff) << 34) |
+               ((uint64_t)(uint32_t)(t[4 * ts + i] & 0x1fff) << 47);
+      }
+    }
+    ans_packed = tl_packed.data();
   }
 
   uint32_t ReadToken(BitReader& br, int cluster) {
@@ -120,25 +153,21 @@ struct EntropyDecoder {
       br.pos += nbits;
       return (uint32_t)huff.values[idx];
     }
-    const int32_t* t = ans.Cluster(cluster);
-    const int ts = ans.table_size;
+    const uint64_t* t = ans_packed + (size_t)cluster * ans.table_size;
     uint32_t idx = ans_state & 0xfff;
     uint32_t i = idx >> ans.log_bucket_size;
     uint32_t pos = idx & ans.bucket_mask;
-    const int32_t* dist = t;
-    const int32_t* alias_symbol = t + ts;
-    const int32_t* alias_offset = t + 2 * ts;
-    const int32_t* alias_cutoff = t + 3 * ts;
-    const int32_t* alias_dist = t + 4 * ts;
+    const uint64_t e = t[i];
+    const uint32_t cutoff = (uint32_t)(e >> 21) & 0x1fff;
     uint32_t sym, off, d;
-    if ((int32_t)pos >= alias_cutoff[i]) {
-      sym = alias_symbol[i];
-      off = alias_offset[i] + pos;
-      d = alias_dist[i];
+    if (pos >= cutoff) {
+      sym = (uint32_t)e & 0xff;
+      off = ((uint32_t)(e >> 8) & 0x1fff) + pos;
+      d = (uint32_t)(e >> 47) & 0x1fff;
     } else {
       sym = i;
       off = pos;
-      d = dist[i];
+      d = (uint32_t)(e >> 34) & 0x1fff;
     }
     ans_state = (ans_state >> 12) * d + off;
     if (ans_state < (1u << 16)) {
@@ -3526,7 +3555,53 @@ extern "C" int jxl_anim_decode_frames(
     int32_t* coeff_pool,    // (F, 3, 65536)
     int32_t* blocks_out,    // (F, 1024, 4)
     int32_t* blk_counts,    // (F)
-    int32_t* err_out) {     // (2) frame, stage
+    int32_t* err_out,       // (2) frame, stage
+    int64_t* stage_ns_out) {  // nullable (8): cumulative ns per stage 0..5
+  struct StageClock {
+    int64_t* out;
+    timespec t0;
+    explicit StageClock(int64_t* o) : out(o) {
+      if (out) clock_gettime(CLOCK_MONOTONIC, &t0);
+    }
+    void lap(int stage) {
+      if (!out) return;
+      timespec t1;
+      clock_gettime(CLOCK_MONOTONIC, &t1);
+      out[stage] +=
+          (t1.tv_sec - t0.tv_sec) * 1000000000LL + (t1.tv_nsec - t0.tv_nsec);
+      t0 = t1;
+    }
+  } clk(stage_ns_out);
+  // Table-section bit-span cache: animation encoders typically emit
+  // byte-for-byte identical LfGlobal table sequences and HfGlobal
+  // histogram blocks for every frame. Decoding is a pure function of the
+  // consumed bit sequence, so if the next `prev_len` bits at this
+  // frame's section start equal the previous frame's span, the decode
+  // would consume exactly the same bits and produce identical outputs —
+  // skip it and reuse the (loop-carried) scratch state + copy the
+  // previous frame's per-frame output rows. Extraction+memcmp is ~1 us
+  // vs ~240 us for the two decodes. stage_ns_out[6] counts hits.
+  auto extract_bits = [data, full_size](uint64_t bitpos, uint64_t nbits,
+                                        std::vector<uint8_t>& out) -> bool {
+    if (bitpos + nbits > full_size * 8) return false;
+    const uint64_t nbytes = (nbits + 7) / 8;
+    out.resize(nbytes);
+    const uint8_t* src = data + (bitpos >> 3);
+    const int shift = (int)(bitpos & 7);
+    if (shift == 0) {
+      std::memcpy(out.data(), src, nbytes);
+    } else {
+      for (uint64_t i = 0; i < nbytes; i++) {
+        uint16_t v = src[i];
+        if ((bitpos >> 3) + i + 1 < full_size) v |= (uint16_t)src[i + 1] << 8;
+        out[i] = (uint8_t)(v >> shift);
+      }
+    }
+    if (nbits & 7) out[nbytes - 1] &= (uint8_t)((1u << (nbits & 7)) - 1);
+    return true;
+  };
+  std::vector<uint8_t> span0_prev, span0_cur, span4_prev, span4_cur;
+  uint64_t span0_len = 0, span4_len = 0;
   const int64_t plane = (int64_t)bw * bh;
   const int64_t tile_plane = (int64_t)tcw * tch;
   const int gdb = 32;  // group_dim 256 / 8
@@ -3564,8 +3639,27 @@ extern "C" int jxl_anim_decode_frames(
 
     // ---- stage 0: LfGlobal table sequence --------------------------
     err_out[1] = 0;
+    int ret = 0;
+    if (f > 0 && span0_len > 0 && extract_bits(pos, span0_len, span0_cur) &&
+        span0_cur == span0_prev) {
+      // identical bit span -> identical decode; scratch (trees, tables)
+      // already holds this state, copy the previous frame's output rows
+      std::memcpy(scal, scal_out + (int64_t)(f - 1) * 24, 24 * sizeof(int32_t));
+      std::memcpy(dbl, dbl_out + (int64_t)(f - 1) * 8, 8 * sizeof(double));
+      std::memcpy(lfthr_out + (int64_t)f * 48, lfthr_out + (int64_t)(f - 1) * 48,
+                  48 * sizeof(int32_t));
+      std::memcpy(qfthr_out + (int64_t)f * 16, qfthr_out + (int64_t)(f - 1) * 16,
+                  16 * sizeof(int32_t));
+      std::memcpy(bctxmap_out + (int64_t)f * 2496,
+                  bctxmap_out + (int64_t)(f - 1) * 2496, 2496);
+      pos += span0_len;
+      if (stage_ns_out) stage_ns_out[6]++;
+      clk.lap(0);
+      goto stage1;
+    }
     std::memset(scal, 0, 24 * sizeof(int32_t));
-    int ret;
+    {
+    const uint64_t pos0 = pos;
     while (true) {
       ret = jxl_decode_lf_global_tables(
           data, fsize, &pos, /*is_vardct=*/1, tree_size_limit,
@@ -3588,7 +3682,12 @@ extern "C" int jxl_anim_decode_frames(
     }
     if (ret != 0) return ret;
     if (!scal[13]) { err_out[1] = 0; return 31; }  // no global tree
+    span0_len = pos - pos0;
+    extract_bits(pos0, span0_len, span0_prev);
+    }
+    clk.lap(0);
 
+  stage1:
     const int tree_count = scal[14];
     const int num_props = scal[15] + 1;
     // entropy args of the global tree's leaf histograms
@@ -3610,6 +3709,7 @@ extern "C" int jxl_anim_decode_frames(
     gho[2] = gh.packed_len;
     std::memcpy(gho + 3, gh.wp, 12 * sizeof(int32_t));
     std::memcpy(gho + 15, gh.packed, gh.packed_len * sizeof(int32_t));
+    clk.lap(1);
 
     // ---- stage 2: section-0 modular channels -----------------------
     err_out[1] = 2;
@@ -3632,6 +3732,7 @@ extern "C" int jxl_anim_decode_frames(
           /*flags=*/0);
       if (ret != 0) return ret;
     }
+    clk.lap(2);
 
     // ---- stage 3: VarDCT LF group + HF metadata --------------------
     err_out[1] = 3;
@@ -3680,12 +3781,25 @@ extern "C" int jxl_anim_decode_frames(
           (float)(float)lf_factors[0], (float)(float)lf_factors[1],
           (float)(float)lf_factors[2], w_corner, w_side, w_center);
     }
+    clk.lap(3);
 
     // ---- stage 4: HfGlobal -----------------------------------------
     err_out[1] = 4;
     const int num_bctx = scal[2] ? def_num_bctx : scal[9];
     const int num_ac_contexts = num_bctx * (37 + 458);
     int32_t* info = hfinfo_out + (int64_t)f * 2;
+    if (f > 0 && span4_len > 0 && extract_bits(pos, span4_len, span4_cur) &&
+        span4_cur == span4_prev) {
+      // identical span -> identical histograms, orders, and mixed
+      // order buffer (all loop-carried scratch); copy the info row
+      std::memcpy(info, hfinfo_out + (int64_t)(f - 1) * 2, 2 * sizeof(int32_t));
+      pos += span4_len;
+      if (stage_ns_out) stage_ns_out[6]++;
+      clk.lap(4);
+      goto stage5;
+    }
+    {
+    const uint64_t pos4 = pos;
     while (true) {
       ret = jxl_decode_hf_global(
           data, fsize, &pos, /*num_histo_bits=*/0, num_ac_contexts,
@@ -3722,9 +3836,21 @@ extern "C" int jxl_anim_decode_frames(
         }
       }
     }
+    span4_len = pos - pos4;
+    extract_bits(pos4, span4_len, span4_prev);
+    }
+    clk.lap(4);
 
+  stage5:
     // ---- stage 5: HF group AC --------------------------------------
     err_out[1] = 5;
+    // DecodeAcItems accumulates (+=) into the coefficient buffer, so the
+    // frame's used region (nblocks * 64 per channel) must start zeroed.
+    // Zeroing here (instead of a whole-pool np.zeros in the wrapper)
+    // lets the Python side keep one reusable arena across decodes.
+    for (int c = 0; c < 3; c++)
+      std::memset(coeff_pool + ((int64_t)f * 3 + c) * 65536, 0,
+                  (size_t)fbw * fbh * 64 * sizeof(int32_t));
     const int a_nclusters_ctx = info[0] * num_ac_contexts;
     const int a_nctx = a_nclusters_ctx + (a_meta[0] ? 1 : 0);
     const int a_lzdist = a_meta[0] ? a_cmap[a_nctx - 1] : 0;
@@ -3748,6 +3874,7 @@ extern "C" int jxl_anim_decode_frames(
     if (ret != 0) return ret;
     pos = spos;
     if ((pos + 7) / 8 > fsize) { err_out[1] = 6; return 2; }
+    clk.lap(5);
   }
   err_out[0] = -1;
   err_out[1] = -1;

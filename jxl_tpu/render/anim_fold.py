@@ -133,7 +133,7 @@ class _FoldFrame:
 
     __slots__ = (
         "header", "toc", "file_header", "lf_global", "hf_global",
-        "lf_image", "hf_meta", "icc_profile",
+        "lf_image", "hf_meta", "icc_profile", "fold_slabs",
     )
 
 
@@ -333,6 +333,17 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
     dqm = f0.hf_global.dequant_matrices
     frames = []
     F = len(recs)
+    # When every frame is exactly slab-sized, the per-frame flat layout
+    # coincides with the (sbh, sbw) grid view, so the batched render can
+    # consume the whole (F, ...) slabs directly instead of re-stacking
+    # 48 per-frame views (render/batch_anim.py fast path).
+    slabs = None
+    if all(d == (sbw, sbh) for d in fdims):
+        slabs = {
+            "lf": out["lf"], "rq": out["rq"],
+            "ytox": out["ytox"], "ytob": out["ytob"],
+            "dims": (sbw, sbh, tcw, tch),
+        }
     from ..api.frame import QuantizerParams
     from ..vardct.cfl import ColorCorrelationParams
 
@@ -363,6 +374,7 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
         fr.toc = toc
         fr.file_header = fh
         fr.icc_profile = icc_profile
+        fr.fold_slabs = slabs
         fr.lf_global = lg
         fr.hf_global = hg
         fr.lf_image = [

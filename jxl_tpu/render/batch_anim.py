@@ -418,11 +418,28 @@ def render_frames_batched_host(frames: list, out_format: str):
         and all(getattr(fr.hf_global, "coeff_pool", None) is pool0 for fr in frames)
         else None
     )
-    lf_all = np.zeros((3, F, cbh, cbw), np.float32)
     tcw, tch = -(-cbw // 8), -(-cbh // 8)
-    rq_all = np.ones((F, cbh, cbw), np.int32)
-    yx_all = np.zeros((F, tch, tcw), np.int8)
-    yb_all = np.zeros((F, tch, tcw), np.int8)
+    # Fold fast path: when the whole-animation fold decoded these frames
+    # and every frame is exactly canvas-sized, its (F, ...) output slabs
+    # ARE the stacked maps — consume them directly instead of re-stacking
+    # 2F per-frame views (the gathers below only read within each frame's
+    # block extent, which the fold fully wrote).
+    slabs0 = getattr(f0, "fold_slabs", None)
+    use_slabs = (
+        slabs0 is not None
+        and all(getattr(fr, "fold_slabs", None) is slabs0 for fr in frames)
+        and slabs0["dims"] == (cbw, cbh, tcw, tch)
+    )
+    if use_slabs:
+        lf_all = slabs0["lf"]
+        rq_all = slabs0["rq"]
+        yx_all = slabs0["ytox"]
+        yb_all = slabs0["ytob"]
+    else:
+        lf_all = np.zeros((3, F, cbh, cbw), np.float32)
+        rq_all = np.ones((F, cbh, cbw), np.int32)
+        yx_all = np.zeros((F, tch, tcw), np.int8)
+        yb_all = np.zeros((F, tch, tcw), np.int8)
     igs_f = np.empty(F, np.float32)
     xdm_f = np.empty(F, np.float32)
     bdm_f = np.empty(F, np.float32)
@@ -438,7 +455,8 @@ def render_frames_batched_host(frames: list, out_format: str):
             from ..errors import NotSupported
 
             raise NotSupported("frame larger than canvas in batched path")
-        lf_all[:, fi, :bh, :bw] = np.stack(fr.lf_image)[:, :bh, :bw]
+        if not use_slabs:
+            lf_all[:, fi, :bh, :bw] = np.stack(fr.lf_image)[:, :bh, :bw]
         qp = fr.lf_global.quant_params
         ccp = fr.lf_global.color_correlation_params
         igs_f[fi] = qp.inv_global_scale
@@ -447,11 +465,12 @@ def render_frames_batched_host(frames: list, out_format: str):
         basex_f[fi] = ccp.base_correlation_x
         baseb_f[fi] = ccp.base_correlation_b
         cf_f[fi] = ccp.color_factor
-        hf = fr.hf_meta
-        rq_all[fi, :bh, :bw] = hf["raw_quant"]
-        th, tw = hf["ytox"].shape
-        yx_all[fi, :th, :tw] = hf["ytox"]
-        yb_all[fi, :th, :tw] = hf["ytob"]
+        if not use_slabs:
+            hf = fr.hf_meta
+            rq_all[fi, :bh, :bw] = hf["raw_quant"]
+            th, tw = hf["ytox"].shape
+            yx_all[fi, :th, :tw] = hf["ytox"]
+            yb_all[fi, :th, :tw] = hf["ytob"]
         tables = getattr(fr.hf_global, "block_tables", None)
         slots = getattr(fr.hf_global, "coeff_pool_slots", None)
         for g in sorted(fr.hf_global.hf_coefficients):
@@ -693,15 +712,20 @@ def render_frames_batched_host(frames: list, out_format: str):
     dtype = {"u8": np.uint8, "u16": np.uint16, "f16": np.float16}.get(
         out_format, np.float32
     )
-    out = np.zeros((F, Hp, Wp, 3), dtype)
     if out_format == "u8":
         u8img = render_simple.color_convert_u8_native(
             f0, [stacked[0], stacked[1], stacked[2]]
         )
         if u8img is not None:
+            if Hs == Hp and all(s == (Hp, Wp) for s in fsizes):
+                # every frame fills the canvas exactly: the stacked u8
+                # image IS the (F, Hp, Wp, 3) result
+                return u8img.reshape(F, Hp, Wp, 3)
+            out = np.zeros((F, Hp, Wp, 3), dtype)
             for fi, (h, w) in enumerate(fsizes):
                 out[fi, :h, :w] = u8img[fi * Hs : fi * Hs + h, :w]
             return out
+    out = np.zeros((F, Hp, Wp, 3), dtype)
     schans = render_simple.color_transform(
         f0, [stacked[c] for c in range(3)], xp=np, in_place=True
     )
