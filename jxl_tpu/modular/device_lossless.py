@@ -180,6 +180,11 @@ class BatchContext:
         self.lanes_device = 0
         self.lanes_host = 0
         self.lanes_identity = 0  # Zero-predictor: residuals ARE pixels
+        # pixel tallies for the corpus eligibility report (VERDICT r04 #3)
+        self.px_device = 0
+        self.px_identity = 0
+        self.px_host = 0
+        self.px_ineligible = 0  # streams the lanes cannot take (WP etc.)
 
     # -- submission (called from decode_modular_subbitstream) ----------
 
@@ -232,6 +237,7 @@ class BatchContext:
             for (ci, b), pred in zip(live, preds):
                 if pred == _PRED_ZERO:
                     self.lanes_identity += 1  # residuals are the pixels
+                    self.px_identity += b.data.size
                     continue
                 h, w = b.data.shape
                 if pred == _PRED_GRADIENT:
@@ -240,7 +246,9 @@ class BatchContext:
                     if amax >= (1 << 31) // (3 * (h + w - 1)):
                         _reconstruct_host(b.data, pred)
                         self.lanes_host += 1
+                        self.px_host += b.data.size
                         continue
+                self.px_device += b.data.size
                 bucket = (pred, _pow2ceil(h), _pow2ceil(w))
                 pend = self._buckets.setdefault(bucket, [])
                 pend.append(b)
@@ -303,6 +311,10 @@ class BatchContext:
             trace.metrics.add("lossless_identity_lanes", self.lanes_identity)
         if self.lanes_host:
             trace.metrics.add("lossless_host_lanes", self.lanes_host)
+        for name in ("px_device", "px_identity", "px_host", "px_ineligible"):
+            v = getattr(self, name)
+            if v:
+                trace.metrics.add(f"lossless_{name}", v)
 
 
 def _reconstruct_host(data: np.ndarray, pred: int) -> None:
@@ -332,8 +344,13 @@ def maybe_submit(local_buffers, tree, header, transform_steps, br,
     ctx = _active
     if ctx is None:
         return False
-    return ctx.submit(local_buffers, tree, header, transform_steps, br,
-                      stream_id, image_width, partial_out)
+    taken = ctx.submit(local_buffers, tree, header, transform_steps, br,
+                       stream_id, image_width, partial_out)
+    if not taken:
+        # stream shape the lanes cannot take (WP/context trees, local
+        # transforms, oversize dims, tiny streams): host decodes it
+        ctx.px_ineligible += sum(b.data.size for b in local_buffers)
+    return taken
 
 
 def enabled() -> bool:

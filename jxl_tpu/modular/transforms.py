@@ -621,12 +621,160 @@ def _palette_lookup_vec(palette: np.ndarray, idx: np.ndarray, c: int, palette_si
 # -- dispatcher ----------------------------------------------------------------
 
 
+def _unit_rw(unit):
+    """(reads, writes) buffer-index sets for a unit (a list of steps)."""
+    reads, writes = set(), set()
+    for step in unit:
+        if isinstance(step, RctStep):
+            reads.update(step.buf_in)
+            writes.update(step.buf_out)
+        elif isinstance(step, SqueezeStep):
+            reads.update(step.buf_in)
+            writes.add(step.buf_out)
+        else:  # PaletteStep
+            reads.add(step.buf_in)
+            reads.add(step.buf_pal)
+            writes.update(step.buf_out)
+    return reads, writes
+
+
+def _build_units(steps):
+    """Schedulable units in inverse (decode) order: maximal consecutive
+    squeeze runs stay fused (one native chain call) but split into
+    buffer-connected components first, so independent chains (distinct
+    channels' pyramids) remain separately schedulable; everything else
+    is its own unit."""
+    rev = list(reversed(steps))
+    units = []
+    i = 0
+    while i < len(rev):
+        if isinstance(rev[i], SqueezeStep):
+            j = i
+            while j < len(rev) and isinstance(rev[j], SqueezeStep):
+                j += 1
+            run = rev[i:j]
+            # union-find over buffer indices: steps sharing any buffer
+            # stay in one (order-preserving) chain
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for s in run:
+                bufs = [s.buf_out, *s.buf_in]
+                r0 = find(bufs[0])
+                for b in bufs[1:]:
+                    parent[find(b)] = r0
+            comps: dict = {}
+            for s in run:
+                comps.setdefault(find(s.buf_out), []).append(s)
+            units.extend(comps.values())
+            i = j
+        else:
+            units.append([rev[i]])
+            i += 1
+    return units
+
+
+def _apply_one_unit(unit, storage):
+    if isinstance(unit[0], SqueezeStep):
+        if not _squeeze_chain_native(storage, unit):
+            for s in unit:
+                if s.horizontal:
+                    apply_hsqueeze(storage, s)
+                else:
+                    apply_vsqueeze(storage, s)
+    elif isinstance(unit[0], RctStep):
+        apply_rct(storage, unit[0])
+    elif isinstance(unit[0], PaletteStep):
+        apply_palette(storage, unit[0])
+    else:
+        raise AssertionError(f"unknown step {unit[0]}")
+
+
+def _apply_units_parallel(units, storage, n_workers):
+    """Dependency-counted concurrent execution (ref step.rs:245-269):
+    unit j waits on every earlier unit whose writes intersect j's
+    reads/writes or whose reads intersect j's writes. Ready units run on
+    a thread pool; any worker exception cancels the remainder and
+    re-raises (partial mutation only matters on error paths, where the
+    caller discards the frame)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    rw = [_unit_rw(u) for u in units]
+    n = len(units)
+    deps = [0] * n
+    dependents: list[list[int]] = [[] for _ in range(n)]
+    for j in range(n):
+        rj, wj = rw[j]
+        for i in range(j):
+            ri, wi = rw[i]
+            if wi & (rj | wj) or ri & wj:
+                deps[j] += 1
+                dependents[i].append(j)
+
+    lock = threading.Lock()
+    done = threading.Event()
+    state = {"remaining": n, "error": None}
+
+    with ThreadPoolExecutor(max_workers=min(n_workers, n)) as pool:
+        def run(idx):
+            try:
+                _apply_one_unit(units[idx], storage)
+            except BaseException as e:  # propagate bitstream/assertion errors
+                with lock:
+                    state["error"] = state["error"] or e
+                    state["remaining"] = 0
+                done.set()
+                return
+            ready = []
+            with lock:
+                if state["error"] is not None:
+                    return
+                state["remaining"] -= 1
+                if state["remaining"] == 0:
+                    done.set()
+                for j in dependents[idx]:
+                    deps[j] -= 1
+                    if deps[j] == 0:
+                        ready.append(j)
+            for j in ready:
+                pool.submit(run, j)
+
+        initial = [i for i in range(n) if deps[i] == 0]
+        for i in initial:
+            pool.submit(run, i)
+        done.wait()
+    if state["error"] is not None:
+        raise state["error"]
+
+
 def inverse_apply_steps(steps, storage):
     """Inverse-apply transform steps in reverse order (decode direction).
 
     Maximal runs of squeeze steps go through ONE native call
     (jxl_squeeze_chain) — animations run ~24 per frame on the alpha
-    channel and the per-step ctypes round trips dominated the math."""
+    channel and the per-step ctypes round trips dominated the math.
+
+    With JXL_TPU_THREADS > 1, independent units run concurrently via a
+    dependency-counted scheduler (ref transforms/step.rs:245-269) — the
+    native squeeze/RCT kernels release the GIL, so distinct channels'
+    chains genuinely parallelize; order among independent units cannot
+    change outputs, so the result is bit-exact vs the serial walk."""
+    import os
+
+    n_workers = int(os.environ.get("JXL_TPU_THREADS", "0")) or (
+        os.cpu_count() or 1
+    )
+    if n_workers > 1 and len(steps) > 1:
+        units = _build_units(steps)
+        if len(units) > 1:
+            _apply_units_parallel(units, storage, n_workers)
+            return
     rev = list(reversed(steps))
     i = 0
     while i < len(rev):
