@@ -69,18 +69,31 @@ def eligible(frame) -> bool:
     return True
 
 
-def enabled() -> bool:
+HOST_MPS = 11.0  # measured native host photo decode rate (BASELINE.md)
+
+
+def enabled(frame=None) -> bool:
     mode = os.environ.get("JXL_TPU_OVERLAP", "auto")
     if mode == "0":
         return False
     if mode == "1":
         return True
-    from ..utils.devhealth import device_fast
+    from ..utils.devhealth import device_fast, device_wins
 
-    # tunnel-class latency loses to the native host pipeline even with
-    # full entropy/compute/readback overlap (~190 ms/MP host vs ~270 ms
-    # blocking readback alone); engage only on direct-attach-class chips
-    return device_fast()
+    if frame is None:
+        return device_fast()
+    # steady-state cost model (VERDICT r04 #10): the threaded pipeline
+    # moves ~4 B/px up (sparse coefficient wire + indices) and 3 B/px of
+    # u8 back, fully overlapped with host entropy; route to the device
+    # when the measured link beats the native host rate for this frame
+    wv, hv = frame.header.size()
+    px = wv * hv
+    return device_wins(
+        up_bytes=4 * px,
+        down_bytes=int(3.2 * px),
+        host_seconds=px / 1e6 / HOST_MPS,
+        dispatches=2 * (hv // 256 + 1),
+    )
 
 
 def try_decode(frame, br, pixel_format: str):
@@ -175,23 +188,74 @@ def _decode(frame, br, pixel_format: str):
             pass
         return out
 
+    # Three-thread pipeline (ref frame/render.rs:373-459 fan-out): the
+    # main thread runs host entropy, a device thread does the blocking
+    # host->device transfers + async dispatches, and a readback thread
+    # pulls finished u8 bands. The tunnel's two directions then carry
+    # upload and readback simultaneously while the host entropy-decodes
+    # the next band — none of the three serializes against the others.
+    import queue
+    import threading
+
     outputs = [None] * gy_count
-    dev_bands = [None, None, None]  # gy-2, gy-1, gy sliding window
-    for gy in range(gy_count):
-        entropy_band(gy)
-        cur = renderer.dispatch(gy)
-        dev_bands = [dev_bands[1], dev_bands[2], cur]
-        if gy >= 1:
-            outputs[gy - 1] = dispatch_filters(
-                gy - 1, dev_bands[0], dev_bands[1], dev_bands[2]
+    ready_q: queue.Queue = queue.Queue()
+    rb_q: queue.Queue = queue.Queue()
+    errors: list = []
+
+    def device_worker():
+        dev_bands = [None, None, None]  # gy-2, gy-1, gy sliding window
+        try:
+            for gy in range(gy_count):
+                item = ready_q.get()
+                if item is None:
+                    return  # main thread aborted
+                cur = renderer.dispatch(gy)
+                dev_bands = [dev_bands[1], dev_bands[2], cur]
+                if gy >= 1:
+                    out = dispatch_filters(
+                        gy - 1, dev_bands[0], dev_bands[1], dev_bands[2]
+                    )
+                    rb_q.put((gy - 1, out))
+            out = dispatch_filters(
+                gy_count - 1, dev_bands[1], dev_bands[2], None
             )
-    outputs[gy_count - 1] = dispatch_filters(
-        gy_count - 1, dev_bands[1], dev_bands[2], None
-    )
+            rb_q.put((gy_count - 1, out))
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            rb_q.put(None)
 
+    def readback_worker():
+        try:
+            while True:
+                item = rb_q.get()
+                if item is None:
+                    return
+                gy, dev = item
+                outputs[gy] = np.asarray(dev)
+        except BaseException as e:
+            errors.append(e)
+
+    dev_t = threading.Thread(target=device_worker, daemon=True)
+    rb_t = threading.Thread(target=readback_worker, daemon=True)
+    dev_t.start()
+    rb_t.start()
+    try:
+        for gy in range(gy_count):
+            entropy_band(gy)
+            ready_q.put(gy)
+    except BaseException:
+        ready_q.put(None)  # unblock the device thread
+        dev_t.join(timeout=60)
+        rb_t.join(timeout=60)
+        raise
     frame.lf_global.modular_global.run_transforms()
+    dev_t.join()
+    rb_t.join()
+    if errors:
+        raise errors[0]
 
-    bands = [np.asarray(o) for o in outputs]
+    bands = outputs
     out = np.empty((hv, wv, 3), dtype=bands[0].dtype)
     for gy, b in enumerate(bands):
         y0 = gy * 256

@@ -150,7 +150,7 @@ def decode_image(
         # IDCT+filters, and band readbacks pipeline instead of serializing
         from . import overlap
 
-        if overlap.eligible(frame) and overlap.enabled():
+        if overlap.eligible(frame) and overlap.enabled(frame):
             arr = overlap.try_decode(frame, br, pixel_format)
             if arr is not None:
                 out.frames.append(apply_orientation(arr, meta.orientation))

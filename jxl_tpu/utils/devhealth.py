@@ -34,6 +34,7 @@ _lock = threading.Lock()
 _proc: "subprocess.Popen | None" = None
 _result: list = []  # [latency_seconds | None]
 _grace_spent = False
+_economics: dict = {}  # dispatch_s, up_mbps, down_mbps (post-init)
 
 _CHILD_CODE = r"""
 import time
@@ -41,13 +42,38 @@ import jax, jax.numpy as jnp
 import numpy as np
 if jax.default_backend() == "cpu":
     import sys
-    print(0.0)
+    # inline backend: latency 0, bandwidths effectively infinite
+    print(0.0, 0.0, 1e9, 1e9)
     sys.exit(0)
 t0 = time.perf_counter()
 x = jnp.ones((64, 64), jnp.float32)
 y = (x + 1.0).block_until_ready()
 np.asarray(y)
-print(time.perf_counter() - t0)
+init_rt = time.perf_counter() - t0
+# steady-state economics, measured POST-init (VERDICT r04 #10): the
+# routing decision must key on what a decode actually pays per band —
+# dispatch latency, upload bandwidth, readback bandwidth — not on the
+# one-time backend/compile cost the old single round-trip conflated in.
+f = jax.jit(lambda a: a + 1.0)
+f(y).block_until_ready()
+disp = 1e9
+for _ in range(5):
+    t0 = time.perf_counter()
+    f(y).block_until_ready()
+    disp = min(disp, time.perf_counter() - t0)
+big = np.zeros((4 << 20,), np.uint8)  # 4 MB each way
+up = 1e9
+t0 = time.perf_counter()
+bd = jax.device_put(big)
+bd.block_until_ready()
+up = time.perf_counter() - t0
+g = jax.jit(lambda a: a ^ 1)
+out = g(bd).block_until_ready()
+t0 = time.perf_counter()
+np.asarray(out)
+down = time.perf_counter() - t0
+mb = big.nbytes / 1e6
+print(init_rt, disp, mb / max(up, 1e-9), mb / max(down, 1e-9))
 """
 
 
@@ -116,7 +142,12 @@ def _collect(timeout: float = 0.0) -> None:
     try:
         out = p.stdout.read() if p.stdout else b""
         if p.returncode == 0 and out:
-            val = float(out.split()[0])
+            parts = [float(v) for v in out.split()]
+            val = parts[0]
+            if len(parts) >= 4:
+                _economics.update(
+                    dispatch_s=parts[1], up_mbps=parts[2], down_mbps=parts[3]
+                )
     except Exception:
         val = None
     _result.append(val)
@@ -156,6 +187,41 @@ def device_ok(max_latency: float = 2.0, grace: float = 3.0) -> bool:
             return False
         _latency = lat
         return True
+
+
+def link_economics() -> dict | None:
+    """Measured steady-state link numbers (dispatch seconds, upload and
+    readback MB/s), or None while the probe is pending / failed. The
+    values are post-init: backend bring-up and first-compile costs are
+    excluded by construction (the child measures them after its warm-up
+    round trip)."""
+    if not device_ok():
+        return None
+    if os.environ.get("JXL_TPU_DEVICE", "auto") in ("on", "device"):
+        # forced: report ideal economics so cost models always route on
+        return _economics or {"dispatch_s": 0.0, "up_mbps": 1e9, "down_mbps": 1e9}
+    return _economics or None
+
+
+def device_wins(up_bytes: int, down_bytes: int, host_seconds: float,
+                dispatches: int = 8, duplex: float = 1.0) -> bool:
+    """Cost-model router (VERDICT r04 #10): True when the device pipeline
+    is predicted to beat the host path for a decode that must move
+    `up_bytes` to the chip and `down_bytes` back, against a host estimate.
+
+    The overlapped pipeline pays max(upload, readback) when the tunnel
+    carries both directions concurrently (duplex=1.0) and their sum when
+    it cannot; host entropy overlaps either way. A 1.25x safety margin
+    biases toward the host — a misroute to a degraded tunnel costs far
+    more than a missed device win."""
+    eco = link_economics()
+    if eco is None:
+        return False
+    up_t = up_bytes / 1e6 / max(eco["up_mbps"], 1e-6)
+    down_t = down_bytes / 1e6 / max(eco["down_mbps"], 1e-6)
+    link_t = max(up_t, down_t) + (1.0 - duplex) * min(up_t, down_t)
+    predicted = dispatches * eco["dispatch_s"] + link_t
+    return predicted * 1.25 < host_seconds
 
 
 def device_fast(max_latency: float = 0.03) -> bool:

@@ -204,14 +204,22 @@ class BandRenderer:
         W = self.W
         bw = self.bw
 
-        def program(nz_a1, nz_a2, lf_band, rq_band, ytox_band, ytob_band, idx_args):
+        pads = self._pads
+
+        def program(nz_a1, nz_a2, lf_band, rq_band, ytox_band, ytob_band, idx_packed):
             # band-local planes (3, BAND_BLOCKS*8 * W) flat
             planes = jnp.zeros((3, GROUP_DIM * W), jnp.float32)
             flat = _unpack_coeffs_device(mode, nz_a1, nz_a2, total)
             lf_flat = lf_band.reshape(3, -1)
             stride_c = GROUP_DIM * GROUP_DIM
+            # idx_packed: ONE (sum(pads), 5) int32 upload instead of ~5 x
+            # len(tids) tiny arrays — each device_put is a tunnel RPC and
+            # the per-band dispatch was RPC-latency-bound, not byte-bound
+            row0 = 0
             for ti, t in enumerate(tids):
-                gbx, gby, gi, off, valid = idx_args[ti]
+                rows = jax.lax.slice_in_dim(idx_packed, row0, row0 + pads[ti], axis=0)
+                row0 += pads[ti]
+                gbx, gby, gi, off, valid = (rows[:, k] for k in range(5))
                 n = gbx.shape[0]
                 nc = ncs[t]
                 cx = covered_blocks_x(t)
@@ -292,21 +300,18 @@ class BandRenderer:
             for g in group_ids:
                 del hfc[g]
         blocks = self._bands[gy]
-        idx_args = []
+        idx_packed = np.zeros((sum(self._pads), 5), np.int32)
+        row0 = 0
         for t, p in zip(self.tids, self._pads):
             if t in blocks:
                 gbx, gby, gi, off = blocks[t]
-            else:
-                gbx = gby = gi = off = np.zeros(0, np.int32)
-            n = len(gbx)
-            valid = np.ones(n, np.int32)
-            if p > n:
-                gbx = np.concatenate([gbx, np.zeros(p - n, np.int32)])
-                gby = np.concatenate([gby, np.zeros(p - n, np.int32)])
-                gi = np.concatenate([gi, np.zeros(p - n, np.int32)])
-                off = np.concatenate([off, np.zeros(p - n, np.int32)])
-                valid = np.concatenate([valid, np.zeros(p - n, np.int32)])
-            idx_args.append((gbx, gby, gi, off, valid))
+                n = len(gbx)
+                idx_packed[row0 : row0 + n, 0] = gbx
+                idx_packed[row0 : row0 + n, 1] = gby
+                idx_packed[row0 : row0 + n, 2] = gi
+                idx_packed[row0 : row0 + n, 3] = off
+                idx_packed[row0 : row0 + n, 4] = 1
+            row0 += p
 
         fn = self._program(mode, nz_bucket, total)
         lf, rq, ytox, ytob = self._static_dev
@@ -316,6 +321,5 @@ class BandRenderer:
         rq_band = jax.lax.slice_in_dim(rq, by0, by0 + BAND_BLOCKS, axis=0)
         ytox_band = jax.lax.slice_in_dim(ytox, ty0, ty0 + BAND_TILES, axis=0)
         ytob_band = jax.lax.slice_in_dim(ytob, ty0, ty0 + BAND_TILES, axis=0)
-        band_args = jax.device_put((a1, a2, tuple(idx_args)))
-        a1d, a2d, idx_dev = band_args
+        a1d, a2d, idx_dev = jax.device_put((a1, a2, idx_packed))
         return fn(a1d, a2d, lf_band, rq_band, ytox_band, ytob_band, idx_dev)
