@@ -44,8 +44,10 @@ def eligible(frame) -> bool:
         return False
     if h.upsampling != 1 or any(u != 1 for u in h.ec_upsampling):
         return False
-    if h.has_patches or h.has_splines:
-        return False
+    # patches and splines are row-local at application time (ref
+    # render/low_memory_pipeline stages): both are admitted — patches
+    # blend clipped rects from the (already whole-decoded) reference
+    # frames, splines splat their row window
     meta = frame.file_header.image_metadata
     if h.num_extra_channels != 0:
         # EC planes are band-local only on the Modular path (they ride
@@ -72,6 +74,40 @@ def eligible(frame) -> bool:
     return True
 
 
+def _decode_reference_frame(frame, br, state) -> None:
+    """Whole-decode one invisible leading frame and store it in `state`
+    exactly as the one-shot decoder does (api/simple.py frame loop)."""
+    from ..io.headers.frame import FrameType as FT
+    from ..render.simple import (
+        blend_and_extend,
+        color_transform,
+        render_frame_channels_ex,
+    )
+
+    header = frame.header
+    frame.decode_all_sections(br)
+    planes, color_done, _ = render_frame_channels_ex(frame, fuse=True)
+    if header.lf_level != 0:
+        state.lf_frames[header.lf_level - 1] = [p.copy() for p in planes[:3]]
+    if header.can_be_referenced and header.save_before_ct:
+        state.reference_frames[header.save_as_reference] = {
+            "frame": [p.copy() for p in planes],
+            "saved_before_color_transform": True,
+        }
+    if header.frame_type != FT.REFERENCE_ONLY and not color_done:
+        planes = color_transform(frame, planes, in_place=True)
+    if header.can_be_referenced and not header.save_before_ct:
+        if header.needs_blending():
+            canvas = blend_and_extend(frame, planes)
+        else:
+            img_w, img_h = frame.file_header.xsize, frame.file_header.ysize
+            canvas = [p[:img_h, :img_w] for p in planes]
+        state.reference_frames[header.save_as_reference] = {
+            "frame": [np.array(p, copy=True) for p in canvas],
+            "saved_before_color_transform": False,
+        }
+
+
 def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
     """Decode `data`, calling emit(y0, band) for each finished row band
     (band: (rows, width, 3) array in `pixel_format`). Returns summary
@@ -91,8 +127,23 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
         from ..icc.decode import read_icc
 
         read_icc(br)
-    frame = parse_frame(br, fh, None)
-    header = frame.header
+
+    # leading INVISIBLE frames (patch sources, LF frames) decode whole —
+    # the reference's low-memory pipeline also keeps reference frames
+    # resident (render/low_memory_pipeline/mod.rs uses the frame store);
+    # only the final visible REGULAR frame streams in bands
+    from .state import DecoderState
+
+    state = DecoderState(fh)
+    while True:
+        br.jump_to_byte_boundary()
+        frame = parse_frame(br, fh, state)
+        header = frame.header
+        if header.frame_type == FrameType.REGULAR and header.is_last:
+            break
+        if header.is_visible or header.is_last:
+            raise NotSupported("leading visible frames not banded")
+        _decode_reference_frame(frame, br, state)
     br.jump_to_byte_boundary()
     toc_end = br.pos // 8
 
@@ -275,6 +326,27 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
             out = [c[pad_top : pad_top + cur.shape[1]] for c in chans]
         else:
             out = [cur[c] for c in range(3)]
+        out = list(out)
+        ec = list(ec)
+        if not have_filters and (
+            frame.lf_global.patches is not None
+            or frame.lf_global.splines is not None
+        ):
+            # feature stages mutate in place; without the filter slab the
+            # planes alias the decoded band (a later band's halo source)
+            out = [p.copy() for p in out]
+        patches = frame.lf_global.patches
+        if patches is not None:
+            # patches blend color+EC jointly (alpha channels participate)
+            all_p = [np.ascontiguousarray(p) for p in out + ec]
+            patches.apply_rows(
+                all_p, y0, meta.extra_channel_info,
+                frame.decoder_state.reference_frames,
+            )
+            out, ec = all_p[:3], all_p[3:]
+        splines = frame.lf_global.splines
+        if splines is not None:
+            out = splines.draw_rows(out, y0)
         if noise is not None:
             out = apply_noise(out, y0, cur.shape[1])
         out = color_transform(frame, list(out))

@@ -141,7 +141,6 @@ def _decode(frame, br, pixel_format: str):
     wv, hv = header.size()
     gx_count, gy_count = header.size_groups()
     num_passes = header.passes.num_passes
-    renderer = BandRenderer(frame)
 
     rf = header.restoration_filter
     sigma_block = (
@@ -205,6 +204,10 @@ def _decode(frame, br, pixel_format: str):
     def device_worker():
         dev_bands = [None, None, None]  # gy-2, gy-1, gy sliding window
         try:
+            # constructing the renderer here overlaps its blocking static
+            # upload (LF/quant/CfL maps) with the main thread's entropy
+            # decode of band 0 (~40 ms of tunnel RTT off the critical path)
+            renderer = BandRenderer(frame)
             for gy in range(gy_count):
                 item = ready_q.get()
                 if item is None:

@@ -154,23 +154,35 @@ class PatchesDictionary:
 
     def apply(self, planes, extra_channel_info, reference_frames):
         """Apply all patches onto the channel planes (in place)."""
+        self.apply_rows(planes, 0, extra_channel_info, reference_frames)
+
+    def apply_rows(self, planes, row0, extra_channel_info, reference_frames):
+        """Apply patches onto band planes covering global rows
+        [row0, row0 + rows): blending is per-pixel, so clipping each
+        patch rect to the band yields the whole-image result row for row
+        (the band low-memory pipeline's patch stage)."""
         from .blending import perform_blending
 
+        rows = planes[0].shape[0]
+        row1 = row0 + rows
         stride = self.blendings_stride
         for pi, pos in enumerate(self.positions):
             rp = self.ref_positions[pos.ref_pos_idx]
+            y0 = max(pos.y, row0)
+            y1 = min(pos.y + rp.ysize, row1)
+            if y1 <= y0:
+                continue
+            ry0 = rp.y0 + (y0 - pos.y)  # matching rows in the reference
             rf = reference_frames[rp.reference]["frame"]
             fg = [
-                p[rp.y0 : rp.y0 + rp.ysize, rp.x0 : rp.x0 + rp.xsize] for p in rf
+                p[ry0 : ry0 + (y1 - y0), rp.x0 : rp.x0 + rp.xsize] for p in rf
             ]
             bg = [
-                p[pos.y : pos.y + rp.ysize, pos.x : pos.x + rp.xsize] for p in planes
+                p[y0 - row0 : y1 - row0, pos.x : pos.x + rp.xsize]
+                for p in planes
             ]
             color_blending = self.blendings[pi * stride]
             ec_blending = self.blendings[pi * stride + 1 : (pi + 1) * stride]
             out = perform_blending(bg, fg, color_blending, ec_blending, extra_channel_info)
-            for p, o, in zip(
-                (planes[c][pos.y : pos.y + rp.ysize, pos.x : pos.x + rp.xsize] for c in range(len(planes))),
-                out,
-            ):
+            for p, o in zip(bg, out):
                 p[...] = o

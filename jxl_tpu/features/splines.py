@@ -233,12 +233,21 @@ class Splines:
 
     def draw(self, planes):
         """Additively splat all segments onto 3 whole-image planes."""
-        h, w = planes[0].shape
+        return self.draw_rows(planes, 0)
+
+    def draw_rows(self, planes, row0: int):
+        """Additively splat onto 3 band planes covering global rows
+        [row0, row0 + rows): splats are per-pixel independent, so the
+        row-clipped evaluation is bit-identical to the whole-image one
+        (the band low-memory pipeline's spline stage; ref
+        render/low_memory_pipeline row-windowed stages)."""
+        rows, w = planes[0].shape
+        row1 = row0 + rows
         for seg in self.segments:
             x0 = max(0, int(round(seg.center_x - seg.maximum_distance)))
             x1 = min(w, int(round(seg.center_x + seg.maximum_distance)) + 1)
-            y0 = max(0, int(round(seg.center_y - seg.maximum_distance)))
-            y1 = min(h, int(round(seg.center_y + seg.maximum_distance)) + 1)
+            y0 = max(row0, int(round(seg.center_y - seg.maximum_distance)))
+            y1 = min(row1, int(round(seg.center_y + seg.maximum_distance)) + 1)
             if x1 <= x0 or y1 <= y0:
                 continue
             xs = np.arange(x0, x1, dtype=np.float32) - np.float32(seg.center_x)
@@ -250,7 +259,9 @@ class Splines:
             f = fast_erf(arg1) - fast_erf(arg2)
             local = np.float32(seg.sigma_over_4_times_intensity) * f * f
             for ci in range(3):
-                planes[ci][y0:y1, x0:x1] += np.float32(seg.color[ci]) * local
+                planes[ci][y0 - row0 : y1 - row0, x0:x1] += (
+                    np.float32(seg.color[ci]) * local
+                )
         return planes
 
 

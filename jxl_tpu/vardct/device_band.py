@@ -43,6 +43,25 @@ BAND_TILES = BAND_BLOCKS // COLOR_TILE_DIM_IN_BLOCKS  # CfL tile rows (4)
 _CACHE: dict = {}
 
 
+def _wire_segments(mode: str, nz_bucket: int, total: int, sum_pads: int):
+    """Static byte layout of the per-band single-buffer upload: sparse
+    coefficient payload (a1, a2) then the packed (sum_pads, 5) int32
+    block-index table, each segment 4-byte aligned."""
+    a1_bytes = total // 8 if mode == "mask" else nz_bucket * 4
+    a2_bytes = nz_bucket * 2 if mode == "mask" else nz_bucket * 4
+    a1_end = a1_bytes
+    a2_start = -(-a1_end // 4) * 4
+    a2_end = a2_start + a2_bytes
+    idx_start = -(-a2_end // 4) * 4
+    idx_end = idx_start + sum_pads * 5 * 4
+    return {
+        "a1": (0, a1_end),
+        "a2": (a2_start, a2_end),
+        "idx": (idx_start, idx_end),
+        "total": idx_end,
+    }
+
+
 def _band_blocks(frame, gy: int):
     """Per-tid block arrays for group row `gy`, band-local coordinates.
 
@@ -205,16 +224,36 @@ class BandRenderer:
         bw = self.bw
 
         pads = self._pads
+        seg = _wire_segments(mode, nz_bucket, total, sum(pads))
 
-        def program(nz_a1, nz_a2, lf_band, rq_band, ytox_band, ytob_band, idx_packed):
+        def program(wire, lf_band, rq_band, ytox_band, ytob_band):
+            # wire: ONE uint8 upload per band carrying the coefficient
+            # sparse payload AND the packed block indices — a per-band
+            # dispatch is tunnel-RPC-latency-bound, so every extra
+            # device_put call costs more than its bytes
+            a1b = jax.lax.slice_in_dim(wire, seg["a1"][0], seg["a1"][1])
+            a2b = jax.lax.slice_in_dim(wire, seg["a2"][0], seg["a2"][1])
+            idxb = jax.lax.slice_in_dim(wire, seg["idx"][0], seg["idx"][1])
+            if mode == "mask":
+                nz_a1 = a1b
+                nz_a2 = jax.lax.bitcast_convert_type(
+                    a2b.reshape(-1, 2), jnp.int16
+                ).reshape(-1)
+            else:  # coo
+                nz_a1 = jax.lax.bitcast_convert_type(
+                    a1b.reshape(-1, 4), jnp.int32
+                ).reshape(-1)
+                nz_a2 = jax.lax.bitcast_convert_type(
+                    a2b.reshape(-1, 4), jnp.int32
+                ).reshape(-1)
+            idx_packed = jax.lax.bitcast_convert_type(
+                idxb.reshape(-1, 4), jnp.int32
+            ).reshape(-1, 5)
             # band-local planes (3, BAND_BLOCKS*8 * W) flat
             planes = jnp.zeros((3, GROUP_DIM * W), jnp.float32)
             flat = _unpack_coeffs_device(mode, nz_a1, nz_a2, total)
             lf_flat = lf_band.reshape(3, -1)
             stride_c = GROUP_DIM * GROUP_DIM
-            # idx_packed: ONE (sum(pads), 5) int32 upload instead of ~5 x
-            # len(tids) tiny arrays — each device_put is a tunnel RPC and
-            # the per-band dispatch was RPC-latency-bound, not byte-bound
             row0 = 0
             for ti, t in enumerate(tids):
                 rows = jax.lax.slice_in_dim(idx_packed, row0, row0 + pads[ti], axis=0)
@@ -321,5 +360,10 @@ class BandRenderer:
         rq_band = jax.lax.slice_in_dim(rq, by0, by0 + BAND_BLOCKS, axis=0)
         ytox_band = jax.lax.slice_in_dim(ytox, ty0, ty0 + BAND_TILES, axis=0)
         ytob_band = jax.lax.slice_in_dim(ytob, ty0, ty0 + BAND_TILES, axis=0)
-        a1d, a2d, idx_dev = jax.device_put((a1, a2, idx_packed))
-        return fn(a1d, a2d, lf_band, rq_band, ytox_band, ytob_band, idx_dev)
+        seg = _wire_segments(mode, nz_bucket, total, sum(self._pads))
+        wire = np.zeros(seg["total"], np.uint8)
+        wire[seg["a1"][0] : seg["a1"][0] + a1.nbytes] = a1.view(np.uint8)
+        wire[seg["a2"][0] : seg["a2"][0] + a2.nbytes] = a2.reshape(-1).view(np.uint8)
+        wire[seg["idx"][0] : seg["idx"][1]] = idx_packed.reshape(-1).view(np.uint8)
+        wire_dev = jax.device_put(wire)
+        return fn(wire_dev, lf_band, rq_band, ytox_band, ytob_band)

@@ -116,9 +116,87 @@ def test_noise_field_rows_matches_whole_field():
 
 
 def test_ineligible_falls_through():
+    # patches.jxl's final frame carries a global squeeze chain, which
+    # couples distant rows — still excluded (its patches alone would now
+    # be admitted; see the row-windowed stage tests below)
     data = (CORPUS / "conformance_test_images/patches.jxl").read_bytes()
     with pytest.raises(NotSupported):
         decode_banded(data, lambda *a: None)
+
+
+def test_splines_draw_rows_bitexact():
+    """Band-windowed spline splatting equals the whole-image stage on the
+    real splines.jxl dictionary (841 segments), including bands that cut
+    through segment support (banded eligibility admits splines)."""
+    from jxl_tpu.api.simple import decode_first_frame
+
+    frame = decode_first_frame((CORPUS / "splines.jxl").read_bytes()).frame
+    sp = frame.lf_global.splines
+    assert len(sp.segments) > 100
+    wv, hv = frame.header.size()
+    whole = [np.zeros((hv, wv), np.float32) for _ in range(3)]
+    sp.draw(whole)
+    banded = [np.zeros((hv, wv), np.float32) for _ in range(3)]
+    for y0 in range(0, hv, 100):
+        rows = min(100, hv - y0)
+        sp.draw_rows([b[y0 : y0 + rows] for b in banded], y0)
+    for c in range(3):
+        np.testing.assert_array_equal(whole[c], banded[c])
+
+
+def test_patches_apply_rows_bitexact():
+    """Band-windowed patch blending equals the whole-image stage on the
+    real patches.jxl dictionary (654 patches incl. alpha blending),
+    bands cutting through patch rects (banded eligibility admits
+    patches; reference frames stay whole-resident, matching the
+    reference's frame store)."""
+    from jxl_tpu.api.simple import parse_frame
+    from jxl_tpu.api.state import DecoderState
+    from jxl_tpu.icc.decode import read_icc
+    from jxl_tpu.io.bit_reader import BitReader
+    from jxl_tpu.io.container import extract_codestream_ex
+    from jxl_tpu.io.headers import FileHeader
+    from jxl_tpu.render.simple import render_frame_channels_ex
+
+    data = (CORPUS / "conformance_test_images/patches.jxl").read_bytes()
+    codestream, _ = extract_codestream_ex(data)
+    br = BitReader(codestream)
+    fh = FileHeader.read(br)
+    if fh.image_metadata.color_encoding.want_icc:
+        read_icc(br)
+    state = DecoderState(fh)
+    while True:
+        br.jump_to_byte_boundary()
+        frame = parse_frame(br, fh, state)
+        h = frame.header
+        if h.is_last:
+            break
+        frame.decode_all_sections(br)
+        planes, _, _ = render_frame_channels_ex(frame, fuse=True)
+        if h.can_be_referenced and h.save_before_ct:
+            state.reference_frames[h.save_as_reference] = {
+                "frame": [p.copy() for p in planes],
+                "saved_before_color_transform": True,
+            }
+    frame.decode_all_sections(br)
+    pd = frame.lf_global.patches
+    assert len(pd.positions) > 100
+    meta = fh.image_metadata
+    wv, hv = frame.header.size()
+    num_ec = frame.header.num_extra_channels
+    rng = np.random.default_rng(3)
+    base = [rng.normal(size=(hv, wv)).astype(np.float32) for _ in range(3 + num_ec)]
+    whole = [p.copy() for p in base]
+    pd.apply(whole, meta.extra_channel_info, state.reference_frames)
+    banded = [p.copy() for p in base]
+    for y0 in range(0, hv, 170):
+        rows = min(170, hv - y0)
+        pd.apply_rows(
+            [p[y0 : y0 + rows] for p in banded], y0,
+            meta.extra_channel_info, state.reference_frames,
+        )
+    for a, b in zip(whole, banded):
+        np.testing.assert_array_equal(a, b)
 
 
 _RSS_SCRIPT = r"""
@@ -145,6 +223,52 @@ print("RSS_DELTA_MB", delta_mb)
 # band working set: ~3 bands of 256x8192x3 in i32+f32 ≈ 150 MB; allow 4x
 assert delta_mb < 600, delta_mb
 """
+
+
+_RSS_NONCONST_SCRIPT = r"""
+import resource, sys
+sys.path.insert(0, "tests")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from mini_encoder import encode_constant_modular, write_split_tree
+
+W, H = 8192, 4352  # 35.7 MP, content varies with y (prop 2 split)
+def tw(w):
+    # splitval 201 shares its token with offset 201 (4-symbol alphabet cap)
+    write_split_tree(w, 2, 201, 201, 54)
+data = encode_constant_modular(W, H, filters=False, tree_writer=tw)
+from jxl_tpu.api.banded import decode_banded
+base = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+seen = {"rows": 0, "vals": set()}
+def emit(y0, arr):
+    seen["rows"] += arr.shape[0]
+    seen["vals"].add(int(arr[0, 0, 0]))
+    seen["vals"].add(int(arr[-1, 0, 0]))
+decode_banded(data, emit, pixel_format="u8")
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+assert seen["rows"] == H, seen
+assert len(seen["vals"]) >= 2, seen  # content really varies across bands
+delta_mb = (peak - base) / 1024.0
+print("RSS_DELTA_MB", delta_mb)
+# whole-image i32+f32 planes would be ~860 MB; band working set ~80 MB
+assert delta_mb < 450, delta_mb
+"""
+
+
+@pytest.mark.slow
+def test_banded_32mp_nonconstant_bounded_rss():
+    """>=32 MP NON-constant content (MA tree splits on y): peak RSS stays
+    O(band), not O(image) (VERDICT r04 #4 second half)."""
+    r = subprocess.run(
+        [sys.executable, "-c", _RSS_NONCONST_SCRIPT],
+        capture_output=True,
+        text=True,
+        cwd=str(pathlib.Path(__file__).parent.parent),
+        timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "RSS_DELTA_MB" in r.stdout
 
 
 @pytest.mark.slow
