@@ -1680,6 +1680,18 @@ def i32_scaled_interleave_native(planes, scale: float) -> "np.ndarray | None":
     return out
 
 
+def squeeze_chain_raw(recs) -> bool:
+    """One jxl_squeeze_chain call over pre-built (n, 11) int64 records
+    with absolute buffer pointers (the whole-animation fold batches every
+    frame's inverse squeeze steps into a single native call)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    recs = np.ascontiguousarray(recs, dtype=np.int64)
+    lib.jxl_squeeze_chain(ctypes.c_int(len(recs)), _ptr(recs, ctypes.c_int64))
+    return True
+
+
 _ANIM_ARENA: dict = {}
 
 

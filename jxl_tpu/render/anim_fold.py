@@ -72,47 +72,55 @@ def _pack_group_header(gh) -> np.ndarray | None:
 
 
 class _FoldModular:
-    """FullModularImage stand-in: shares frame 0's (memoized, immutable)
-    plan, lazily fills per-frame storage from the fold's section-0 channel
-    slab and runs the inverse transforms on first output request."""
+    """FullModularImage stand-in over the fold's per-frame channel arena.
 
-    def __init__(self, mg0, chan_row, tmpl_rows):
+    Every buffer (coded AND transform intermediates) has a fixed offset
+    in the frame's arena row; the native fold writes coded channels at
+    their offsets directly and — for all-squeeze transform chains — ONE
+    jxl_squeeze_chain call covering every frame runs the inverse
+    transforms in place before the shims are built (pre_applied=True).
+    Only transform shapes the one-shot chain cannot take (RCT/palette
+    steps) fall back to per-frame ModularChannel storage."""
+
+    def __init__(self, mg0, chan_row, offsets, pre_applied):
         self.buffer_infos = mg0.buffer_infos
         self.coded = mg0.coded
         self.transform_steps = mg0.transform_steps
         self.section_buffer_indices = mg0.section_buffer_indices
-        self._chan_row = chan_row  # (chan_frame_elems,) int32
-        self._tmpl_rows = tmpl_rows  # [(buf, w, h, off)]
+        self._chan_row = chan_row  # (chan_frame_elems,) int32 arena row
+        self._offsets = offsets  # per-buffer arena offsets
         self.storage = None
-        self.transforms_applied = False
+        self.transforms_applied = pre_applied
 
-    def _materialize(self) -> None:
-        if self.storage is not None:
-            return
-        from ..modular.channel import ModularChannel
-
-        self.storage = [
-            ModularChannel(info.size, info.shift, info.bit_depth_bits)
-            for info in self.buffer_infos
-        ]
-        for buf, w, h, off in self._tmpl_rows:
-            self.storage[buf].data[...] = self._chan_row[
-                off : off + w * h
-            ].reshape(h, w)
+    def _buffer_view(self, buf: int) -> np.ndarray:
+        w, h = self.buffer_infos[buf].size
+        off = int(self._offsets[buf])
+        return self._chan_row[off : off + w * h].reshape(h, w)
 
     def run_transforms(self) -> None:
-        self._materialize()
-        if not self.transforms_applied:
-            from ..modular.transforms import inverse_apply_steps
+        if self.transforms_applied:
+            return
+        from ..modular.channel import ModularChannel
+        from ..modular.transforms import inverse_apply_steps
 
-            inverse_apply_steps(self.transform_steps, self.storage)
-            self.transforms_applied = True
+        if self.storage is None:
+            self.storage = [
+                ModularChannel(
+                    info.size, info.shift, info.bit_depth_bits,
+                    data=np.ascontiguousarray(self._buffer_view(buf)),
+                )
+                for buf, info in enumerate(self.buffer_infos)
+            ]
+        inverse_apply_steps(self.transform_steps, self.storage)
+        self.transforms_applied = True
 
     def output_channel(self, output_idx: int) -> np.ndarray:
         self.run_transforms()
         for buf, info in enumerate(self.buffer_infos):
             if info.output_channel_idx == output_idx:
-                return self.storage[buf].data
+                if self.storage is not None:
+                    return self.storage[buf].data
+                return self._buffer_view(buf)
         raise KeyError(f"no output channel {output_idx}")
 
 
@@ -220,7 +228,11 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
                 allocate=False,
             )
         )
-    tmpl_rows_all = []
+    # Arena layout: EVERY buffer (coded + transform intermediates) gets a
+    # fixed offset in the frame's arena row; the native fold writes coded
+    # channels at their offsets directly, so the inverse squeeze chains
+    # can run over the arena with no per-frame materialization.
+    offsets_all = []
     chan_counts = np.zeros(len(recs), np.int32)
     chan_tmpl_off = np.zeros(len(recs), np.int64)
     tmpl_parts = []
@@ -229,22 +241,24 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
     for f, mg in enumerate(plans):
         if any(s for s in mg.section_buffer_indices[1:]):
             return None  # modular LF/HF streams: fold decodes only section 0
-        sec0 = mg.section_buffer_indices[0] if mg.buffer_infos else []
-        rows = []
-        tmpl = np.zeros((len(sec0), 6), np.int64)
+        offsets = np.zeros(max(len(mg.buffer_infos), 1), np.int64)
         off = 0
+        for buf, info in enumerate(mg.buffer_infos):
+            offsets[buf] = off
+            w, h = info.size
+            off += w * h
+        sec0 = mg.section_buffer_indices[0] if mg.buffer_infos else []
+        tmpl = np.zeros((len(sec0), 6), np.int64)
         for i, buf in enumerate(sec0):
             info = mg.buffer_infos[buf]
             w, h = info.size
             sx, sy = info.shift if info.shift is not None else (-1, -1)
-            tmpl[i] = (w, h, sx, sy, w, off)
-            rows.append((buf, w, h, off))
-            off += w * h
+            tmpl[i] = (w, h, sx, sy, w, offsets[buf])
         chan_counts[f] = len(sec0)
         chan_tmpl_off[f] = n_rows
         n_rows += len(sec0)
         tmpl_parts.append(tmpl)
-        tmpl_rows_all.append(rows)
+        offsets_all.append(offsets)
         chan_frame_elems = max(chan_frame_elems, off)
     chan_template = (
         np.concatenate(tmpl_parts).reshape(-1)
@@ -328,6 +342,73 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
         trace.metrics.add("anim_fold_oracle_mismatch", 1)
         return None
 
+    # ---- one-shot inverse squeeze over the whole arena -------------------
+    # All-squeeze transform chains (the VarDCT-animation norm: the alpha
+    # EC's squeeze pyramid) run as ONE native call covering every frame's
+    # reversed step list — no per-frame storage, marshalling, or Python
+    # step walk. Anything else falls back to the per-frame path inside
+    # _FoldModular.run_transforms.
+    from ..modular.transforms import SqueezeStep
+
+    all_squeeze = all(
+        isinstance(s, SqueezeStep) for mg in plans for s in mg.transform_steps
+    )
+    pre_applied = all_squeeze
+    if all_squeeze and any(mg.transform_steps for mg in plans):
+        chan_arr = out["chan"]
+        row_bytes = chan_arr.strides[0]
+        base0 = chan_arr.ctypes.data
+
+        def frame_recs(mg, offs):
+            """Records with RELATIVE byte offsets in ptr columns 1/3/5."""
+            rows = []
+            infos = mg.buffer_infos
+            for step in reversed(mg.transform_steps):
+                wo, ho = infos[step.buf_out].size
+                if wo == 0 or ho == 0:
+                    continue
+                wa, ha = infos[step.buf_in[0]].size
+                wr, hr = infos[step.buf_in[1]].size
+                pa = int(offs[step.buf_in[0]]) * 4
+                pr = int(offs[step.buf_in[1]]) * 4
+                po = int(offs[step.buf_out]) * 4
+                if step.horizontal:
+                    rows.append((1, pa, wa if wa * ha else 0, pr,
+                                 wr if wr * hr else 0, po, wo, ho, wa, wr, wo))
+                else:
+                    rows.append((0, pa, wa if wa * ha else 0, pr,
+                                 wr if wr * hr else 0, po, wo, wo, ha, hr, ho))
+            return np.asarray(rows, dtype=np.int64).reshape(-1, 11)
+
+        shared = all(
+            mg.transform_steps == plans[0].transform_steps
+            and np.array_equal(offsets_all[f], offsets_all[0])
+            and mg.buffer_infos == plans[0].buffer_infos
+            for f, mg in enumerate(plans)
+        )
+        if shared:
+            # identical per-frame layout (the norm): tile frame 0's
+            # relative records and add each frame's arena base
+            r0 = frame_recs(plans[0], offsets_all[0])
+            sq_recs = np.tile(r0, (len(plans), 1))
+            bases = base0 + np.repeat(
+                np.arange(len(plans), dtype=np.int64) * row_bytes, len(r0)
+            )
+            sq_recs[:, 1] += bases
+            sq_recs[:, 3] += bases
+            sq_recs[:, 5] += bases
+        else:
+            parts = []
+            for f, mg in enumerate(plans):
+                r = frame_recs(mg, offsets_all[f])
+                r[:, 1] += base0 + f * row_bytes
+                r[:, 3] += base0 + f * row_bytes
+                r[:, 5] += base0 + f * row_bytes
+                parts.append(r)
+            sq_recs = np.concatenate(parts) if parts else np.zeros((0, 11), np.int64)
+        if len(sq_recs) and not native.squeeze_chain_raw(sq_recs):
+            pre_applied = False  # native lib refused: per-frame fallback
+
     # ---- shims -----------------------------------------------------------
     pool = out["pool"]  # (F, 3, 65536); slot f at f*3*65536, chan stride 65536
     dqm = f0.hf_global.dequant_matrices
@@ -360,7 +441,7 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
             int(scal[11]), int(scal[12]),
         )
         lg.modular_global = _FoldModular(
-            plans[f], out["chan"][f], tmpl_rows_all[f]
+            plans[f], out["chan"][f], offsets_all[f], pre_applied
         )
         hg = _FoldHfGlobal()
         cnt = int(out["blk_counts"][f])
