@@ -116,6 +116,8 @@ void epf_step_t(const float* const in[3], float* const out[3], int h, int w,
   const int sbw = sigma_is_block ? (w + 7) / 8 : w;
   std::vector<float> sigrow(sigma_is_block ? w : 0);
   std::vector<float> sadbuf((size_t)NN * w);
+  std::vector<float> mulrow;        // [0,w): interior row, [w,2w): border row
+  std::vector<float> rowbuf;        // isx | wsum | invw scratch rows
   static thread_local std::vector<float> dbuf;
   if (dbuf.size() < (size_t)NB * psz) dbuf.resize((size_t)NB * psz);
   // D planes over the padded grid (rows/cols where b and b+v both exist)
@@ -168,26 +170,46 @@ void epf_step_t(const float* const in[3], float* const out[3], int h, int w,
       isg = inv_sigma + (size_t)y * w;
     }
     const int ybord = ((y & 7) == 0 || (y & 7) == 7) ? 1 : 0;
-    for (int x = 0; x < w; ++x) {
-      const int xbord = ((x & 7) == 0 || (x & 7) == 7) ? 1 : 0;
-      const float mul = (ybord | xbord) ? bsm : sm;
-      const float is = isg[x] * mul;
-      float wsum = 1.0f;
-      float wn[NN];
+    // Row-vectorized weight/accumulate pass: the per-pixel formulation
+    // (wn[NN] in registers, data-dependent mul) defeats autovec; these
+    // straight-line row loops vectorize on AVX-512. Same op order per
+    // pixel, so results are bit-identical to the scalar loop.
+    if (mulrow.empty()) {
+      mulrow.resize(2 * (size_t)w);
+      for (int x = 0; x < w; ++x) {
+        const int xbord = ((x & 7) == 0 || (x & 7) == 7) ? 1 : 0;
+        mulrow[x] = xbord ? bsm : sm;  // interior row
+        mulrow[w + x] = bsm;           // border row: bsm everywhere
+      }
+    }
+    const float* mrow = mulrow.data() + (ybord ? w : 0);
+    if (rowbuf.size() < 3 * (size_t)w) rowbuf.resize(3 * (size_t)w);
+    float* isx = rowbuf.data();
+    float* wsum = rowbuf.data() + w;
+    float* invw = rowbuf.data() + 2 * (size_t)w;
+    for (int x = 0; x < w; ++x) isx[x] = isg[x] * mrow[x];
+    for (int x = 0; x < w; ++x) wsum[x] = 1.0f;
+    // weights overwrite sadbuf in place (each entry read exactly once)
+    for (int n = 0; n < NN; ++n) {
+      float* srow = sad + (size_t)n * w;
+      for (int x = 0; x < w; ++x) {
+        float v = srow[x] * isx[x] + 1.0f;
+        srow[x] = v > 0.0f ? v : 0.0f;
+        wsum[x] += srow[x];
+      }
+    }
+    for (int x = 0; x < w; ++x) invw[x] = 1.0f / wsum[x];
+    for (int c = 0; c < 3; ++c) {
+      const float* base = in[c] + (size_t)(y + B) * W + B;
+      float* orow = out[c] + (size_t)(y + B) * W + B;
+      for (int x = 0; x < w; ++x) orow[x] = base[x];
       for (int n = 0; n < NN; ++n) {
-        float v = sad[(size_t)n * w + x] * is + 1.0f;
-        wn[n] = v > 0.0f ? v : 0.0f;
-        wsum += wn[n];
+        const float* srow = sad + (size_t)n * w;
+        const float* nrow = base + (std::ptrdiff_t)neigh[n].dy * W + neigh[n].dx;
+        for (int x = 0; x < w; ++x) orow[x] += srow[x] * nrow[x];
       }
-      const float inv = 1.0f / wsum;
-      const bool pass = isg[x] < kMinSigma;
-      for (int c = 0; c < 3; ++c) {
-        const float* base = in[c] + (size_t)(y + B) * W + B + x;
-        float acc = base[0];
-        for (int n = 0; n < NN; ++n)
-          acc += wn[n] * base[(std::ptrdiff_t)neigh[n].dy * W + neigh[n].dx];
-        out[c][(size_t)(y + B) * W + B + x] = pass ? base[0] : acc * inv;
-      }
+      for (int x = 0; x < w; ++x)
+        orow[x] = isg[x] < kMinSigma ? base[x] : orow[x] * invw[x];
     }
   }
 }
