@@ -61,6 +61,8 @@ def eligible(frame) -> bool:
     if h.num_toc_entries == 1:
         return False  # single-section streams are small by definition
     if h.encoding == Encoding.MODULAR:
+        if h.passes.num_passes != 1:
+            return False  # per-pass channel assignment: whole-image path
         mg = frame.lf_global.modular_global if frame.lf_global else None
         if mg is None or mg.transform_steps:
             return False
@@ -251,10 +253,14 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
         try:
             for gx in range(gx_count):
                 g = gy * gx_count + gx
-                sec2 = frame._section_reader(
-                    frame.section_index("hf", group=g, pass_idx=0), codestream, toc_end
-                )
-                decode_vardct_group(frame, g, [(0, sec2)], render=True)
+                readers = [
+                    (p, frame._section_reader(
+                        frame.section_index("hf", group=g, pass_idx=p),
+                        codestream, toc_end,
+                    ))
+                    for p in range(header.passes.num_passes)
+                ]
+                decode_vardct_group(frame, g, readers, render=True)
         finally:
             frame.vardct_pixels = None
             frame._band_block_y0 = 0

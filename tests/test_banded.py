@@ -115,6 +115,20 @@ def test_noise_field_rows_matches_whole_field():
             np.testing.assert_array_equal(rows[c], whole[c][lo:hi])
 
 
+def test_banded_multipass_matches_one_shot():
+    """Multi-pass VarDCT: the band decoder must accumulate EVERY pass's
+    coefficients (regression: it silently decoded only pass 0 — maxerr
+    0.39 on progressive_ac.jxl)."""
+    data = (CORPUS / "progressive_ac.jxl").read_bytes()
+    bands = {}
+    info = decode_banded(data, lambda y0, arr: bands.__setitem__(y0, arr))
+    assert info["bands"] >= 2
+    full = np.concatenate([bands[k] for k in sorted(bands)], axis=0)
+    ref = _one_shot(data)
+    assert full.shape == ref.shape
+    np.testing.assert_allclose(full, ref, rtol=0, atol=5e-5)
+
+
 def test_ineligible_falls_through():
     # patches.jxl's final frame carries a global squeeze chain, which
     # couples distant rows — still excluded (its patches alone would now
