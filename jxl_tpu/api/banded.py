@@ -50,12 +50,35 @@ def eligible(frame) -> bool:
     # frames, splines splat their row window
     meta = frame.file_header.image_metadata
     if h.num_extra_channels != 0:
-        # EC planes are band-local only on the Modular path (they ride
-        # the same per-group HF sections); VarDCT+EC stays whole-image
-        if h.encoding != Encoding.MODULAR:
-            return False
+        # EC planes ride the per-group HF sections on both paths; banded
+        # needs each EC buffer group-gridded at full resolution
         if any(info.dim_shift != 0 for info in meta.extra_channel_info):
             return False
+        if h.encoding != Encoding.MODULAR:
+            mg = frame.lf_global.modular_global if frame.lf_global else None
+            if mg is None:
+                return False
+            # zero-predictor, delta-free palettes on an hf-gridded index
+            # channel are a pure per-pixel lookup — row-local; anything
+            # else (squeeze pyramids, predicted palettes) stays whole
+            from ..modular.transforms import PaletteStep, Predictor
+
+            for s in mg.transform_steps:
+                if (
+                    not isinstance(s, PaletteStep)
+                    or s.num_deltas != 0
+                    or s.predictor != Predictor.ZERO
+                    or mg.grid_kind[s.buf_in] != "hf"
+                    or mg.buffer_infos[s.buf_in].shift != (0, 0)
+                ):
+                    return False
+            for p in range(h.passes.num_passes):
+                for b in mg.section_buffer_indices[2 + p]:
+                    if (
+                        mg.grid_kind[b] != "hf"
+                        or mg.buffer_infos[b].shift != (0, 0)
+                    ):
+                        return False
     if h.needs_blending() or h.can_be_referenced or h.lf_level != 0:
         return False
     if h.num_toc_entries == 1:
@@ -248,6 +271,14 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
         band_planes = [
             np.zeros((y1 - y0, bw_blk * 8), np.float32) for _ in range(3)
         ]
+        mg = frame.lf_global.modular_global
+        # band planes for every hf-gridded coded buffer (EC outputs and
+        # palette index channels alike)
+        dec_bufs = {
+            b: np.zeros((rows, wv), np.int32)
+            for p in range(header.passes.num_passes)
+            for b in mg.section_buffer_indices[2 + p]
+        } if num_ec else {}
         frame.vardct_pixels = band_planes
         frame._band_block_y0 = y0 // 8
         try:
@@ -261,10 +292,73 @@ def decode_banded(data: bytes, emit, pixel_format: str = "f32") -> dict:
                     for p in range(header.passes.num_passes)
                 ]
                 decode_vardct_group(frame, g, readers, render=True)
+                if num_ec:
+                    # EC channels follow the AC payload in the same
+                    # sections (read_hf_stream order); band-local buffers
+                    # replace the whole-image storage views
+                    from ..modular.channel import ModularChannel
+                    from ..modular.decode import (
+                        ModularStreamId,
+                        decode_modular_subbitstream,
+                    )
+
+                    for pass_idx, br2 in readers:
+                        idxs = mg.section_buffer_indices[2 + pass_idx]
+                        if not idxs:
+                            continue
+                        bufs, targets = [], []
+                        for b in idxs:
+                            info = mg.buffer_infos[b]
+                            dx = gdim >> info.shift[0]
+                            dy = gdim >> info.shift[1]
+                            bx0, by0 = gx * dx, gy * dy
+                            bwc = max(min(info.size[0] - bx0, dx), 0)
+                            bhc = max(min(info.size[1] - by0, dy), 0)
+                            if bwc == 0 or bhc == 0:
+                                continue
+                            mc = ModularChannel(
+                                (bwc, bhc), (0, 0), info.bit_depth_bits
+                            )
+                            bufs.append(mc)
+                            targets.append((b, bx0, bwc, bhc))
+                        if not bufs:
+                            continue
+                        decode_modular_subbitstream(
+                            bufs,
+                            ModularStreamId.modular_hf(header, pass_idx, g),
+                            None,
+                            frame.lf_global.tree,
+                            br2,
+                        )
+                        for mc, (b, bx0, bwc, bhc) in zip(bufs, targets):
+                            dec_bufs[b][:bhc, bx0 : bx0 + bwc] = mc.data
         finally:
             frame.vardct_pixels = None
             frame._band_block_y0 = 0
-        return np.stack([p[:rows, :wv] for p in band_planes]), []
+        ec_band = [None] * num_ec
+        for b, arr in dec_bufs.items():
+            oc = mg.buffer_infos[b].output_channel_idx
+            if oc is not None and oc >= 3:
+                ec_band[oc - 3] = arr
+        for step in mg.transform_steps:  # eligibility: zero-pred palettes
+            from ..modular.transforms import _palette_lookup_vec
+
+            idx_rows = dec_bufs[step.buf_in]
+            palette = mg.storage[step.buf_pal].data
+            bit_depth = min(mg.buffer_infos[step.buf_in].bit_depth_bits, 24)
+            for c, bout in enumerate(step.buf_out):
+                oc = mg.buffer_infos[bout].output_channel_idx
+                if oc is not None and oc >= 3:
+                    ec_band[oc - 3] = _palette_lookup_vec(
+                        palette, idx_rows, c, step.num_colors, bit_depth
+                    )
+        from ..render.simple import _modular_to_f32
+
+        ec_planes = [
+            _modular_to_f32(ec_band[i], meta.extra_channel_info[i].bit_depth)
+            for i in range(num_ec)
+        ]
+        return np.stack([p[:rows, :wv] for p in band_planes]), ec_planes
 
     # ---- band pipeline with one-band lookahead ---------------------------
     rf = header.restoration_filter

@@ -115,6 +115,27 @@ def test_noise_field_rows_matches_whole_field():
             np.testing.assert_array_equal(rows[c], whole[c][lo:hi])
 
 
+def test_banded_vardct_ec_palette_matches_one_shot():
+    """VarDCT + extra channel coded via a zero-predictor palette
+    (candle.jxl: 11764-color palette on alpha): banded output including
+    the EC plane must match the host one-shot decode bit-for-bit (the
+    palette lookup is per-pixel, applied band-locally)."""
+    import os
+
+    os.environ["JXL_TPU_DEVICE"] = "off"
+    try:
+        data = (CORPUS / "candle.jxl").read_bytes()
+        bands = {}
+        info = decode_banded(data, lambda y0, arr: bands.__setitem__(y0, arr))
+        assert info["bands"] >= 2
+        full = np.concatenate([bands[k] for k in sorted(bands)], axis=0)
+        ref = _one_shot(data)
+        assert full.shape == ref.shape and full.shape[-1] == 4
+        np.testing.assert_array_equal(full, ref)
+    finally:
+        os.environ.pop("JXL_TPU_DEVICE", None)
+
+
 def test_banded_multipass_matches_one_shot():
     """Multi-pass VarDCT: the band decoder must accumulate EVERY pass's
     coefficients (regression: it silently decoded only pass 0 — maxerr
