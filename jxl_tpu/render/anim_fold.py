@@ -423,6 +423,7 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
         slabs = {
             "lf": out["lf"], "rq": out["rq"],
             "ytox": out["ytox"], "ytob": out["ytob"],
+            "blocks": out["blocks"], "counts": out["blk_counts"],
             "dims": (sbw, sbh, tcw, tch),
         }
     from ..api.frame import QuantizerParams

@@ -471,6 +471,8 @@ def render_frames_batched_host(frames: list, out_format: str):
             th, tw = hf["ytox"].shape
             yx_all[fi, :th, :tw] = hf["ytox"]
             yb_all[fi, :th, :tw] = hf["ytob"]
+        if use_slabs and shared_pool is not None:
+            continue  # block tables come from the fold slabs below
         tables = getattr(fr.hf_global, "block_tables", None)
         slots = getattr(fr.hf_global, "coeff_pool_slots", None)
         for g in sorted(fr.hf_global.hf_coefficients):
@@ -502,12 +504,28 @@ def render_frames_batched_host(frames: list, out_format: str):
     else:
         coeffs = np.concatenate(coeff_parts, axis=1) if coeff_parts else None
 
-    all_tids = np.concatenate(tid_parts) if tid_parts else np.zeros(0, np.int32)
-    g_gbx = np.concatenate(bx_parts).astype(np.int32) if tid_parts else None
-    g_gby = np.concatenate(by_parts).astype(np.int32) if tid_parts else None
-    g_fidx = np.concatenate(fi_parts) if tid_parts else None
-    g_off = np.concatenate(off_parts) if tid_parts else None
-    if tid_parts:
+    if use_slabs and shared_pool is not None:
+        # one masked flatten over the fold's (F, 1024, 4) block slab —
+        # replaces the 48-frame python collection loop entirely (rows are
+        # raster-ordered per frame, slot f's coeffs at f*3*stride)
+        counts = np.asarray(slabs0["counts"], np.int64)
+        blocks = slabs0["blocks"]
+        sel = np.arange(blocks.shape[1])[None, :] < counts[:, None]
+        rows = blocks[sel]
+        g_fidx = np.repeat(np.arange(F, dtype=np.int32), counts)
+        g_gbx = np.ascontiguousarray(rows[:, 0])
+        g_gby = np.ascontiguousarray(rows[:, 1])
+        all_tids = np.ascontiguousarray(rows[:, 2])
+        g_off = rows[:, 3].astype(np.int64) + g_fidx.astype(np.int64) * (
+            3 * stride
+        )
+    else:
+        all_tids = np.concatenate(tid_parts) if tid_parts else np.zeros(0, np.int32)
+        g_gbx = np.concatenate(bx_parts).astype(np.int32) if tid_parts else None
+        g_gby = np.concatenate(by_parts).astype(np.int32) if tid_parts else None
+        g_fidx = np.concatenate(fi_parts) if tid_parts else None
+        g_off = np.concatenate(off_parts) if tid_parts else None
+    if g_gbx is not None and len(g_gbx):
         # vectorized per-block dequant scales and CfL factors (same f32
         # op order as the per-group computation they replace)
         rq_b = rq_all[g_fidx, g_gby, g_gbx].astype(np.float32)
