@@ -194,12 +194,18 @@ def link_economics() -> dict | None:
     readback MB/s), or None while the probe is pending / failed. The
     values are post-init: backend bring-up and first-compile costs are
     excluded by construction (the child measures them after its warm-up
-    round trip)."""
-    if not device_ok():
+    round trip) — a slow one-time init therefore does NOT disqualify a
+    link whose steady-state economics are healthy (the round-4 critique:
+    routing must key on what a decode actually pays per byte)."""
+    mode = os.environ.get("JXL_TPU_DEVICE", "auto")
+    if mode in ("off", "host"):
         return None
-    if os.environ.get("JXL_TPU_DEVICE", "auto") in ("on", "device"):
+    if mode in ("on", "device"):
         # forced: report ideal economics so cost models always route on
         return _economics or {"dispatch_s": 0.0, "up_mbps": 1e9, "down_mbps": 1e9}
+    start_probe()
+    with _lock:
+        _collect()
     return _economics or None
 
 
