@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <vector>
 
 namespace {
@@ -2193,8 +2194,51 @@ int DecodeHistogramsImpl(
     std::vector<int32_t>* huff_values);
 
 // Entropy-coded context map (ref context_map.rs:43-76).
+// Byte-shift copy of `nbits` starting at `bitpos` (LSB-first). False on
+// overrun. Shared by the table-span caches: a bit-identical span decodes
+// to a bit-identical result, so matching spans skip the decode.
+static bool ExtractBitSpan(const uint8_t* data, uint64_t size, uint64_t bitpos,
+                           uint64_t nbits, std::vector<uint8_t>& out) {
+  if (bitpos + nbits > size * 8) return false;
+  const uint64_t nbytes = (nbits + 7) / 8;
+  out.resize(nbytes);
+  const uint8_t* src = data + (bitpos >> 3);
+  const int shift = (int)(bitpos & 7);
+  if (shift == 0) {
+    std::memcpy(out.data(), src, nbytes);
+  } else {
+    for (uint64_t i = 0; i < nbytes; i++) {
+      uint16_t v = src[i];
+      if ((bitpos >> 3) + i + 1 < size) v |= (uint16_t)src[i + 1] << 8;
+      out[i] = (uint8_t)(v >> shift);
+    }
+  }
+  if (nbits & 7) out[nbytes - 1] &= (uint8_t)((1u << (nbits & 7)) - 1);
+  return true;
+}
+
 int DecodeContextMap(BitReader& br, int num_contexts, int depth,
                      uint8_t* out_map) {
+  // Per-thread span cache: animation frames typically carry an
+  // identical (RLE-coded) AC context map in every frame's HfGlobal even
+  // when the cluster distributions differ; re-decoding its ~7k entries
+  // per frame costs ~100 us vs ~1 us extract+memcmp.
+  struct CmapCache {
+    uint64_t bits = 0;
+    std::vector<uint8_t> span, cur, map;
+  };
+  // keyed by num_contexts: one frame decodes several map flavors (tree
+  // leaf maps, permutation maps, AC maps) and a single slot would thrash
+  static thread_local std::map<int, CmapCache> cmap_caches;
+  CmapCache& cc = cmap_caches[num_contexts];
+  const uint64_t pos0 = br.pos;
+  if (depth == 0 && cc.bits > 0 &&
+      ExtractBitSpan(br.data, br.size, pos0, cc.bits, cc.cur) &&
+      cc.cur == cc.span) {
+    std::memcpy(out_map, cc.map.data(), (size_t)num_contexts);
+    br.pos = pos0 + cc.bits;
+    return 0;
+  }
   if (br.Read(1)) {  // simple
     int bits = (int)br.Read(2);
     for (int i = 0; i < num_contexts; i++)
@@ -2261,6 +2305,11 @@ int DecodeContextMap(BitReader& br, int num_contexts, int depth,
     if (!seen[out_map[i]]) { seen[out_map[i]] = true; distinct++; }
   }
   if (distinct != maxv + 1) return 1;
+  if (depth == 0) {
+    cc.bits = br.pos - pos0;
+    ExtractBitSpan(br.data, br.size, pos0, cc.bits, cc.span);
+    cc.map.assign(out_map, out_map + num_contexts);
+  }
   return 0;
 }
 
