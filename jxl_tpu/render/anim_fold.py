@@ -424,6 +424,9 @@ def try_anim_fold(fh, codestream, recs, icc_profile):
             "lf": out["lf"], "rq": out["rq"],
             "ytox": out["ytox"], "ytob": out["ytob"],
             "blocks": out["blocks"], "counts": out["blk_counts"],
+            "scal": out["scal"], "dbl": out["dbl"],
+            "xqm": np.array([h.x_qm_scale for h, _, _ in recs], np.float64),
+            "bqm": np.array([h.b_qm_scale for h, _, _ in recs], np.float64),
             "dims": (sbw, sbh, tcw, tch),
         }
     from ..api.frame import QuantizerParams

@@ -447,8 +447,22 @@ def render_frames_batched_host(frames: list, out_format: str):
     baseb_f = np.empty(F, np.float32)
     cf_f = np.empty(F, np.float32)
     stride = GROUP_PX * GROUP_PX
+    if use_slabs:
+        # per-frame scalars straight from the fold's scal/dbl slabs —
+        # same op order as the per-frame object walk they replace
+        scal_s = slabs0["scal"]
+        dbl_s = slabs0["dbl"]
+        igs_f[:] = (65536.0 / scal_s[:, 0].astype(np.float64)).astype(np.float32)
+        xdm_f[:] = ((1.0 / 1.25) ** (slabs0["xqm"] - 2.0)).astype(np.float32)
+        bdm_f[:] = ((1.0 / 1.25) ** (slabs0["bqm"] - 2.0)).astype(np.float32)
+        basex_f[:] = dbl_s[:, 3].astype(np.float32)
+        baseb_f[:] = dbl_s[:, 4].astype(np.float32)
+        cf_f[:] = scal_s[:, 10].astype(np.float32)
     gid = 0
-    for fi, fr in enumerate(frames):
+    frame_iter = (
+        () if use_slabs and shared_pool is not None else enumerate(frames)
+    )
+    for fi, fr in frame_iter:
         header = fr.header
         bw, bh = header.size_blocks()
         if bh > cbh or bw > cbw:
@@ -457,22 +471,19 @@ def render_frames_batched_host(frames: list, out_format: str):
             raise NotSupported("frame larger than canvas in batched path")
         if not use_slabs:
             lf_all[:, fi, :bh, :bw] = np.stack(fr.lf_image)[:, :bh, :bw]
-        qp = fr.lf_global.quant_params
-        ccp = fr.lf_global.color_correlation_params
-        igs_f[fi] = qp.inv_global_scale
-        xdm_f[fi] = (1.0 / 1.25) ** (header.x_qm_scale - 2.0)
-        bdm_f[fi] = (1.0 / 1.25) ** (header.b_qm_scale - 2.0)
-        basex_f[fi] = ccp.base_correlation_x
-        baseb_f[fi] = ccp.base_correlation_b
-        cf_f[fi] = ccp.color_factor
-        if not use_slabs:
+            qp = fr.lf_global.quant_params
+            ccp = fr.lf_global.color_correlation_params
+            igs_f[fi] = qp.inv_global_scale
+            xdm_f[fi] = (1.0 / 1.25) ** (header.x_qm_scale - 2.0)
+            bdm_f[fi] = (1.0 / 1.25) ** (header.b_qm_scale - 2.0)
+            basex_f[fi] = ccp.base_correlation_x
+            baseb_f[fi] = ccp.base_correlation_b
+            cf_f[fi] = ccp.color_factor
             hf = fr.hf_meta
             rq_all[fi, :bh, :bw] = hf["raw_quant"]
             th, tw = hf["ytox"].shape
             yx_all[fi, :th, :tw] = hf["ytox"]
             yb_all[fi, :th, :tw] = hf["ytob"]
-        if use_slabs and shared_pool is not None:
-            continue  # block tables come from the fold slabs below
         tables = getattr(fr.hf_global, "block_tables", None)
         slots = getattr(fr.hf_global, "coeff_pool_slots", None)
         for g in sorted(fr.hf_global.hf_coefficients):
