@@ -344,10 +344,13 @@ def _try_batched_animation(fh, codestream, start_bits, icc_profile, pixel_format
     num_ec = len(meta.extra_channel_info)
     img_w, img_h = fh.xsize, fh.ysize
     outs, durations = [], []
+    # one (F, H, W, C) allocation; per-frame canvases are views into it
+    # (48 separate np.zeros + copies cost real time per decode)
+    big = np.zeros((len(frames), img_h, img_w, 3 + num_ec), dtype=rendered.dtype)
     for fi, frame in enumerate(frames):
         header = frame.header
         fw, fh_px = header.size_upsampled()
-        canvas = np.zeros((img_h, img_w, 3 + num_ec), dtype=rendered.dtype)
+        canvas = big[fi]
         x0, y0 = max(header.x0, 0), max(header.y0, 0)
         w = min(fw, img_w - x0)
         h = min(fh_px, img_h - y0)
