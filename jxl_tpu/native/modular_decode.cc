@@ -1066,20 +1066,37 @@ int jxl_decode_modular(
 
       props[2] = y;
       props[9] = 0;
+      // toptop falls back to top (= prev[x]) on row 1, so a pointer
+      // select replaces the per-pixel ternary; the interior x range
+      // (2..w-3, y>0) then loads every neighbor directly — the edge
+      // ternaries cost compares in the hottest loop of squeeze-residual
+      // decode even though they predict perfectly
+      const int32_t* pp = y > 1 ? prevprev : prev;
+      const bool interior_rows = y > 0 && w >= 5;
       for (int x = 0; x < w; x++) {
         int32_t pd[7];
-        int32_t left = x > 0 ? row[x - 1] : (y > 0 ? prev[0] : 0);
-        int32_t top, topleft, topright, toprightright;
-        if (y > 0) {
+        int32_t left, top, topleft, topright, toprightright, leftleft, toptop;
+        if (interior_rows && x >= 2 && x + 2 < w) {
+          left = row[x - 1];
           top = prev[x];
-          topleft = x > 0 ? prev[x - 1] : left;
-          topright = x + 1 < w ? prev[x + 1] : top;
-          toprightright = x + 2 < w ? prev[x + 2] : topright;
+          topleft = prev[x - 1];
+          topright = prev[x + 1];
+          toprightright = prev[x + 2];
+          leftleft = row[x - 2];
+          toptop = pp[x];
         } else {
-          top = topleft = topright = toprightright = left;
+          left = x > 0 ? row[x - 1] : (y > 0 ? prev[0] : 0);
+          if (y > 0) {
+            top = prev[x];
+            topleft = x > 0 ? prev[x - 1] : left;
+            topright = x + 1 < w ? prev[x + 1] : top;
+            toprightright = x + 2 < w ? prev[x + 2] : topright;
+          } else {
+            top = topleft = topright = toprightright = left;
+          }
+          leftleft = x > 1 ? row[x - 2] : left;
+          toptop = y > 1 ? prevprev[x] : top;
         }
-        int32_t leftleft = x > 1 ? row[x - 2] : left;
-        int32_t toptop = y > 1 ? prevprev[x] : top;
         pd[0] = left; pd[1] = top; pd[2] = toptop; pd[3] = topleft;
         pd[4] = topright; pd[5] = leftleft; pd[6] = toprightright;
 
