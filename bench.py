@@ -40,15 +40,22 @@ REPS = 3
 
 
 def bench_one(path: pathlib.Path) -> tuple[float, float]:
-    """Returns (megapixels, best_seconds) for whole-file decode."""
+    """Returns (megapixels, best_seconds) for whole-file decode.
+
+    Reps auto-scale for short decodes (criterion-style): this box is
+    shared, and a 17 ms decode's best-of-3 regularly lands inside a
+    neighbor's CPU burst; ~0.6 s of reps makes the minimum meaningful."""
     from jxl_tpu.api.simple import decode_image
 
     data = path.read_bytes()
     # 8-bit output samples, like the reference CLI's default output path
+    t0 = time.perf_counter()
     decode_image(data, pixel_format="u8")  # warmup: jit compile, table caches
+    est = time.perf_counter() - t0
+    reps = max(REPS, min(20, int(0.6 / max(est, 1e-3))))
     best = float("inf")
     mp = 0.0
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         img = decode_image(data, pixel_format="u8")
         dt = time.perf_counter() - t0
