@@ -1699,11 +1699,15 @@ def _anim_arena(key, shape, dtype):
     """Single-slot per-key buffer arena for the animation fold's large
     intermediate slabs. The previous decode's shims are dead by the time
     the next decode starts (decode_image copies pixels out), so reuse is
-    safe; the arena holds one buffer per (name, geometry) key."""
-    buf = _ANIM_ARENA.get(key)
+    safe; the arena holds one buffer per (name, geometry) key and evicts
+    oldest-first so many distinct animation geometries cannot pin
+    unbounded memory (the pool slab is ~0.8 MB/frame)."""
+    buf = _ANIM_ARENA.pop(key, None)
     if buf is None or buf.shape != shape:
         buf = np.empty(shape, dtype)
-        _ANIM_ARENA[key] = buf
+    _ANIM_ARENA[key] = buf  # re-insert: dict order is LRU-ish
+    while len(_ANIM_ARENA) > 6:
+        _ANIM_ARENA.pop(next(iter(_ANIM_ARENA)))
     return buf
 
 
