@@ -280,6 +280,151 @@ def encode_rle_gradient_modular(width: int, height: int, residual: int = 2) -> b
     return _wrap_modular_sections(width, height, sections, filters=False)
 
 
+def write_patches_dict(w: BW, px: int, py: int, size: int, mode: int):
+    """One `size`x`size` patch from reference slot 0 rect (0,0) placed at
+    (px, py) with blend `mode` (alpha-free modes only). All 10 patch
+    contexts share one prefix cluster; the distinct token set must stay
+    within the simple-table limit of 4."""
+    seq = [1, 0, 0, 0, size - 1, size - 1, 0, px, py, mode]
+    toks = set(seq)
+    assert len(toks) <= 4, toks
+    write_prefix_histograms(w, 10, toks)
+    for t in seq:
+        bits, n = token_bits(toks, t)
+        w.write(bits, n)
+
+
+def _crop_coord(w: BW, v: int):
+    # U32(Bits(8), BitsOffset(11, 256), BitsOffset(14, 2304), BitsOffset(30, 18688))
+    if v < 256:
+        w.write(0, 2)
+        w.write(v, 8)
+    elif v < 2304:
+        w.write(1, 2)
+        w.write(v - 256, 11)
+    else:
+        w.write(2, 2)
+        w.write(v - 2304, 14)
+
+
+def _write_toc_and_sections(w: BW, sections):
+    w.write(0, 1)  # not permuted
+    w.pad_to_byte()
+    for s in sections:
+        u32(
+            w,
+            (("bits", 10), ("bitsoff", 14, 1024), ("bitsoff", 22, 17408),
+             ("bitsoff", 30, 4211712)),
+            len(s),
+        )
+    w.pad_to_byte()
+
+
+def encode_patches_modular(
+    width: int, height: int, v_bg: int = 100, v_patch: int = 250,
+    patch_size: int = 16, patch_xy: int = 250,
+) -> bytes:
+    """Two-frame 8-bit sRGB Modular file: an invisible 64x64
+    REFERENCE_ONLY frame (constant v_patch, saved before CT) and a
+    REGULAR last frame (constant v_bg) whose LfGlobal carries ONE
+    REPLACE patch of patch_size^2 at (patch_xy, patch_xy) — chosen to
+    straddle a 256-row band boundary so the banded low-memory path's
+    patch stage is exercised end to end."""
+    # ---- REFERENCE_ONLY frame payload (single 64x64 group) --------------
+    lg = BW()
+    lg.write(1, 1)  # LfQuantFactors all_default
+    lg.write(1, 1)  # global tree present
+    write_single_leaf_tree(lg, 0, v_patch)
+    write_group_header(lg, True)
+    hw = BW()
+    write_group_header(hw, True)
+    ref_sections = [lg.finish() + hw.finish()]
+
+    # ---- REGULAR frame payload ------------------------------------------
+    lg2 = BW()
+    write_patches_dict(lg2, patch_xy, patch_xy, patch_size, 1)
+    lg2.write(1, 1)  # LfQuantFactors all_default
+    lg2.write(1, 1)  # global tree present
+    write_single_leaf_tree(lg2, 0, v_bg)
+    write_group_header(lg2, True)
+    hw2 = BW()
+    write_group_header(hw2, True)
+    hf2 = hw2.finish()
+    gxc, gyc = -(-width // 256), -(-height // 256)
+    reg_sections = [lg2.finish()] + [b""] + [b""] + [hf2] * (gxc * gyc)
+
+    # ---- image headers ---------------------------------------------------
+    w = BW()
+    w.write(0xFF, 8)
+    w.write(0x0A, 8)
+    w.write(0, 1)
+    u32(w, (("bits", 9), ("bits", 13), ("bits", 18), ("bits", 30)), height - 1)
+    w.write(0, 3)
+    u32(w, (("bits", 9), ("bits", 13), ("bits", 18), ("bits", 30)), width - 1)
+    w.write(0, 1)  # metadata all_default = 0
+    w.write(0, 1)  # extra_fields
+    w.write(0, 1)  # bit_depth float
+    w.write(0, 2)  # bits_per_sample Val(8)
+    w.write(1, 1)  # modular_16bit_sufficient
+    w.write(0, 2)  # no extra channels
+    w.write(0, 1)  # xyb_encoded = 0
+    w.write(1, 1)  # color_encoding all_default (sRGB)
+    w.write(0, 2)  # extensions
+    w.write(1, 1)  # CustomTransformData all_default
+
+    # ---- frame 0: REFERENCE_ONLY 64x64, save_before_ct ------------------
+    w.pad_to_byte()
+    w.write(0, 1)  # all_default = 0
+    w.write(2, 2)  # frame_type REFERENCE_ONLY
+    w.write(1, 1)  # encoding MODULAR
+    u64(w, 0)      # flags
+    w.write(0, 1)  # do_ycbcr
+    u32(w, (("val", 1), ("val", 2), ("val", 4), ("val", 8)), 1)  # upsampling
+    w.write(1, 2)  # group_size_shift -> 256
+    # no passes for REFERENCE_ONLY
+    w.write(1, 1)  # have_crop = 1 (own 64x64 size; no x0/y0 for REFERENCE_ONLY)
+    _crop_coord(w, 64)
+    _crop_coord(w, 64)
+    # not normal: no blending/duration/is_last bits
+    w.write(0, 2)  # save_as_reference = 0
+    w.write(1, 1)  # save_before_ct = 1
+    u32(w, (("val", 0), ("bits", 4), ("bitsoff", 5, 16), ("bitsoff", 10, 48)), 0)
+    w.write(0, 1)  # RestorationFilter all_default = 0
+    w.write(0, 1)  # gab off
+    w.write(0, 2)  # epf 0
+    w.write(0, 2)  # rf extensions
+    w.write(0, 2)  # frame extensions
+    _write_toc_and_sections(w, ref_sections)
+    out = bytearray(w.finish())
+    for s in ref_sections:
+        out.extend(s)
+
+    # ---- frame 1: REGULAR last, patches enabled --------------------------
+    w2 = BW()
+    w2.write(0, 1)  # all_default = 0
+    w2.write(0, 2)  # REGULAR
+    w2.write(1, 1)  # MODULAR
+    u64(w2, 2)      # flags: ENABLE_PATCHES
+    w2.write(0, 1)  # do_ycbcr
+    u32(w2, (("val", 1), ("val", 2), ("val", 4), ("val", 8)), 1)
+    w2.write(1, 2)  # group_size_shift
+    u32(w2, (("val", 1), ("val", 2), ("val", 3), ("bitsoff", 3, 4)), 1)  # passes
+    w2.write(0, 1)  # have_crop = 0
+    u32(w2, (("val", 0), ("val", 1), ("val", 2), ("bitsoff", 2, 3)), 0)  # blending REPLACE
+    w2.write(1, 1)  # is_last
+    u32(w2, (("val", 0), ("bits", 4), ("bitsoff", 5, 16), ("bitsoff", 10, 48)), 0)
+    w2.write(0, 1)  # rf all_default = 0
+    w2.write(0, 1)  # gab off
+    w2.write(0, 2)  # epf 0
+    w2.write(0, 2)  # rf extensions
+    w2.write(0, 2)  # frame extensions
+    _write_toc_and_sections(w2, reg_sections)
+    out.extend(w2.finish())
+    for s in reg_sections:
+        out.extend(s)
+    return bytes(out)
+
+
 def write_group_header(w: BW, use_global_tree: bool):
     w.write(1 if use_global_tree else 0, 1)
     w.write(1, 1)  # wp_header all_default

@@ -115,6 +115,28 @@ def test_noise_field_rows_matches_whole_field():
             np.testing.assert_array_equal(rows[c], whole[c][lo:hi])
 
 
+def test_banded_patches_end_to_end():
+    """Full banded decode of a patches stream: the invisible
+    REFERENCE_ONLY source frame decodes whole in the prelude and the
+    REPLACE patch — placed to STRADDLE the 256-row band boundary — is
+    applied band-locally, bit-exact vs the one-shot decoder."""
+    from mini_encoder import encode_patches_modular
+
+    data = encode_patches_modular(600, 600, v_bg=100, v_patch=250,
+                                  patch_size=16, patch_xy=250)
+    bands = {}
+    info = decode_banded(data, lambda y0, arr: bands.__setitem__(y0, arr))
+    assert info["bands"] == 3
+    full = np.concatenate([bands[k] for k in sorted(bands)], axis=0)
+    ref = _one_shot(data)
+    assert full.shape == ref.shape
+    np.testing.assert_array_equal(full, ref)
+    # the patch really lands, and really crosses the band boundary
+    assert abs(full[255, 255, 0] * 255 - 250) < 0.1  # band 0 side
+    assert abs(full[260, 255, 0] * 255 - 250) < 0.1  # band 1 side
+    assert abs(full[0, 0, 0] * 255 - 100) < 0.1
+
+
 def test_banded_vardct_ec_palette_matches_one_shot():
     """VarDCT + extra channel coded via a zero-predictor palette
     (candle.jxl: 11764-color palette on alpha): banded output including
