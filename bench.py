@@ -136,13 +136,17 @@ def _run_child(kind: str, fname: str) -> None:
     from jxl_tpu import enable_persistent_jit_cache
 
     enable_persistent_jit_cache()
-    # settle the device probe BEFORE timing: its backend init runs on a
-    # daemon thread and would otherwise steal CPU from the timed reps
-    # (this box has one core; a wedged tunnel keeps the thread spinning)
-    from jxl_tpu.utils.devhealth import device_ok
+    # settle the device probe BEFORE timing: its backend init runs in a
+    # child process and would otherwise steal CPU from the timed reps
+    # (this box has one core; a wedged tunnel keeps the child spinning on
+    # its bandwidth measurements for minutes). Once the routing decision
+    # is in — or the grace expired — the child has no further value for a
+    # file bench: kill it so the timed loop owns the core.
+    from jxl_tpu.utils import devhealth
 
-    device_ok(grace=45.0)
+    devhealth.device_ok(grace=45.0)
     if kind == "file":
+        devhealth._kill_probe()
         mp, best = bench_one(CORPUS / fname)
         print(json.dumps({"mp": mp, "best": best}))
     else:
