@@ -52,7 +52,7 @@ def bench_one(path: pathlib.Path) -> tuple[float, float]:
     t0 = time.perf_counter()
     decode_image(data, pixel_format="u8")  # warmup: jit compile, table caches
     est = time.perf_counter() - t0
-    reps = max(REPS, min(20, int(0.6 / max(est, 1e-3))))
+    reps = max(REPS, min(24, int(1.0 / max(est, 1e-3))))
     best = float("inf")
     mp = 0.0
     for _ in range(reps):
