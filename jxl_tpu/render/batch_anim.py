@@ -561,7 +561,16 @@ def render_frames_batched_host(frames: list, out_format: str):
     # the u8 dither all address the same memory with per-frame dither
     # phase identical to the per-frame path. No per-frame copies.
     Hs = -(-Hp // 32) * 32
-    stacked = np.zeros((3, F * Hs, Wp), np.float32)
+    if use_slabs and Hs == Hp:
+        # fold mode: every 8x8 block of every (canvas-sized) frame is
+        # covered by a transform scatter and there are no padding rows,
+        # so the canvas never needs zero-fill — reuse one arena slab
+        # across decodes instead of faulting 9 MB of fresh zero pages
+        from ..native import _anim_arena
+
+        stacked = _anim_arena(("stacked", F, Hs, Wp), (3, F * Hs, Wp), np.float32)
+    else:
+        stacked = np.zeros((3, F * Hs, Wp), np.float32)
     from numpy.lib.stride_tricks import as_strided
 
     # (F, 3, Hp, Wp) and blocked views over the stacked storage
