@@ -49,11 +49,12 @@ def bench_one(path: pathlib.Path) -> tuple[float, float]:
 
     data = path.read_bytes()
     # 8-bit output samples, like the reference CLI's default output path
-    t0 = time.perf_counter()
     decode_image(data, pixel_format="u8")  # warmup: jit compile, table caches
+    t0 = time.perf_counter()
+    decode_image(data, pixel_format="u8")  # warm estimate (arenas populated)
     est = time.perf_counter() - t0
     reps = max(REPS, min(24, int(1.0 / max(est, 1e-3))))
-    best = float("inf")
+    best = est
     mp = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
